@@ -1,0 +1,161 @@
+"""CDC change-log operators.
+
+Re-expresses the reference's change-data-capture relational core
+(`sqls/storedprocedure.sql:4-57` in shalinda/SQL-CDC) as composable
+DataFrame operators. The change log is any DataFrame with columns
+``(key, change_version, op, ...)`` — the shape SQL Server Change
+Tracking's CHANGETABLE() exposes (reference `sqls/setup-invoice-db.sql:70-109`).
+
+Scale notes (100 TB stance):
+- Every operator is a declarative transformation; the whole pipeline stays
+  one Catalyst plan, so version predicates push down into the change-log
+  parquet scan (verify with .explain(): PushedFilters).
+- latest_per_key is a partial-aggregating groupBy (map-side combine), not a
+  window, when only the version is needed; the row_number variant is for
+  carrying full payloads.
+- Enrichment joins broadcast the small side explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def changes_in_range(
+    changelog: DataFrame,
+    since_version: int,
+    to_version: int | None = None,
+    version_col: str = "change_version",
+) -> DataFrame:
+    """Bounded change scan: rows with since < version <= to.
+
+    Mirrors CHANGETABLE(CHANGES t, @since) plus the snapshot bound
+    ``CT.SYS_CHANGE_VERSION <= @ToVersion`` (reference
+    sqls/storedprocedure.sql:17-18,24-26). The upper bound makes two scans
+    of different tables consistent with one another (same snapshot).
+    Both predicates push down to the parquet/Delta scan.
+    """
+    out = changelog.filter(F.col(version_col) > F.lit(since_version))
+    if to_version is not None:
+        out = out.filter(F.col(version_col) <= F.lit(to_version))
+    return out
+
+
+def keyset_filter(
+    df: DataFrame,
+    since_version: int,
+    last_key: int,
+    version_col: str = "change_version",
+    key_col: str = "key_id",
+) -> Column | DataFrame:
+    """Composite keyset-cursor filter: resume-safe de-dup across batch
+    boundaries — keep rows strictly after cursor ``(version, key)``:
+    ``ver > since OR (ver == since AND key > last_key)``.
+
+    Mirrors invoice-api/server.js:165-168 (with the inclusive re-read trick
+    of server.js:134 it suppresses duplicates under version ties). O(1)
+    resume: the predicate prunes at the scan, no OFFSET-style skip.
+    """
+    v, k = F.col(version_col), F.col(key_col)
+    return df.filter(
+        (v > F.lit(since_version))
+        | ((v == F.lit(since_version)) & (k > F.lit(last_key)))
+    )
+
+
+def latest_per_key(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "change_version",
+) -> DataFrame:
+    """Collapse multiple change events per key to the latest version —
+    ``SELECT key, MAX(ver) GROUP BY key`` (reference
+    sqls/storedprocedure.sql:28-34, 'net changes' semantics).
+
+    GroupBy/max gets map-side partial aggregation: at 100 TB the shuffle
+    carries one row per (partition, key), not one per change event.
+    """
+    return changes.groupBy(*key_cols).agg(F.max(version_col).alias(version_col))
+
+
+def latest_row_per_key(
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Variant of latest_per_key that keeps the full payload row: window
+    row_number over (partition by key, order by version desc, tiebreakers)
+    and keep rn=1. ``order_cols`` must make the order total (append a
+    unique id) or the result is nondeterministic.
+
+    This is the natural Spark twin of the reference's GROUP BY/MAX + join
+    back (SURVEY.md §2.5) — one shuffle instead of two.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def union_change_streams(*streams: DataFrame) -> DataFrame:
+    """UNION ALL of per-table change feeds by column name (reference
+    sqls/storedprocedure.sql:20 unions header-changes and line-changes).
+    Bag semantics — latest_per_key downstream collapses duplicates, so no
+    distinct (and no extra shuffle) here."""
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def recover_parent_key(
+    line_changes: DataFrame,
+    lines: DataFrame,
+    line_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Line-level change rows only carry the line PK; join back to the
+    line table to recover the parent (invoice) key — reference
+    sqls/storedprocedure.sql:23-26 (``JOIN InvoiceLine l ON l.LineId =
+    CT.LineId``). The projection keeps only (parent_key, version) so the
+    join input is as narrow as the scan allows."""
+    return line_changes.join(lines.select(line_key, parent_key), line_key, "inner")
+
+
+def enrich_with_header(
+    changed_keys: DataFrame,
+    header: DataFrame,
+    key_col: str,
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Join the (small) set of changed keys to the base/header table —
+    reference sqls/storedprocedure.sql:55 (``JOIN InvoiceHeader h ON
+    h.InvoiceId = a.InvoiceId``).
+
+    In a CDC batch the changed-key side is tiny relative to the base table:
+    broadcast it so the big side never shuffles."""
+    small = F.broadcast(changed_keys) if broadcast_changes else changed_keys
+    return header.join(small, key_col, "inner")
+
+
+def bounded_ordered_batch(
+    df: DataFrame,
+    limit: int,
+    version_col: str = "change_version",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Deterministic resumable batch: ``SELECT TOP(@Limit) ... ORDER BY
+    version`` (reference sqls/storedprocedure.sql:35,56). The version alone
+    is not a total order — ties break on the key (SURVEY.md §7 hard-part 4)
+    so a resumed consumer never skips or re-reads rows.
+
+    Spark plans orderBy+limit as TakeOrderedAndProject: each partition
+    keeps a local top-k heap, only k rows per partition reach the driver —
+    no global sort even at 100 TB."""
+    order = [F.col(version_col).asc()]
+    if key_col:
+        order.append(F.col(key_col).asc())
+    return df.orderBy(*order).limit(limit)
