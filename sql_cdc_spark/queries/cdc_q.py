@@ -1,0 +1,337 @@
+"""CDC pipeline queries — the reference's flagship semantics re-expressed
+Spark-first (sqls/storedprocedure.sql:4-57 in shalinda/SQL-CDC).
+
+Because the driver test data has no change log, one is SYNTHESIZED
+DETERMINISTICALLY from orders/lineitem (FIXTURES.md §A3 rules: multiple
+versions per key, line-only changes, header-only changes, version ties):
+
+  header change:  key = o_orderkey,            version = (o_orderkey*13+7) % 1000
+                  for orders with o_orderkey % 11 == 0
+  line change:    key = l_orderkey*8+l_linenumber (line PK; l_linenumber <= 7),
+                  version = (l_orderkey*17+l_linenumber*5) % 1000
+                  for lineitems with (l_orderkey+l_linenumber) % 13 == 0
+
+The `% 1000` versions create heavy ties across keys — exactly the regime
+where the reference's composite (version, key) cursor matters.
+
+Every query here also has a DuckDB oracle twin (same synthesis SQL), so the
+full pipeline is correctness-gated end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
+from sql_cdc_spark.operators import cdc
+from sql_cdc_spark.operators.documents import assemble_documents
+from sql_cdc_spark.queries import QueryEntry
+
+SINCE_VERSION = 250
+BATCH_LIMIT = 1000
+
+# Shared oracle CTEs for the synthesized change log (DuckDB dialect; the
+# Spark side builds the same relations with DataFrame ops).
+_CHANGELOG_CTES = """
+header_changes AS (
+  SELECT o_orderkey AS invoice_id, (o_orderkey * 13 + 7) % 1000 AS change_version
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+line_changes AS (
+  SELECT l_orderkey * 8 + l_linenumber AS line_id,
+         (l_orderkey * 17 + l_linenumber * 5) % 1000 AS change_version
+  FROM lineitem WHERE (l_orderkey + l_linenumber) % 13 = 0
+),
+recovered_line_changes AS (
+  SELECT l.l_orderkey AS invoice_id, c.change_version
+  FROM line_changes c
+  JOIN lineitem l ON l.l_orderkey * 8 + l.l_linenumber = c.line_id
+),
+all_changes AS (
+  SELECT * FROM header_changes UNION ALL SELECT * FROM recovered_line_changes
+)
+"""
+
+
+def synth_header_changes(orders: DataFrame) -> DataFrame:
+    """Deterministic header-change feed (S1 analog for the header table)."""
+    return orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("invoice_id"),
+        ((F.col("o_orderkey") * 13 + 7) % 1000).alias("change_version"),
+    )
+
+
+def synth_line_changes(lineitem: DataFrame) -> DataFrame:
+    """Deterministic line-change feed keyed by the line PK only — the
+    invoice key must be recovered via join, as in the reference
+    (sqls/storedprocedure.sql:23-26)."""
+    return lineitem.filter((F.col("l_orderkey") + F.col("l_linenumber")) % 13 == 0).select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("line_id"),
+        ((F.col("l_orderkey") * 17 + F.col("l_linenumber") * 5) % 1000).alias(
+            "change_version"
+        ),
+    )
+
+
+def _all_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tables.load(spark, sf_dir, "orders")
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    header_changes = synth_header_changes(orders)
+    line_changes = synth_line_changes(lineitem)
+    # J1: recover invoice key from the line PK. The join key is the derived
+    # line_id expression on the lineitem side.
+    lines_keyed = lineitem.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("line_id"),
+        F.col("l_orderkey").alias("invoice_id"),
+    )
+    recovered = (
+        line_changes.join(lines_keyed, "line_id", "inner")
+        .select("invoice_id", "change_version")
+    )
+    # U1: bag union of the two change feeds
+    return cdc.union_change_streams(header_changes.select("invoice_id", "change_version"), recovered)
+
+
+def flagship_changed_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sproc pipeline end-to-end, scalar form: changes-union (U1) →
+    latest-per-key (A1) → header enrichment join (J2) → per-invoice line
+    stats (decorrelated J4) → bounded ordered batch (O1, composite sort
+    key). Mirrors sqls/storedprocedure.sql:14-56."""
+    changes = _all_changes(spark, sf_dir).filter(F.col("change_version") > SINCE_VERSION)
+    latest = cdc.latest_per_key(changes, ["invoice_id"])
+    orders = tables.load(spark, sf_dir, "orders")
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    line_stats = lineitem.groupBy(F.col("l_orderkey").alias("invoice_id")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "invoice_total"
+        ),
+    )
+    enriched = (
+        orders.withColumnRenamed("o_orderkey", "invoice_id")
+        .join(F.broadcast(latest), "invoice_id", "inner")
+        .join(line_stats, "invoice_id", "left")
+        .select(
+            "invoice_id",
+            "change_version",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("invoice_total", F.lit(0.0)).alias("invoice_total"),
+        )
+    )
+    return cdc.bounded_ordered_batch(enriched, BATCH_LIMIT, "change_version", "invoice_id")
+
+
+_FLAGSHIP_SQL = f"""
+WITH {_CHANGELOG_CTES},
+latest AS (
+  SELECT invoice_id, MAX(change_version) AS change_version
+  FROM all_changes WHERE change_version > {SINCE_VERSION}
+  GROUP BY invoice_id
+),
+line_stats AS (
+  SELECT l_orderkey AS invoice_id, COUNT(*) AS n_lines,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS invoice_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT a.invoice_id, a.change_version, o.o_custkey, o.o_orderstatus,
+       o.o_totalprice,
+       COALESCE(s.n_lines, 0) AS n_lines,
+       COALESCE(s.invoice_total, 0.0) AS invoice_total
+FROM latest a
+JOIN orders o ON o.o_orderkey = a.invoice_id
+LEFT JOIN line_stats s ON s.invoice_id = a.invoice_id
+ORDER BY a.change_version, a.invoice_id
+LIMIT {BATCH_LIMIT}
+"""
+
+
+def flagship_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document form of the flagship: each changed invoice as
+    header + sorted array of line structs (sqls/storedprocedure.sql:36-52,
+    FIXTURES.md §A5). Not SQL-oracle-gated (nested schema); covered by
+    pytest against a DuckDB list(struct ORDER BY) twin instead."""
+    changes = _all_changes(spark, sf_dir).filter(F.col("change_version") > SINCE_VERSION)
+    latest = cdc.latest_per_key(changes, ["invoice_id"])
+    orders = tables.load(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "invoice_id"
+    )
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    header = orders.join(F.broadcast(latest), "invoice_id", "inner")
+    docs = assemble_documents(
+        header,
+        lineitem,
+        key_col="invoice_id",
+        header_cols=["invoice_id", "change_version", "o_custkey", "o_totalprice"],
+        line_cols=["l_linenumber", "l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        line_order_col="l_linenumber",
+        line_key_col="l_orderkey",
+    )
+    return cdc.bounded_ordered_batch(
+        docs.select(
+            "invoice_id", "change_version", "o_custkey", "o_totalprice", "lines"
+        ),
+        BATCH_LIMIT,
+        "change_version",
+        "invoice_id",
+    )
+
+
+def cdc_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P2: bounded change-log scan on the events stream table —
+    rows with since < version <= watermark. Both predicates push to the
+    parquet scan."""
+    ev = tables.load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("change_version"),
+        F.col("user_id").alias("key_id"),
+        F.col("event_type").alias("op"),
+        "value",
+    )
+    return cdc.changes_in_range(ev, 1000, 5000)
+
+
+_CHANGES_SCAN_SQL = """
+SELECT event_id AS change_version, user_id AS key_id, event_type AS op, value
+FROM events WHERE event_id > 1000 AND event_id <= 5000
+"""
+
+
+def cdc_keyset_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: composite keyset-cursor filter (invoice-api/server.js:165-168) —
+    resume after cursor (version=500, key=75) with version ties broken on
+    the key. Uses (value-bucket, user) as a tie-heavy (version, key) space."""
+    ev = tables.load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 1000).alias("change_version"),
+        F.col("user_id").alias("key_id"),
+        F.col("event_id"),
+    )
+    return cdc.keyset_filter(ev, 500, 75)
+
+
+_KEYSET_SQL = """
+SELECT event_id % 1000 AS change_version, user_id AS key_id, event_id
+FROM events
+WHERE (event_id % 1000) > 500 OR ((event_id % 1000) = 500 AND user_id > 75)
+"""
+
+
+def cdc_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (payload-carrying variant): latest event per user via row_number
+    over (user, version desc) — the Spark twin of GROUP BY/MAX + join-back
+    (sqls/storedprocedure.sql:28-34), one shuffle instead of two."""
+    ev = tables.load(spark, sf_dir, "events")
+    latest = cdc.latest_row_per_key(ev, ["user_id"], ["event_id"])
+    return latest.select("user_id", "event_id", "event_type", "value")
+
+
+_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def cdc_net_changes_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+J2: net change per user joined to the customer dim (broadcast) —
+    the 'enrich changed keys against the base table' step of the sproc
+    (sqls/storedprocedure.sql:55)."""
+    ev = tables.load(spark, sf_dir, "events")
+    cust = tables.load(spark, sf_dir, "customer")
+    latest = ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_version"),
+        F.count(F.lit(1)).alias("n_changes"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return (
+        latest.join(
+            F.broadcast(cust), latest.user_id == cust.c_custkey, "inner"
+        )
+        .select(
+            "user_id",
+            "last_version",
+            "n_changes",
+            "total_value",
+            "c_name",
+            "c_mktsegment",
+        )
+    )
+
+
+_NET_CHANGES_SQL = """
+SELECT e.user_id, e.last_version, e.n_changes, e.total_value, c.c_name, c.c_mktsegment
+FROM (
+  SELECT user_id, MAX(event_id) AS last_version, COUNT(*) AS n_changes,
+         ROUND(SUM(value), 2) AS total_value
+  FROM events GROUP BY user_id
+) e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+def cdc_union_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+A2: distinct changed keys across two change feeds (Readme.md:148
+    variant of the union with dedup)."""
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type").isin("click", "view")).select("user_id")
+    b = ev.filter(F.col("event_type").isin("purchase", "signup")).select("user_id")
+    return a.union(b).distinct()
+
+
+_UNION_DISTINCT_SQL = """
+SELECT user_id FROM events WHERE event_type IN ('click','view')
+UNION
+SELECT user_id FROM events WHERE event_type IN ('purchase','signup')
+"""
+
+
+def cdc_bounded_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: deterministic bounded ordered batch over a tie-heavy version
+    space — TOP(k) ORDER BY (version, key), the resume-safe batch shape
+    (sqls/storedprocedure.sql:35,56 + SURVEY §7 hard-part 4)."""
+    ev = tables.load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 500).alias("change_version"),
+        F.col("event_id").alias("key_id"),
+        "event_type",
+    )
+    return cdc.bounded_ordered_batch(ev, 200, "change_version", "key_id")
+
+
+_BOUNDED_BATCH_SQL = """
+SELECT event_id % 500 AS change_version, event_id AS key_id, event_type
+FROM events ORDER BY change_version, key_id LIMIT 200
+"""
+
+
+def cdc_version_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+A7: current high-watermark version + stream extent — the
+    CHANGE_TRACKING_CURRENT_VERSION() analog (sqls/storedprocedure.sql:11-12)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("event_id").alias("current_version"),
+        F.min("event_id").alias("min_version"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+
+
+_WATERMARK_SQL = """
+SELECT MAX(event_id) AS current_version, MIN(event_id) AS min_version,
+       COUNT(*) AS n_changes
+FROM events
+"""
+
+QUERIES: dict[str, QueryEntry] = {
+    "cdc_flagship_changed_invoices": QueryEntry(flagship_changed_invoices, _FLAGSHIP_SQL),
+    "cdc_flagship_documents": QueryEntry(flagship_documents, None),
+    "cdc_changes_scan": QueryEntry(cdc_changes_scan, _CHANGES_SCAN_SQL),
+    "cdc_keyset_resume": QueryEntry(cdc_keyset_resume, _KEYSET_SQL),
+    "cdc_latest_event_per_user": QueryEntry(cdc_latest_event_per_user, _LATEST_EVENT_SQL),
+    "cdc_net_changes_enriched": QueryEntry(cdc_net_changes_enriched, _NET_CHANGES_SQL),
+    "cdc_union_distinct_keys": QueryEntry(cdc_union_distinct_keys, _UNION_DISTINCT_SQL),
+    "cdc_bounded_batch": QueryEntry(cdc_bounded_batch, _BOUNDED_BATCH_SQL),
+    "cdc_version_watermark": QueryEntry(cdc_version_watermark, _WATERMARK_SQL),
+}
