@@ -1,5 +1,377 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational operator coverage (SURVEY.md §2.2-2.8) on the TPC-H-ish
+test tables, each paired with a DuckDB oracle.
 
+Operator IDs in docstrings refer to SURVEY.md §2's inventory; reference
+citations point at shalinda/SQL-CDC files that motivated the operator.
+
+Float discipline: aggregates over doubles are rounded (2dp money, 4dp
+ratios) in BOTH engines so engine-order summation noise can't break the
+value hash; raw column pass-throughs are never rounded (same bits on both
+sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
 from sql_cdc_spark.queries import QueryEntry
 
-QUERIES: dict[str, QueryEntry] = {}
+
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A6 + P1/P2: multi-aggregate GROUP BY with a pushed-down range
+    filter — the analytics-over-the-joined-view role of the reference's
+    Superset dashboards (sqls/vw_Invoicedetails.sql). TPC-H Q1 shape."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def rel_header_line_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+P1: the denormalized header ⨝ lines analytics view
+    (sqls/vw_Invoicedetails.sql:5-19) on orders/lineitem, with the
+    reference's renamed projection style."""
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "inner").select(
+        F.col("o_orderkey").alias("invoice_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_amount"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("unit_ext_price"),
+        F.round(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias("line_total"),
+    )
+
+
+_HEADER_LINE_VIEW_SQL = """
+SELECT o.o_orderkey AS invoice_id, o.o_custkey AS customer_id,
+       o.o_orderstatus AS status, o.o_totalprice AS total_amount,
+       l.l_linenumber AS line_number, l.l_quantity AS qty,
+       l.l_extendedprice AS unit_ext_price,
+       ROUND(l.l_quantity * l.l_extendedprice, 2) AS line_total
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def rel_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+J3+A6: top-k by aggregated revenue with a total sort key
+    (revenue desc, key asc) so ties can't break determinism. Plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return (
+        orders.join(rev, orders.o_orderkey == rev.l_orderkey, "inner")
+        .select(
+            F.col("o_orderkey").alias("invoice_id"),
+            "o_custkey",
+            "o_orderdate",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("invoice_id").asc())
+        .limit(10)
+    )
+
+
+_TOP_REVENUE_SQL = """
+SELECT o.o_orderkey AS invoice_id, o.o_custkey, o.o_orderdate, r.revenue
+FROM orders o
+JOIN (
+  SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_orderkey
+) r ON o.o_orderkey = r.l_orderkey
+ORDER BY r.revenue DESC, invoice_id ASC
+LIMIT 10
+"""
+
+
+def rel_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A4/A6: per-customer order stats joined to the (broadcast)
+    customer dim — the enrichment-join shape of sqls/storedprocedure.sql:55."""
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    stats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.round(F.max("o_totalprice"), 2).alias("max_order"),
+    )
+    return stats.join(
+        F.broadcast(cust), stats.o_custkey == cust.c_custkey, "inner"
+    ).select("c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spend", "max_order")
+
+
+_CUSTOMER_STATS_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_mktsegment, s.n_orders, s.total_spend, s.max_order
+FROM (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS total_spend,
+         ROUND(MAX(o_totalprice), 2) AS max_order
+  FROM orders GROUP BY o_custkey
+) s JOIN customer c ON s.o_custkey = c.c_custkey
+"""
+
+
+def rel_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left-semi join — customers with at least one order over 400k
+    (the `WHERE ... IN (SELECT ...)` shape of reference Readme.md:190)."""
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+def rel_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 complement: left-anti join — customers with no orders at all."""
+    cust = tables.load(spark, sf_dir, "customer")
+    orders = tables.load(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def rel_multi_hop_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 chained: customer → nation → region star-join rollup; both dims
+    broadcast (classic small-dim pattern for the 100 TB fact side)."""
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_balance"),
+        )
+    )
+
+
+_MULTI_HOP_SQL = """
+SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+       ROUND(AVG(c.c_acctbal), 2) AS avg_balance
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+def rel_cross_join_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: explicit cross join of two small dims (the reference's
+    numbers-table generator pattern, sqls/insert-invoices.sql:23-25)."""
+    region = tables.load(spark, sf_dir, "region")
+    nation = tables.load(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+_CROSS_JOIN_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+def rel_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: DISTINCT over a composite key (reference Readme.md:144)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def rel_sample_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: aggregate over a deterministic bounded sample — the reference's
+    avg-file-size-over-first-10 (invoice-api/server.js:211-219), with a
+    total sort key replacing 'first 10 listed'."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    sample = li.orderBy("l_orderkey", "l_linenumber").limit(10)
+    return sample.agg(
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
+_SAMPLE_AVG_SQL = """
+SELECT ROUND(AVG(l_extendedprice), 2) AS avg_price, COUNT(*) AS n_sampled
+FROM (SELECT l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 10)
+"""
+
+
+def rel_derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P6: projection + rename + type-coerce + computed column — the
+    camelCase/coercion map of invoice-api/server.js:154-162 and the
+    persisted LineTotal column (setup-invoice-db.sql:51)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("invoiceId"),
+        F.col("l_linenumber").cast("long").alias("lineId"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.col("l_extendedprice").alias("unitPrice"),
+        F.round(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias("lineTotal"),
+    )
+
+
+_DERIVED_SQL = """
+SELECT l_orderkey AS invoiceId, CAST(l_linenumber AS BIGINT) AS lineId,
+       CAST(l_quantity AS INTEGER) AS qty, l_extendedprice AS unitPrice,
+       ROUND(l_quantity * l_extendedprice, 2) AS lineTotal
+FROM lineitem
+"""
+
+
+def rel_filter_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P7: composite predicate — equality, range, IN-list; all pushed
+    to the parquet scan (verify: PushedFilters in .explain)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > 100000)
+        & (F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+_FILTER_COMPOSITE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+"""
+
+
+def rel_union_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: bag union of two filtered projections (the two-change-feed
+    merge, sqls/storedprocedure.sql:20)."""
+    cust = tables.load(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment"
+    )
+    b = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_mktsegment")
+    return a.unionByName(b)
+
+
+_UNION_ALL_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+"""
+
+
+def rel_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation extension: ROLLUP over (returnflag, linestatus) —
+    subtotals + grand total in one pass (absent from the reference, core
+    for the analytics surface)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation extension: pivot linestatus values to columns."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_open"), F.col("F").alias("qty_filled")
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def rel_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery extension: orders above the global average price —
+    the scalar aggregate is broadcast as a 1-row join (no driver collect)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        orders.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("__avg") * 2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 2
+"""
+
+QUERIES: dict[str, QueryEntry] = {
+    "rel_pricing_summary": QueryEntry(rel_pricing_summary, _PRICING_SQL),
+    "rel_header_line_view": QueryEntry(rel_header_line_view, _HEADER_LINE_VIEW_SQL),
+    "rel_top_revenue_orders": QueryEntry(rel_top_revenue_orders, _TOP_REVENUE_SQL),
+    "rel_customer_order_stats": QueryEntry(rel_customer_order_stats, _CUSTOMER_STATS_SQL),
+    "rel_semi_join_big_spenders": QueryEntry(rel_semi_join_big_spenders, _SEMI_JOIN_SQL),
+    "rel_anti_join_no_orders": QueryEntry(rel_anti_join_no_orders, _ANTI_JOIN_SQL),
+    "rel_multi_hop_dims": QueryEntry(rel_multi_hop_dims, _MULTI_HOP_SQL),
+    "rel_cross_join_small": QueryEntry(rel_cross_join_small, _CROSS_JOIN_SQL),
+    "rel_distinct_flags": QueryEntry(rel_distinct_flags, _DISTINCT_SQL),
+    "rel_sample_avg": QueryEntry(rel_sample_avg, _SAMPLE_AVG_SQL),
+    "rel_derived_columns": QueryEntry(rel_derived_columns, _DERIVED_SQL),
+    "rel_filter_composite": QueryEntry(rel_filter_composite, _FILTER_COMPOSITE_SQL),
+    "rel_union_all_segments": QueryEntry(rel_union_all_segments, _UNION_ALL_SQL),
+    "rel_rollup_lineitem": QueryEntry(rel_rollup_lineitem, _ROLLUP_SQL),
+    "rel_pivot_status": QueryEntry(rel_pivot_status, _PIVOT_SQL),
+    "rel_above_avg_orders": QueryEntry(rel_above_avg_orders, _ABOVE_AVG_SQL),
+}

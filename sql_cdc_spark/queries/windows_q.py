@@ -1,5 +1,150 @@
-"""Placeholder — populated in a later milestone."""
+"""Window-function coverage (SURVEY.md §2.5) — W1 plus the analytic
+frames the reference lacks but any engine of this class needs. Every
+window has a total ordering (unique tiebreaker) so results are
+deterministic and hash-comparable across engines.
+"""
 
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
 from sql_cdc_spark.queries import QueryEntry
 
-QUERIES: dict[str, QueryEntry] = {}
+
+def win_latest_n_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + A1 twin: row_number over (key, version desc) keeping the
+    latest 3 — the payload-carrying latest-per-key formulation
+    (SURVEY.md §2.5 note on sqls/storedprocedure.sql:28-34)."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "rn")
+    )
+
+
+_LATEST_N_SQL = """
+SELECT user_id, event_id, event_type, rn FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def win_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank per customer by order value (ties share ranks,
+    so no tiebreaker needed for determinism)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+_ORDER_RANKS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+       DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_dense_rank
+FROM orders
+"""
+
+
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per key over a unique ordering — frame-prescribed
+    summation order makes the float result identical in both engines."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+_RUNNING_TOTAL_SQL = """
+SELECT user_id, event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+"""
+
+
+def win_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: per-user deltas between consecutive event values —
+    the change-over-previous-version shape of a CDC diff."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    prev = F.lag("value", 1).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.coalesce(prev, F.lit(0.0)), 2).alias("value_delta"),
+        F.lead("event_id", 1).over(w).alias("next_event_id"),
+    )
+
+
+_LAG_DELTA_SQL = """
+SELECT user_id, event_id,
+       ROUND(value - COALESCE(LAG(value, 1) OVER w, 0.0), 2) AS value_delta,
+       LEAD(event_id, 1) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row frame: 3-event moving average per user."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, W.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg3"),
+    )
+
+
+_MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM events
+"""
+
+
+def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile over a total ordering (value + unique key tiebreaker)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
+
+
+_NTILE_SQL = """
+SELECT o_orderkey, o_totalprice,
+       NTILE(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS price_quartile
+FROM orders
+"""
+
+QUERIES: dict[str, QueryEntry] = {
+    "win_latest_n_per_user": QueryEntry(win_latest_n_per_user, _LATEST_N_SQL),
+    "win_order_ranks": QueryEntry(win_order_ranks, _ORDER_RANKS_SQL),
+    "win_running_total": QueryEntry(win_running_total, _RUNNING_TOTAL_SQL),
+    "win_lag_delta": QueryEntry(win_lag_delta, _LAG_DELTA_SQL),
+    "win_moving_avg": QueryEntry(win_moving_avg, _MOVING_AVG_SQL),
+    "win_ntile_quartiles": QueryEntry(win_ntile_quartiles, _NTILE_SQL),
+}
