@@ -1,0 +1,103 @@
+"""Change-log convention + test-harness writer.
+
+The engine's CDC source is any append-only parquet/Delta directory with
+the schema below — the contract SQL Server Change Tracking exposes via
+CHANGETABLE (reference sqls/setup-invoice-db.sql:70-109, FIXTURES.md §A3):
+
+    table_name      string   which base table changed
+    key_id          long     PK of the changed row (invoice or line id)
+    change_version  long     monotone global counter
+    op              string   'I' | 'U' | 'D'
+    ts              timestamp change time
+
+Line-table rows carry the LINE pk; the invoice key must be recovered by
+joining the base line table (sqls/storedprocedure.sql:23-26) — the writer
+deliberately does NOT denormalize it, to preserve that semantic.
+
+At 100 TB the directory would be partitioned by change_version range (or
+date); readers then get partition pruning on the version predicate. The
+harness writer keeps one file per append batch, which is exactly the shape
+a streaming file source tails.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("key_id", T.LongType(), False),
+        T.StructField("change_version", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+HEADER_TABLE = "invoice_header"
+LINE_TABLE = "invoice_line"
+
+
+class ChangeLogWriter:
+    """Test harness: appends change batches with a monotone version
+    counter — replicates Change Tracking's contract so pipeline tests can
+    produce multiple versions per key, line-only changes, header-only
+    changes, and version ties (FIXTURES.md §A3 generator rules)."""
+
+    def __init__(self, spark: SparkSession, log_dir: str, seed: int = 42):
+        self.spark = spark
+        self.log_dir = log_dir
+        self.rng = random.Random(seed)
+        self.version = 0
+        os.makedirs(log_dir, exist_ok=True)
+
+    def append(self, rows: list[tuple[str, int, str]]) -> int:
+        """Append change rows [(table_name, key_id, op)], each assigned the
+        next version. Returns the new high watermark."""
+        data = []
+        for table_name, key_id, op in rows:
+            self.version += 1
+            data.append((table_name, int(key_id), self.version, op))
+        df = self.spark.createDataFrame(
+            [(t, k, v, o, None) for t, k, v, o in data], CHANGELOG_SCHEMA
+        ).withColumn("ts", F.current_timestamp())
+        df.coalesce(1).write.mode("append").parquet(self.log_dir)
+        return self.version
+
+    def append_with_ties(self, rows: list[tuple[str, int, str]]) -> int:
+        """Append change rows that all share ONE version — the tie regime
+        where the composite (version, key) cursor is load-bearing
+        (invoice-api/server.js:165-168)."""
+        self.version += 1
+        df = self.spark.createDataFrame(
+            [(t, int(k), self.version, o, None) for t, k, o in rows],
+            CHANGELOG_SCHEMA,
+        ).withColumn("ts", F.current_timestamp())
+        df.coalesce(1).write.mode("append").parquet(self.log_dir)
+        return self.version
+
+
+def read_changelog(spark: SparkSession, log_dir: str) -> DataFrame:
+    """Batch view of the change log."""
+    return spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir)
+
+
+def read_changelog_stream(spark: SparkSession, log_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming view (file source). maxFilesPerTrigger is the
+    backpressure bound — the reference's `limit` param analog (T8)."""
+    reader = spark.readStream.schema(CHANGELOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(log_dir)
+
+
+def current_version(spark: SparkSession, log_dir: str) -> int:
+    """CHANGE_TRACKING_CURRENT_VERSION() analog (sqls/storedprocedure.sql:11-12):
+    the high watermark used to snapshot-bound a pull."""
+    row = read_changelog(spark, log_dir).agg(F.max("change_version")).first()
+    return row[0] or 0

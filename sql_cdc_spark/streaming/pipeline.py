@@ -1,0 +1,353 @@
+"""The CDC document pipeline — the reference's flagship
+``GET /api/invoices/changes`` flow (invoice-api/server.js:83-365,
+sqls/storedprocedure.sql:4-57) rebuilt two ways:
+
+1. ``pull_batch`` — the exact reference semantics: checkpointed,
+   resumable, multi-consumer incremental pull with a composite keyset
+   cursor, snapshot-bounded scan, inclusive re-read + dedup, bounded
+   ordered batch, per-document sink, advance-only-on-success.
+2. ``run_available_now`` — the idiomatic Spark shape: Structured
+   Streaming over the change log with foreachBatch + checkpointLocation;
+   offsets replace the hand-rolled cursor, idempotent (deterministically
+   named) document writes give effectively-exactly-once (T3).
+
+Both compose the same batch operators (sql_cdc_spark.operators.cdc /
+documents), so the relational core is written once.
+
+Scale stance: the document sink writes per-partition in parallel (the
+reference's sequential per-record loop, server.js:183-203, is the one
+thing deliberately NOT reproduced). On a cluster, out_dir must be a
+shared filesystem (S3/HDFS); the per-record JSON mode exists for parity,
+`df.write.json` partitioned-by-batch is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_cdc_spark.operators import cdc
+from sql_cdc_spark.operators.documents import assemble_documents, documents_to_json
+from sql_cdc_spark.streaming import changelog as cl
+from sql_cdc_spark.streaming.registry import SyncStateRegistry
+
+
+@dataclass
+class InvoiceModel:
+    """Maps the generic header/line document model onto concrete tables."""
+
+    header_key: str                 # header PK column, e.g. o_orderkey
+    line_key_expr: str              # SQL expr over lines yielding the line PK
+    line_parent_key: str            # FK on lines back to the header
+    header_cols: list[str]
+    line_cols: list[str]
+    line_order_col: str
+
+
+@dataclass
+class BatchResult:
+    consumer: str
+    from_version: int
+    to_version: int
+    processed: int
+    has_more: bool
+    last_version: int = 0
+    last_id: int = 0
+    stage_ms: dict[str, float] = field(default_factory=dict)
+    docs_per_second: float = 0.0
+
+
+def _changed_invoices(
+    changes: DataFrame, lines: DataFrame, model: InvoiceModel
+) -> DataFrame:
+    """(invoice_id, change_version, op) for every change row: header rows
+    pass through; line rows recover the invoice key by joining the base
+    line table on the line PK (sqls/storedprocedure.sql:14-26)."""
+    header_changes = changes.filter(F.col("table_name") == cl.HEADER_TABLE).select(
+        F.col("key_id").alias("invoice_id"), "change_version", "op"
+    )
+    line_changes = changes.filter(F.col("table_name") == cl.LINE_TABLE).select(
+        F.col("key_id").alias("line_id"), "change_version", "op"
+    )
+    lines_keyed = lines.select(
+        F.expr(model.line_key_expr).alias("line_id"),
+        F.col(model.line_parent_key).alias("invoice_id"),
+    )
+    recovered = line_changes.join(lines_keyed, "line_id", "inner").select(
+        "invoice_id", "change_version", "op"
+    )
+    return cdc.union_change_streams(header_changes, recovered)
+
+
+def _latest_with_op(changed: DataFrame) -> DataFrame:
+    """A1 carrying the op of the winning version: max(struct(version, op))
+    per invoice — one map-side-combining aggregation."""
+    return changed.groupBy("invoice_id").agg(
+        F.max(F.struct("change_version", "op")).alias("__m")
+    ).select("invoice_id", F.col("__m.change_version").alias("change_version"), F.col("__m.op").alias("op"))
+
+
+def _assemble(header: DataFrame, lines: DataFrame, latest: DataFrame, model: InvoiceModel) -> DataFrame:
+    """J2 + J4/A3: enrich changed keys against the header (broadcast the
+    small changed set) and nest the sorted line array; serialize to JSON
+    with the reference's filename scheme {invoice}_v{version}.json
+    (invoice-api/server.js:64-65 — timestamp dropped: determinism IS the
+    idempotency mechanism)."""
+    hdr = header.withColumnRenamed(model.header_key, "invoice_id").join(
+        F.broadcast(latest), "invoice_id", "inner"
+    )
+    docs = assemble_documents(
+        hdr,
+        lines,
+        key_col="invoice_id",
+        header_cols=["invoice_id", "change_version", "op"]
+        + [c for c in model.header_cols if c != model.header_key],
+        line_cols=model.line_cols,
+        line_order_col=model.line_order_col,
+        line_key_col=model.line_parent_key,
+    )
+    docs = documents_to_json(docs)
+    return docs.withColumn(
+        "doc_filename",
+        F.concat(
+            F.col("invoice_id").cast("string"),
+            F.lit("_v"),
+            F.col("change_version").cast("string"),
+            F.lit(".json"),
+        ),
+    )
+
+
+def write_documents(docs: DataFrame, out_dir: str) -> int:
+    """Per-record document sink, partition-parallel. Deterministic
+    filenames make re-writes idempotent (at-least-once delivery upgraded
+    to effectively-exactly-once, SURVEY.md §7 hard-part 1). Returns the
+    number of documents written."""
+    os.makedirs(out_dir, exist_ok=True)
+    payload = docs.select("doc_filename", "doc_json")
+
+    def _write_partition(rows):
+        n = 0
+        for r in rows:
+            tmp = os.path.join(out_dir, f".{r['doc_filename']}.tmp")
+            with open(tmp, "w") as f:
+                f.write(r["doc_json"])
+            os.replace(tmp, os.path.join(out_dir, r["doc_filename"]))
+            n += 1
+        yield n
+
+    # rdd.mapPartitions (not foreachPartition) so each partition can report
+    # its write count back for the advance-only-on-success guard
+    written = payload.rdd.mapPartitions(_write_partition).sum()
+    return int(written)
+
+
+def pull_batch(
+    spark: SparkSession,
+    log_dir: str,
+    consumer: str,
+    registry: SyncStateRegistry,
+    header: DataFrame,
+    lines: DataFrame,
+    model: InvoiceModel,
+    out_dir: str,
+    limit: int = 1000,
+    fail_sink: bool = False,
+) -> BatchResult:
+    """One checkpointed incremental pull (invoice-api/server.js:83-365):
+
+    1. read consumer cursor (auto-create)              server.js:100-125
+    2. snapshot watermark = current version            storedprocedure.sql:11-12
+    3. inclusive re-scan from last_sync_version        server.js:134
+    4. collapse to latest-per-invoice ≤ watermark      storedprocedure.sql:14-34
+    5. composite keyset filter (version, invoice)      server.js:165-168
+    6. bounded ordered batch                           storedprocedure.sql:35,56
+    7. assemble + write documents (idempotent names)   server.js:183-203
+    8. advance cursor only if sink succeeded           server.js:231-249
+
+    ``fail_sink`` injects a sink failure (for resume tests).
+    """
+    t0 = time.time()
+    stage_ms: dict[str, float] = {}
+
+    state = registry.read(consumer)
+    stage_ms["read_state"] = (time.time() - t0) * 1000
+
+    t1 = time.time()
+    to_version = cl.current_version(spark, log_dir)
+    changes = cl.read_changelog(spark, log_dir)
+    # inclusive re-read of the cursor version (ties may straddle a batch
+    # boundary), snapshot-bounded above
+    changes = changes.filter(
+        (F.col("change_version") >= state.last_sync_version)
+        & (F.col("change_version") <= to_version)
+    )
+    changed = _changed_invoices(changes, lines, model)
+    latest = _latest_with_op(changed)
+    # keyset filter on the COLLAPSED stream: strictly after the cursor
+    resumable = cdc.keyset_filter(
+        latest,
+        state.last_sync_version,
+        state.last_processed_id,
+        version_col="change_version",
+        key_col="invoice_id",
+    )
+    batch = cdc.bounded_ordered_batch(
+        resumable, limit, "change_version", "invoice_id"
+    )
+    docs = _assemble(header, lines, batch, model).cache()
+    rows = docs.select("invoice_id", "change_version").orderBy(
+        "change_version", "invoice_id"
+    ).collect()
+    stage_ms["query"] = (time.time() - t1) * 1000
+
+    processed = len(rows)
+    if processed == 0:
+        docs.unpersist()
+        return BatchResult(
+            consumer, state.last_sync_version, to_version, 0, False,
+            state.last_sync_version, state.last_processed_id, stage_ms,
+        )
+
+    t2 = time.time()
+    if fail_sink:
+        docs.unpersist()
+        raise OSError("injected sink failure")
+    written = write_documents(docs, out_dir)
+    stage_ms["sink"] = (time.time() - t2) * 1000
+
+    # advance to the LAST row of the version-ordered batch (server.js:235-249)
+    t3 = time.time()
+    last = rows[-1]
+    if written > 0:
+        registry.advance(consumer, last.change_version, last.invoice_id)
+    stage_ms["update_state"] = (time.time() - t3) * 1000
+    docs.unpersist()
+
+    total_s = time.time() - t0
+    return BatchResult(
+        consumer=consumer,
+        from_version=state.last_sync_version,
+        to_version=to_version,
+        processed=processed,
+        has_more=processed == limit,
+        last_version=last.change_version,
+        last_id=last.invoice_id,
+        stage_ms=stage_ms,
+        docs_per_second=processed / total_s if total_s > 0 else 0.0,
+    )
+
+
+def drain(
+    spark: SparkSession,
+    log_dir: str,
+    consumer: str,
+    registry: SyncStateRegistry,
+    header: DataFrame,
+    lines: DataFrame,
+    model: InvoiceModel,
+    out_dir: str,
+    limit: int = 1000,
+    max_batches: int = 1000,
+) -> list[BatchResult]:
+    """Drain-until-empty loop (invoice-api/consumer.js:34-37 'immediate
+    re-poll while hasMore') — the batch analog of trigger(availableNow)."""
+    results = []
+    for _ in range(max_batches):
+        res = pull_batch(
+            spark, log_dir, consumer, registry, header, lines, model, out_dir, limit
+        )
+        results.append(res)
+        if not res.has_more:
+            break
+    return results
+
+
+def run_available_now(
+    spark: SparkSession,
+    log_dir: str,
+    consumer: str,
+    header: DataFrame,
+    lines: DataFrame,
+    model: InvoiceModel,
+    out_dir: str,
+    checkpoint_root: str,
+    registry: SyncStateRegistry | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_s: int = 300,
+) -> dict:
+    """Structured Streaming form: readStream over the change log →
+    foreachBatch(collapse → enrich → nest → idempotent per-doc sink) with
+    one checkpointLocation per consumer name (T6: independent named
+    consumers = independent checkpoints; T7 reset = delete the dir).
+
+    trigger(availableNow=True) drains everything present then stops —
+    the reference's poll-until-hasMore loop, minus the hand-rolled cursor:
+    exact file-source offsets in the checkpoint replace (version, id).
+    """
+    stream = cl.read_changelog_stream(spark, log_dir, max_files_per_trigger)
+    metrics: dict = {"batches": 0, "documents": 0}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        changed = _changed_invoices(batch_df, lines, model)
+        latest = _latest_with_op(changed)
+        docs = _assemble(header, lines, latest, model)
+        n = write_documents(docs, out_dir)
+        metrics["batches"] += 1
+        metrics["documents"] += n
+        if registry is not None and n > 0:
+            row = latest.agg(
+                F.max(F.struct("change_version", "invoice_id")).alias("m")
+            ).first()
+            if row and row.m is not None:
+                registry.advance(consumer, row.m.change_version, row.m.invoice_id)
+
+    checkpoint = os.path.join(checkpoint_root, consumer)
+    query = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    progress = query.lastProgress
+    if progress:
+        metrics["last_progress"] = {
+            "inputRowsPerSecond": progress.get("inputRowsPerSecond"),
+            "numInputRows": progress.get("numInputRows"),
+        }
+    return metrics
+
+
+def reset_consumer(registry: SyncStateRegistry, checkpoint_root: str, consumer: str) -> None:
+    """T7: rewind a named consumer to the beginning — registry row back to
+    (0,0) and the streaming checkpoint removed (server.js:424-451)."""
+    import shutil
+
+    registry.reset(consumer)
+    chk = os.path.join(checkpoint_root, consumer)
+    if os.path.exists(chk):
+        shutil.rmtree(chk)
+
+
+def list_documents(spark: SparkSession, out_dir: str) -> DataFrame:
+    """S7: document-directory listing source — path/size/mtime newest
+    first (invoice-api/server.js:368-398), via the binaryFile reader."""
+    return (
+        spark.read.format("binaryFile")
+        .load(out_dir)
+        .filter(F.col("path").endswith(".json"))
+        .select("path", F.col("length").alias("size_bytes"), "modificationTime")
+        .orderBy(F.col("modificationTime").desc(), F.col("path"))
+    )
+
+
+def read_document(out_dir: str, filename: str) -> dict:
+    """S8: single-document reader (invoice-api/server.js:401-421)."""
+    with open(os.path.join(out_dir, filename)) as f:
+        return json.load(f)

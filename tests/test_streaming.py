@@ -1,0 +1,242 @@
+"""CDC pipeline tests (SURVEY.md §5 items 2-3): end-to-end document
+emission vs a dedup-join-nest oracle, resume after failure, no-loss/no-dup
+across arbitrary batch boundaries, multi-consumer independence, reset,
+and the Structured Streaming availableNow runner."""
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
+from sql_cdc_spark.streaming import changelog as cl
+from sql_cdc_spark.streaming import pipeline as pl
+from sql_cdc_spark.streaming.registry import SyncStateRegistry
+from tests.conftest import SF_DIR_SMALL
+
+MODEL = pl.InvoiceModel(
+    header_key="o_orderkey",
+    line_key_expr="l_orderkey * 8 + l_linenumber",
+    line_parent_key="l_orderkey",
+    header_cols=["o_custkey", "o_totalprice"],
+    line_cols=["l_linenumber", "l_quantity", "l_extendedprice"],
+    line_order_col="l_linenumber",
+)
+
+
+@pytest.fixture()
+def base(spark):
+    header = tables.load(spark, SF_DIR_SMALL, "orders")
+    lines = tables.load(spark, SF_DIR_SMALL, "lineitem")
+    return header, lines
+
+
+def _gen_changes(spark, tmp_path, n_rounds=3, keys=range(0, 40), seed=7):
+    """Change log with header changes, line changes, repeats (multiple
+    versions per key), and tie batches."""
+    w = cl.ChangeLogWriter(spark, str(tmp_path / "changelog"), seed=seed)
+    rng = random.Random(seed)
+    expected_latest = {}  # invoice -> version
+    for _ in range(n_rounds):
+        rows = []
+        for k in keys:
+            if rng.random() < 0.5:
+                rows.append((cl.HEADER_TABLE, k, rng.choice("IU")))
+            if rng.random() < 0.5:
+                ln = rng.randint(1, 7)
+                rows.append((cl.LINE_TABLE, k * 8 + ln, "U"))
+        rng.shuffle(rows)
+        w.append(rows)
+        # tie batch: several invoices share one version
+        tie_keys = rng.sample(list(keys), 5)
+        w.append_with_ties([(cl.HEADER_TABLE, k, "U") for k in tie_keys])
+    return w
+
+
+def _oracle_latest(spark, log_dir, lines):
+    """Brute-force oracle: latest (version, op) per invoice from the raw
+    log, with line changes mapped through the base line table."""
+    changes = cl.read_changelog(spark, log_dir)
+    changed = pl._changed_invoices(changes, lines, MODEL)
+    rows = changed.collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r.invoice_id)
+        if cur is None or (r.change_version, r.op) > cur:
+            latest[r.invoice_id] = (r.change_version, r.op)
+    return latest
+
+
+def test_pull_batch_matches_oracle(spark, base, tmp_path):
+    header, lines = base
+    w = _gen_changes(spark, tmp_path)
+    out_dir = str(tmp_path / "docs")
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+
+    results = pl.drain(
+        spark, w.log_dir, "c1", reg, header, lines, MODEL, out_dir, limit=10
+    )
+    assert results[-1].has_more is False
+
+    oracle = _oracle_latest(spark, w.log_dir, lines)
+    # only invoices present in the header base table are emitted (inner join)
+    present = {
+        r.o_orderkey for r in header.select("o_orderkey").collect()
+    }
+    expected = {k: v for k, v in oracle.items() if k in present}
+
+    files = [f for f in os.listdir(out_dir) if f.endswith(".json")]
+    emitted = {}
+    for f in files:
+        inv, ver = f[:-5].split("_v")
+        emitted[int(inv)] = int(ver)
+    assert emitted == {k: v for k, (v, _op) in expected.items()}
+
+    # document content: nested lines sorted by line number, valid JSON
+    doc = pl.read_document(out_dir, files[0])
+    assert {"invoice_id", "change_version", "op", "lines"} <= doc.keys()
+    lns = [l["l_linenumber"] for l in doc["lines"]]
+    assert lns == sorted(lns)
+
+
+def test_no_loss_no_dup_across_batch_boundaries(spark, base, tmp_path):
+    """Property (T4): any batch-size sequence delivers each changed invoice
+    exactly once, including under version ties straddling boundaries."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=2, keys=range(0, 30), seed=11)
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    out_dir = str(tmp_path / "docs")
+
+    seen = []
+    rng = random.Random(3)
+    while True:
+        limit = rng.choice([1, 2, 3, 7])
+        res = pl.pull_batch(
+            spark, w.log_dir, "c", reg, header, lines, MODEL, out_dir, limit=limit
+        )
+        files = {f for f in os.listdir(out_dir)}
+        seen.append((res.processed, res.last_version, res.last_id))
+        if not res.has_more and res.processed < limit:
+            break
+
+    oracle = _oracle_latest(spark, w.log_dir, lines)
+    present = {r.o_orderkey for r in header.select("o_orderkey").collect()}
+    expected_n = len([k for k in oracle if k in present])
+    total = sum(p for p, _, _ in seen)
+    assert total == expected_n, f"delivered {total}, expected {expected_n}"
+    # cursor monotonicity
+    cursors = [(v, i) for _, v, i in seen]
+    assert cursors == sorted(cursors)
+
+
+def test_resume_after_sink_failure(spark, base, tmp_path):
+    """T3: injected sink failure must NOT advance the cursor; the retry
+    delivers the same batch (idempotent filenames absorb any re-writes)."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=1, keys=range(0, 10), seed=5)
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    out_dir = str(tmp_path / "docs")
+
+    before = reg.read("c")
+    with pytest.raises(OSError):
+        pl.pull_batch(
+            spark, w.log_dir, "c", reg, header, lines, MODEL, out_dir,
+            limit=5, fail_sink=True,
+        )
+    after_fail = reg.read("c")
+    assert (after_fail.last_sync_version, after_fail.last_processed_id) == (
+        before.last_sync_version,
+        before.last_processed_id,
+    )
+    assert not os.path.exists(out_dir) or not os.listdir(out_dir)
+
+    res = pl.pull_batch(
+        spark, w.log_dir, "c", reg, header, lines, MODEL, out_dir, limit=5
+    )
+    assert res.processed > 0
+    after = reg.read("c")
+    assert (after.last_sync_version, after.last_processed_id) == (
+        res.last_version,
+        res.last_id,
+    )
+
+
+def test_multi_consumer_independence_and_reset(spark, base, tmp_path):
+    """T6/T7: named consumers have independent cursors; reset rewinds one
+    without touching the other."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=1, keys=range(0, 10), seed=9)
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+
+    pl.drain(spark, w.log_dir, "a", reg, header, lines, MODEL, str(tmp_path / "da"), limit=100)
+    a1 = reg.read("a")
+    b0 = reg.read("b")  # auto-created at 0
+    assert a1.last_sync_version > 0 and b0.last_sync_version == 0
+
+    pl.drain(spark, w.log_dir, "b", reg, header, lines, MODEL, str(tmp_path / "db"), limit=100)
+    assert reg.read("b").last_sync_version == a1.last_sync_version
+
+    pl.reset_consumer(reg, str(tmp_path / "chk"), "a")
+    assert reg.read("a").last_sync_version == 0
+    assert reg.read("b").last_sync_version == a1.last_sync_version
+
+    # rewind without reset is refused
+    with pytest.raises(ValueError):
+        reg.advance("b", 0, 0)
+
+
+def test_empty_pull_does_not_advance(spark, base, tmp_path):
+    header, lines = base
+    w = cl.ChangeLogWriter(spark, str(tmp_path / "changelog"))
+    w.append([(cl.HEADER_TABLE, 1, "I")])
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    out = str(tmp_path / "docs")
+    r1 = pl.pull_batch(spark, w.log_dir, "c", reg, header, lines, MODEL, out, limit=10)
+    assert r1.processed == 1
+    r2 = pl.pull_batch(spark, w.log_dir, "c", reg, header, lines, MODEL, out, limit=10)
+    assert r2.processed == 0 and r2.has_more is False
+    assert reg.read("c").last_sync_version == r1.last_version
+
+
+def test_streaming_available_now_and_incremental_resume(spark, base, tmp_path):
+    """Structured Streaming runner: first drain processes everything; a
+    second run with the same checkpoint only sees newly appended files."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=1, keys=range(0, 15), seed=13)
+    out_dir = str(tmp_path / "docs")
+    chk = str(tmp_path / "chk")
+
+    m1 = pl.run_available_now(
+        spark, w.log_dir, "s1", header, lines, MODEL, out_dir, chk
+    )
+    assert m1["documents"] > 0
+    n_files_1 = len(os.listdir(out_dir))
+
+    # no new data -> no new documents
+    m2 = pl.run_available_now(
+        spark, w.log_dir, "s1", header, lines, MODEL, out_dir, chk
+    )
+    assert m2["documents"] == 0
+
+    # append a change for a fresh key; only it is processed
+    w.append([(cl.HEADER_TABLE, 55, "U")])
+    m3 = pl.run_available_now(
+        spark, w.log_dir, "s1", header, lines, MODEL, out_dir, chk
+    )
+    assert m3["documents"] == 1
+    assert len(os.listdir(out_dir)) == n_files_1 + 1
+
+
+def test_document_listing_source(spark, base, tmp_path):
+    """S7: binaryFile listing of the sink directory, newest first."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=1, keys=range(0, 8), seed=21)
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    out = str(tmp_path / "docs")
+    pl.drain(spark, w.log_dir, "c", reg, header, lines, MODEL, out, limit=100)
+    listing = pl.list_documents(spark, out)
+    rows = listing.collect()
+    assert len(rows) == len(os.listdir(out))
+    assert all(r.size_bytes > 0 for r in rows)
