@@ -1,0 +1,231 @@
+"""Near-duplicate detection for LLM training data: exact (hash groupBy),
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Everything is built-in-function column algebra (no Python UDFs) with
+integer arithmetic chosen to be overflow-safe and bit-identical in DuckDB,
+so each stage is oracle-gated.
+
+Scale notes (100 TB corpus):
+- exact dedup: one groupBy on a 128-bit digest — map-side combine, one
+  shuffle of (digest, min_id, count).
+- MinHash/LSH: shingle explode is the big intermediate (|docs| × |doc
+  shingles|); signatures reduce it to k ints per doc, and the band join
+  shuffles only (band_key → doc_id) pairs. Never materializes all-pairs.
+- SimHash: one 64-int signature per doc; candidate pairs via banding the
+  signature halves (multi-probe extends recall); verification is xor +
+  bit_count — pure integer codegen.
+- n-gram Jaccard verification only runs on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_cdc_spark.functions.text import fingerprint, normalize_text, tokens
+
+# MinHash parameters — shared constants for the Spark and DuckDB sides.
+MINHASH_MOD = 1_000_003          # prime; keeps a*h+b within int64
+MINHASH_PARAMS = [(2, 1), (3, 7), (5, 13), (7, 31), (11, 101), (13, 257), (17, 991), (19, 1203)]
+MINHASH_K = len(MINHASH_PARAMS)
+LSH_BAND_ROWS = 2                # 4 bands × 2 rows
+
+SIMHASH_BITS = 32
+
+
+def portable_hash_mod(col: Column, mod: int = MINHASH_MOD) -> Column:
+    """60-bit md5-prefix hash reduced mod a small prime — identical
+    integer result in Spark and DuckDB (see functions_q.portable_hash60)."""
+    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return h % mod
+
+
+def shingles(text_col: Column, k: int = 3) -> Column:
+    """k-token shingles of the normalized text (array of strings).
+    Documents shorter than k tokens yield their full token string."""
+    toks = tokens(normalize_text(text_col))
+    n = F.size(toks)
+    full = F.array(F.concat_ws(" ", toks))
+    sh = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, sh).otherwise(full)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the normalized-text digest: one row per distinct
+    content with canonical (min) id and duplicate count."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) exploded-distinct — the shared input of MinHash
+    and Jaccard verification."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """k-permutation MinHash signature per document: h_i = min over
+    shingles of (a_i * H + b_i) mod P, H = portable hash of the shingle.
+    One groupBy with k min-aggregates — map-side combined."""
+    h = portable_hash_mod(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_MOD).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (bands of LSH_BAND_ROWS rows) and emit distinct
+    candidate pairs (a < b) sharing any band. The join key is
+    (band_index, band_value-string): only same-bucket docs ever meet."""
+    n_bands = MINHASH_K // LSH_BAND_ROWS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{bi * LSH_BAND_ROWS + r}").cast("string")
+                        for r in range(LSH_BAND_ROWS)
+                    ],
+                ).alias("bval"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bval").alias("bval"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    candidates: DataFrame | None = None,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs. With ``candidates`` given,
+    only verifies those (the LSH path — linear-ish work); without, blocks
+    on shared shingles (still avoids the full cross join: pairs sharing
+    zero shingles are never generated)."""
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "inner")
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SIMHASH_BITS-bit SimHash per document from token counts: bit b is
+    the sign of Σ_tokens count · (2·bit_b(hash(token)) − 1). All-integer
+    arithmetic — exact cross-engine parity, no float knife edges."""
+    tok = (
+        docs.select(F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(
+            F.col("cnt") * (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*bit_sums)
+    sim = sum(
+        (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ),
+        start=F.lit(0),
+    )
+    return per_doc.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on signature
+    halves (a pair within hamming ≤ 6 usually agrees on one 16-bit half;
+    full recall needs more bands — documented tradeoff). Verification is
+    xor + bit_count, pure integer codegen."""
+    half_lo = F.col("simhash").bitwiseAND(F.lit((1 << 16) - 1))
+    half_hi = F.shiftright(F.col("simhash"), 16).bitwiseAND(F.lit((1 << 16) - 1))
+    blocked = sims.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("half"), half_lo.alias("key")),
+                F.struct(F.lit(1).alias("half"), half_hi.alias("key")),
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.half").alias("half"), F.col("b.key").alias("key"))
+    l, r = blocked.alias("l"), blocked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.half") == F.col("r.half"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,108 @@
+"""Text-analysis functions for LLM training-data pipelines: tokenization,
+normalization, fingerprinting, quality scoring, language ID.
+
+All column expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs in any hot path, so these run at
+scan speed over a 100 TB documents table. Every function has an exact
+DuckDB-SQL twin (same operations, same constants) used by the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# marker words per language for the n-gram/stopword language-ID heuristic;
+# ordered dict — CASE evaluation order is the deterministic tie-break
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " die ", " und "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " los ", " y "],
+    "zh": [" de ", " shi ", " le "],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (the BPE-ish regex split baseline)."""
+    return F.split(F.trim(col), TOKEN_RE)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for near-dup detection: lowercase + collapse runs of
+    whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text —
+    the exact-dedup key. (Content-defined rolling-hash chunking would sit
+    here for partial-dup detection; md5-of-normalized is the whole-doc
+    variant.)"""
+    return F.md5(normalize_text(col))
+
+
+def occurrence_count(col: Column, needle: str) -> Column:
+    """Count non-overlapping occurrences of a literal via the
+    length-difference trick — identical semantics in Spark and DuckDB
+    (regexp_count implementations differ on overlaps; this does not)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality score in [0,1]: blends token count (length
+    prior), mean token length, and stopword ratio. Deterministic scalar
+    arithmetic — same expression tree as the DuckDB twin."""
+    n_tok = token_count(col).cast("double")
+    n_char = F.length(col).cast("double")
+    mean_tok_len = (n_char - n_tok + 1) / n_tok  # chars excl. single spaces
+    stop_hits = (
+        occurrence_count(F.concat(F.lit(" "), F.lower(col), F.lit(" ")), " the ")
+        + occurrence_count(F.concat(F.lit(" "), F.lower(col), F.lit(" ")), " a ")
+    ).cast("double")
+    stop_ratio = stop_hits / n_tok
+    length_component = F.least(n_tok / 100.0, F.lit(1.0))
+    toklen_component = F.least(mean_tok_len / 8.0, F.lit(1.0))
+    stop_component = F.least(stop_ratio * 5.0, F.lit(1.0))
+    return F.round(
+        0.4 * length_component + 0.3 * toklen_component + 0.3 * stop_component, 6
+    )
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the padded lowercase text."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return {
+        lang: sum(
+            (occurrence_count(padded, m) for m in markers), start=F.lit(0)
+        ).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def language_id(col: Column) -> Column:
+    """Deterministic argmax over language scores; first language in
+    LANG_MARKERS order wins ties (mirrors the CASE chain in the oracle)."""
+    scores = language_scores(col)
+    langs = list(scores)
+    expr = F.lit(langs[-1])
+    # build CASE from the back so earlier languages take precedence
+    for lang in reversed(langs[:-1]):
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly greater than later langs, >= than earlier handled by order
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr

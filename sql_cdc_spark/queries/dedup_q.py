@@ -1,5 +1,251 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries over the documents table (north-star extension):
+exact, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine. Oracle SQL
+is generated from the same constants as the Spark side (hash params,
+band layout, bit widths) so both engines compute identical integers.
+"""
 
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
+from sql_cdc_spark.functions import dedup as DD
+from sql_cdc_spark.functions import similarity as SIM
 from sql_cdc_spark.queries import QueryEntry
+from sql_cdc_spark.queries.text_q import _NORM_SQL
 
-QUERIES: dict[str, QueryEntry] = {}
+JACCARD_THRESHOLD = 0.1
+NEAR_DUP_THRESHOLD = 0.5
+EMB_DUP_THRESHOLD = 0.4
+SIMHASH_MAX_HAMMING = 2
+
+# ---- shared DuckDB CTE fragments (generated from the shared constants) ----
+
+_SHINGLES_CTE = rf"""
+toks AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM toks
+)
+"""
+
+_HASH_SQL = "CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {mod}".format(
+    mod=DD.MINHASH_MOD
+)
+
+_SIG_COLS = ", ".join(
+    f"MIN(({a} * ({_HASH_SQL}) + {b}) % {DD.MINHASH_MOD}) AS mh{i}"
+    for i, (a, b) in enumerate(DD.MINHASH_PARAMS)
+)
+
+_SIGS_CTE = f"sigs AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id)"
+
+_N_BANDS = DD.MINHASH_K // DD.LSH_BAND_ROWS
+_BANDED_CTE = "banded AS (\n  " + "\n  UNION ALL ".join(
+    f"SELECT doc_id, {bi} AS band, "
+    + " || '_' || ".join(
+        f"CAST(mh{bi * DD.LSH_BAND_ROWS + r} AS VARCHAR)"
+        for r in range(DD.LSH_BAND_ROWS)
+    )
+    + " AS bval FROM sigs"
+    for bi in range(_N_BANDS)
+) + "\n)"
+
+_CANDIDATES_CTE = """
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+)
+"""
+
+_JACCARD_CTE = """
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         ROUND(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+"""
+
+
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-of-normalized-text digest → canonical id + copy
+    count. One map-side-combined groupBy — the 100 TB baseline dedup."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return DD.exact_duplicates(docs)
+
+
+_EXACT_SQL = f"""
+SELECT md5({_NORM_SQL}) AS digest, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8 permutations over 3-token shingles):
+    |docs| × k ints — the linear-size sketch replacing all-pairs work."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return DD.minhash_signatures(DD.doc_shingles(docs))
+
+
+_MINHASH_SQL = f"WITH {_SHINGLES_CTE}, {_SIGS_CTE} SELECT * FROM sigs"
+
+
+def dd_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows): candidate pairs sharing any band.
+    The quadratic pair space never materializes — only same-bucket pairs."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(DD.doc_shingles(docs))
+    return DD.lsh_candidate_pairs(sigs)
+
+
+_LSH_SQL = f"WITH {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE} SELECT id_a, id_b FROM cands"
+
+
+def dd_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: LSH candidates verified by
+    exact shingle Jaccard ≥ 0.5 — sketch for recall, exact check for
+    precision."""
+    docs = tables.load(spark, sf_dir, "documents")
+    shingled = DD.doc_shingles(docs)
+    cands = DD.lsh_candidate_pairs(DD.minhash_signatures(shingled))
+    return DD.jaccard_pairs(shingled, cands, threshold=NEAR_DUP_THRESHOLD)
+
+
+_NEAR_DUP_SQL = f"""
+WITH {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE}
+SELECT j.id_a, j.id_b, j.jaccard
+FROM jac j JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.1, blocked on shared shingles (pairs
+    with zero overlap are never generated — the no-LSH exact variant)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return DD.jaccard_pairs(DD.doc_shingles(docs), threshold=JACCARD_THRESHOLD)
+
+
+_JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE}, {_JACCARD_CTE}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+# ---- SimHash ----
+
+_TOK_CTE = rf"""
+tokc AS (
+  SELECT doc_id, tk, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split_regex({_NORM_SQL}, '\s+')) AS tk
+    FROM documents
+  ) GROUP BY doc_id, tk
+),
+hashed AS (
+  SELECT doc_id, cnt,
+         CAST(('0x' || substring(md5(tk), 1, 15)) AS BIGINT) AS hv
+  FROM tokc
+)
+"""
+
+_BIT_SUMS = ", ".join(
+    f"SUM(cnt * (((hv >> {b}) & 1) * 2 - 1)) AS s{b}" for b in range(DD.SIMHASH_BITS)
+)
+_SIM_EXPR = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(DD.SIMHASH_BITS)
+)
+_SIMS_CTE = f"""
+per AS (SELECT doc_id, {_BIT_SUMS} FROM hashed GROUP BY doc_id),
+sims AS (SELECT doc_id, CAST({_SIM_EXPR} AS BIGINT) AS simhash FROM per)
+"""
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (token-count weighted, all-integer)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return DD.simhash(docs)
+
+
+_SIMHASH_SQL = f"WITH {_TOK_CTE}, {_SIMS_CTE} SELECT doc_id, simhash FROM sims"
+
+
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit signature halves, verify
+    hamming ≤ 2 via xor + bit_count (pure integer codegen)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return DD.simhash_pairs(DD.simhash(docs), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH {_TOK_CTE}, {_SIMS_CTE},
+blocked AS (
+  SELECT doc_id, simhash, 0 AS half, simhash & 65535 AS key FROM sims
+  UNION ALL
+  SELECT doc_id, simhash, 1, (simhash >> 16) & 65535 FROM sims
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+  FROM blocked l JOIN blocked r
+    ON l.half = r.half AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def dd_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ 0.4. Demonstrates the exact
+    all-pairs verification; at corpus scale the LSH-bucketed variant
+    (sim_lsh_buckets) prunes the pair space first."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    e = SIM.as_double_array(F.col("embedding"))
+    v = emb.select(F.col("vec_id"), e.alias("e"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            SIM.cosine(F.col("a.e"), F.col("b.e")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+    )
+
+
+_EMB_DUP_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+           AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= {EMB_DUP_THRESHOLD}
+"""
+
+QUERIES: dict[str, QueryEntry] = {
+    "dd_exact": QueryEntry(dd_exact, _EXACT_SQL),
+    "dd_minhash_signatures": QueryEntry(dd_minhash_signatures, _MINHASH_SQL),
+    "dd_lsh_candidate_pairs": QueryEntry(dd_lsh_candidate_pairs, _LSH_SQL),
+    "dd_near_dup_pairs": QueryEntry(dd_near_dup_pairs, _NEAR_DUP_SQL),
+    "dd_jaccard_pairs": QueryEntry(dd_jaccard_pairs, _JACCARD_PAIRS_SQL),
+    "dd_simhash": QueryEntry(dd_simhash, _SIMHASH_SQL),
+    "dd_simhash_pairs": QueryEntry(dd_simhash_pairs, _SIMHASH_PAIRS_SQL),
+    "dd_embedding_dup_pairs": QueryEntry(dd_embedding_dup_pairs, _EMB_DUP_SQL),
+}

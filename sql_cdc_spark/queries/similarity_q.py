@@ -1,5 +1,120 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over the embeddings table (north-star
+extension): brute-force cosine top-k (the exact baseline) and the
+LSH-bucketed scale path.
+"""
 
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
+from sql_cdc_spark.functions import similarity as SIM
 from sql_cdc_spark.queries import QueryEntry
 
-QUERIES: dict[str, QueryEntry] = {}
+QUERY_VEC_ID = 0
+TOP_K = 10
+LSH_BITS = 8
+DIM = 64
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the query vector (vec_id=0):
+    broadcast 1-row query → scan → TakeOrderedAndProject. The exact-recall
+    baseline every ANN variant is measured against."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding")
+    return SIM.topk_cosine(emb, query, k=TOP_K)
+
+
+_TOPK_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID})
+SELECT v.vec_id,
+       ROUND(list_dot_product(v.e, q.qe)
+             / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6)
+         AS cos_sim
+FROM v, q
+ORDER BY cos_sim DESC, v.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucket per vector (8 deterministic
+    Knuth-hash hyperplanes → 256 buckets). At corpus scale, ANN search
+    probes only the query's bucket (+ neighbors for recall) instead of
+    scanning all vectors; all-pairs similarity joins become per-bucket."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        SIM.lsh_bucket(F.col("embedding"), n_bits=LSH_BITS, dim=DIM)
+        .cast("int")
+        .alias("bucket"),
+    )
+
+
+def _lsh_sql() -> str:
+    # same Knuth-multiplicative hyperplane weights as functions/similarity.py
+    bit_terms = []
+    for i in range(LSH_BITS):
+        weights = (
+            f"list_transform(range(0, {DIM}), "
+            f"d -> (((1 + {i * DIM} + d) * 2654435761) % 2147483648) / 2147483648.0 - 0.5)"
+        )
+        bit_terms.append(
+            f"CASE WHEN list_dot_product(e, {weights}) > 0 THEN {1 << i} ELSE 0 END"
+        )
+    expr = " + ".join(bit_terms)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id, CAST({expr} AS INTEGER) AS bucket FROM v
+"""
+
+
+def sim_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: restrict the scan to the query's LSH bucket, then exact
+    cosine within it — the IVF/LSH-probe shape. Recall vs the brute-force
+    baseline is property-tested in tests/test_llm_ops.py."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        SIM.lsh_bucket(F.col("embedding"), n_bits=LSH_BITS, dim=DIM).alias("bucket"),
+    )
+    qrow = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("__qvec"), F.col("bucket").alias("__qbucket")
+    )
+    a = SIM.as_double_array(F.col("embedding"))
+    b = SIM.as_double_array(F.col("__qvec"))
+    return (
+        bucketed.join(F.broadcast(qrow), F.col("bucket") == F.col("__qbucket"))
+        .select("vec_id", SIM.cosine(a, b).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def _bucketed_topk_sql() -> str:
+    lsh = _lsh_sql().strip()
+    # reuse the bucket expression as a CTE
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS ({lsh.replace('WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)', '')} ),
+vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
+q AS (SELECT e AS qe, bucket AS qb FROM vb WHERE vec_id = {QUERY_VEC_ID})
+SELECT vb.vec_id,
+       ROUND(list_dot_product(vb.e, q.qe)
+             / (sqrt(list_dot_product(vb.e, vb.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6)
+         AS cos_sim
+FROM vb, q WHERE vb.bucket = q.qb
+ORDER BY cos_sim DESC, vb.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+QUERIES: dict[str, QueryEntry] = {
+    "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
+    "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),
+    "sim_bucketed_topk": QueryEntry(sim_bucketed_topk, _bucketed_topk_sql()),
+}

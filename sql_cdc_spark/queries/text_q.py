@@ -1,5 +1,115 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries over the documents table (north-star extension:
+token counting, fingerprinting, quality scoring, language ID). Oracle SQL
+is GENERATED from the same constants as the Spark expressions so the two
+sides cannot drift.
+"""
 
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
+from sql_cdc_spark.functions import text as TX
 from sql_cdc_spark.queries import QueryEntry
 
-QUERIES: dict[str, QueryEntry] = {}
+# DuckDB fragments mirroring functions/text.py
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_TOKS_SQL = rf"string_split_regex(trim(text), '\s+')"
+
+
+def _occ_sql(padded: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{n}', ''))) / {len(needle)} AS INTEGER)"
+    )
+
+
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count + char count + md5 fingerprint per document — all
+    scan-speed column algebra (no UDFs)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+    )
+
+
+_TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       CAST(len({_TOKS_SQL}) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       md5({_NORM_SQL}) AS fingerprint
+FROM documents
+"""
+
+
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length prior + mean token length +
+    stopword ratio) — the filter stage of a training-data pipeline."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_PADDED = "(' ' || lower(text) || ' ')"
+_QUALITY_SQL = rf"""
+SELECT doc_id,
+  ROUND(
+    0.4 * LEAST(CAST(len({_TOKS_SQL}) AS DOUBLE) / 100.0, 1.0)
+  + 0.3 * LEAST(((CAST(length(text) AS DOUBLE) - len({_TOKS_SQL}) + 1) / len({_TOKS_SQL})) / 8.0, 1.0)
+  + 0.3 * LEAST(CAST({_occ_sql(_PADDED, ' the ')} + {_occ_sql(_PADDED, ' a ')} AS DOUBLE)
+                / len({_TOKS_SQL}) * 5.0, 1.0), 6) AS quality
+FROM documents
+"""
+
+
+def txt_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with per-language scores — deterministic
+    argmax (first language in marker order wins ties)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    scores = TX.language_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[c.cast("int").alias(f"score_{lang}") for lang, c in scores.items()],
+        TX.language_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _language_sql() -> str:
+    langs = list(TX.LANG_MARKERS)
+    score_exprs = {
+        lang: " + ".join(_occ_sql(_PADDED, m) for m in TX.LANG_MARKERS[lang])
+        for lang in langs
+    }
+    score_cols = ",\n       ".join(
+        f"CAST({e} AS INTEGER) AS score_{lang}" for lang, e in score_exprs.items()
+    )
+    whens = []
+    for lang in langs[:-1]:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in langs if other != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+    return f"""
+SELECT doc_id, lang, score_en, score_de, score_fr, score_es, score_zh,
+       {case} AS lang_pred
+FROM (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM documents
+)
+"""
+
+
+QUERIES: dict[str, QueryEntry] = {
+    "txt_token_stats": QueryEntry(txt_token_stats, _TOKEN_STATS_SQL),
+    "txt_quality_score": QueryEntry(txt_quality_score, _QUALITY_SQL),
+    "txt_language_id": QueryEntry(txt_language_id, _language_sql()),
+}
