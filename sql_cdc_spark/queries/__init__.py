@@ -26,10 +26,19 @@ class QueryEntry(NamedTuple):
 def _registry() -> dict[str, QueryEntry]:
     # imports deferred so `import sql_cdc_spark.queries` stays cheap and a
     # syntax error in one domain module is easy to localize
-    from . import cdc_q, dedup_q, functions_q, relational_q, similarity_q, text_q, windows_q
+    from . import (
+        cdc_q,
+        dedup_q,
+        events_q,
+        functions_q,
+        relational_q,
+        similarity_q,
+        text_q,
+        windows_q,
+    )
 
     reg: dict[str, QueryEntry] = {}
-    for mod in (cdc_q, relational_q, functions_q, windows_q, text_q, dedup_q, similarity_q):
+    for mod in (cdc_q, relational_q, functions_q, windows_q, events_q, text_q, dedup_q, similarity_q):
         overlap = reg.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,253 @@
+"""Event-time window queries over the events stream table — the streaming
+semantics the reference lacks (SURVEY.md §2.9 note: its only time notion is
+the version counter). Batch forms here are oracle-gated; the same windows
+run in Structured Streaming with watermarks in sql_cdc_spark/streaming/.
+
+Window math notes:
+- tumbling/sliding starts are epoch-aligned exactly like F.window's
+  (start ≡ 0 mod slide), so the DuckDB oracle reproduces them with integer
+  microsecond arithmetic — no float epoch.
+- session windows follow F.session_window semantics: events within GAP of
+  the previous event merge; window end = last event + GAP.
+- value sums are rounded to 2dp so cross-engine double summation order
+  cannot flip the comparator's 6dp value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_cdc_spark import tables
+from sql_cdc_spark.queries import QueryEntry
+
+TUMBLE = "1 hour"
+SLIDE_SIZE = "1 hour"
+SLIDE_STEP = "30 minutes"
+SESSION_GAP = "30 minutes"
+
+_HOUR_US = 3_600_000_000
+_HALF_HOUR_US = 1_800_000_000
+_DAY_US = 86_400_000_000
+# integer-microsecond day floor — DuckDB's date_trunc('day', …) stringifies
+# differently from Spark's window start, so oracles use the same arithmetic
+_DAY_FLOOR_SQL = f"make_timestamp(epoch_us(ts) // {_DAY_US} * {_DAY_US})"
+
+
+def evt_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows × event_type: count + rounded
+    value sum. One shuffle on (window, event_type); partial aggregation
+    map-side. The batch twin of the streaming watermarked rollup."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_TUMBLING_SQL = f"""
+SELECT make_timestamp(epoch_us(ts) // {_HOUR_US} * {_HOUR_US}) AS window_start,
+       make_timestamp(epoch_us(ts) // {_HOUR_US} * {_HOUR_US} + {_HOUR_US}) AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def evt_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min step): every event lands in exactly
+    size/step = 2 windows. Spark expands rows internally; the oracle
+    reproduces the expansion with an explicit 2-way union."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", SLIDE_SIZE, SLIDE_STEP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+_SLIDING_SQL = f"""
+WITH starts AS (
+  SELECT value,
+         epoch_us(ts) // {_HALF_HOUR_US} * {_HALF_HOUR_US} AS s_us
+  FROM events
+  UNION ALL
+  SELECT value,
+         epoch_us(ts) // {_HALF_HOUR_US} * {_HALF_HOUR_US} - {_HALF_HOUR_US}
+  FROM events
+)
+SELECT make_timestamp(s_us) AS window_start,
+       make_timestamp(s_us + {_HOUR_US}) AS window_end,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value
+FROM starts
+GROUP BY 1, 2
+"""
+
+
+def evt_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-min inactivity gap via the native
+    F.session_window (state-merging agg, also valid under readStream).
+    End = last event + gap, matching streaming semantics."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def evt_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling rollup per user with distinct-type count — the
+    dashboard-feeding aggregate (coarser windows → fewer groups; the shape
+    that rolls up a 100 TB raw stream into a queryable cube)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            "user_id",
+            "n_events",
+            "n_types",
+            "day_value",
+        )
+    )
+
+
+_DAILY_SQL = f"""
+SELECT {_DAY_FLOOR_SQL} AS day_start,
+       user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       ROUND(SUM(value), 2) AS day_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def evt_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics in batch form: drop events older than
+    (max event time − 7 days), then window — exactly what
+    withWatermark('ts','7 days') admits at end-of-stream. The oracle
+    reproduces the high-watermark with a scalar subquery."""
+    ev = tables.load(spark, sf_dir, "events")
+    hw = ev.agg(F.max("ts").alias("hw"))
+    kept = ev.join(F.broadcast(hw)).filter(
+        F.col("ts") >= F.col("hw") - F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        kept.groupBy(F.window("ts", TUMBLE).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+_LATE_FILTER_SQL = f"""
+SELECT make_timestamp(epoch_us(ts) // {_HOUR_US} * {_HOUR_US}) AS window_start,
+       COUNT(*) AS n_events
+FROM events
+WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+GROUP BY 1
+"""
+
+
+def evt_top_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: daily tumbling window → per-day activity ranking →
+    top-3 users (rank over the window aggregate, dense ties broken on
+    user_id)."""
+    ev = tables.load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.window("ts", "1 day")["start"].alias("day_start"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("day_start").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("day_start", "user_id", "n_events", "rnk")
+    )
+
+
+_TOP_USERS_SQL = f"""
+WITH daily AS (
+  SELECT {_DAY_FLOOR_SQL} AS day_start, user_id, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT day_start, user_id, n_events, rnk FROM (
+  SELECT day_start, user_id, n_events,
+         ROW_NUMBER() OVER (
+           PARTITION BY day_start ORDER BY n_events DESC, user_id ASC
+         ) AS rnk
+  FROM daily
+) WHERE rnk <= 3
+"""
+
+QUERIES: dict[str, QueryEntry] = {
+    "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
+    "evt_sliding_windows": QueryEntry(evt_sliding_windows, _SLIDING_SQL),
+    "evt_session_windows": QueryEntry(evt_session_windows, _SESSION_SQL),
+    "evt_daily_user_activity": QueryEntry(evt_daily_user_activity, _DAILY_SQL),
+    "evt_late_data_filter": QueryEntry(evt_late_data_filter, _LATE_FILTER_SQL),
+    "evt_top_users_per_day": QueryEntry(evt_top_users_per_day, _TOP_USERS_SQL),
+}
