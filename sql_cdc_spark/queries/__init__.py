@@ -31,6 +31,7 @@ def _registry() -> dict[str, QueryEntry]:
         dedup_q,
         events_q,
         functions_q,
+        multimodal_q,
         relational_q,
         similarity_q,
         text_q,
@@ -38,7 +39,17 @@ def _registry() -> dict[str, QueryEntry]:
     )
 
     reg: dict[str, QueryEntry] = {}
-    for mod in (cdc_q, relational_q, functions_q, windows_q, events_q, text_q, dedup_q, similarity_q):
+    for mod in (
+        cdc_q,
+        relational_q,
+        functions_q,
+        windows_q,
+        events_q,
+        text_q,
+        dedup_q,
+        similarity_q,
+        multimodal_q,
+    ):
         overlap = reg.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
