@@ -1,0 +1,153 @@
+"""Event-time streaming: watermarked window aggregations and a custom
+stateful operator — the streaming features the reference lacks entirely
+(SURVEY.md §2.9: its only notion of time is the version counter; the
+`events` table is where event time enters this engine).
+
+These mirror the batch queries in queries/events_q.py: the same window
+math runs under readStream, so the batch oracles double as golden results
+for end-of-stream state.
+
+Scale notes:
+- the watermark bounds state: windows older than (max event time − delay)
+  are finalized and evicted, so state size is O(active windows), not
+  O(stream length).
+- `running_totals` uses applyInPandasWithState — Arrow-batched per-key
+  state, the Spark shape for custom streaming operators (per-key state
+  lives in the state store, partitioned by the grouping key; each
+  micro-batch touches only keys present in that batch).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_event_stream(spark, src_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source event stream with the canonical schema; maxFilesPerTrigger
+    is the backpressure bound (one micro-batch per file ≈ one CDC pull)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling rollup — the streaming twin of
+    evt_tumbling_hourly. Late rows beyond the watermark are dropped;
+    closed windows are evicted from the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked per-user session windows (state-merging aggregation) —
+    the streaming twin of evt_session_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+RUNNING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("batches_seen", T.IntegerType()),
+    ]
+)
+
+RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("batches_seen", T.IntegerType()),
+    ]
+)
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) that survives across micro-batches. Emits the
+    updated running totals for every key touched in a batch —
+    `batches_seen` exposes the cross-batch state carry for tests."""
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: "Iterator[pd.DataFrame]",
+        state,
+    ) -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        # state.get is a property (raises if absent), not a callable
+        n, total, batches = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        batches += 1
+        state.update((n, total, batches))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "batches_seen": [batches],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,84 @@
+"""Streaming event-time tests: watermarked tumbling rollup equals the
+batch result at end-of-stream; applyInPandasWithState carries per-key
+state across micro-batches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
+from sql_cdc_spark.streaming import windows as W
+from tests.conftest import SF_DIR_SMALL
+
+
+@pytest.fixture()
+def event_stream_dir(spark, tmp_path):
+    """Events split into two files on the median ts → two micro-batches
+    under maxFilesPerTrigger=1."""
+    ev = tables.load(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mid = ev.agg(F.percentile_approx("ts", 0.5)).first()[0]
+    src = str(tmp_path / "events_stream")
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(src)
+    return src, ev
+
+
+def test_windowed_counts_match_batch(spark, event_stream_dir, tmp_path):
+    src, ev = event_stream_dir
+    stream = W.read_event_stream(spark, src)
+    q = (
+        W.windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("win_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in W.windowed_counts(ev).collect()  # same expr tree, batch DF
+    }
+    assert got == want
+
+
+def test_running_totals_state_across_batches(spark, event_stream_dir, tmp_path):
+    src, ev = event_stream_dir
+    stream = W.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        W.running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emits = spark.table("running").collect()
+    # state carried: users present in both files emit twice, totals monotone
+    two_batch = [r for r in emits if r.batches_seen == 2]
+    assert two_batch, "no user spanned both micro-batches"
+    # final totals equal the batch groupBy
+    final = {}
+    for r in emits:
+        prev = final.get(r.user_id)
+        if prev is None or r.batches_seen > prev.batches_seen:
+            final[r.user_id] = r
+    want = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {u: (r.n_events, r.total_value) for u, r in final.items()}
+    assert got.keys() == want.keys()
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert got[u][1] == pytest.approx(want[u][1], abs=1e-4)
