@@ -33,6 +33,8 @@ HEADLINE = [
     "dd_near_dup_pairs",  # MinHash → LSH bands → Jaccard verify
     "sim_topk_cosine",  # brute-force cosine top-k over embeddings
     "txt_quality_score",  # scan-speed text heuristics
+    "evt_tumbling_hourly",  # event-time tumbling window rollup
+    "mm_decode_features",  # mapInPandas binary decode path (Arrow batches)
 ]
 
 
