@@ -122,7 +122,10 @@ def dd_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle Jaccard ≥ 0.5 — sketch for recall, exact check for
     precision."""
     docs = tables.load(spark, sf_dir, "documents")
-    shingled = DD.doc_shingles(docs)
+    # the shingle explode feeds three subtrees (signatures + both Jaccard
+    # sides): persist so it is computed once per execution — the local
+    # analog of materializing the shingle table at corpus scale
+    shingled = DD.doc_shingles(docs).persist()
     cands = DD.lsh_candidate_pairs(DD.minhash_signatures(shingled))
     return DD.jaccard_pairs(shingled, cands, threshold=NEAR_DUP_THRESHOLD)
 
