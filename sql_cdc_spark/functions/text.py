@@ -48,6 +48,33 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish sub-word split of the lowercased text: letter runs, digit
+    runs, punctuation runs — the pre-tokenization pass of byte-pair
+    encoders, as one scan-speed regex."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_RE), 0)
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial (Rabin–Karp) rolling hash of the full text:
+    h = Σ c_i·B^(n−i) mod M, folded left-to-right with built-in
+    higher-order functions — all-integer, so bit-identical in any engine.
+    The same recurrence windowed over k chars is the content-defined
+    chunking primitive; the whole-doc fold is its fingerprint form."""
+    codes = F.transform(F.split(col, ""), F.ascii)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )
+
+
 def occurrence_count(col: Column, needle: str) -> Column:
     """Count non-overlapping occurrences of a literal via the
     length-difference trick — identical semantics in Spark and DuckDB

@@ -33,6 +33,7 @@ def _registry() -> dict[str, QueryEntry]:
         functions_q,
         multimodal_q,
         relational_q,
+        scale_q,
         similarity_q,
         text_q,
         windows_q,
@@ -49,6 +50,7 @@ def _registry() -> dict[str, QueryEntry]:
         dedup_q,
         similarity_q,
         multimodal_q,
+        scale_q,
     ):
         overlap = reg.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,76 @@
+"""Scale-hardening queries: skew-salted aggregation and join, gated on
+the SAME oracle as their unsalted forms — salting must be invisible in
+the result. Aggregates here are chosen order-insensitive (counts, min/max,
+sums of integral doubles) so two-phase re-aggregation cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
+from sql_cdc_spark.operators import skew
+from sql_cdc_spark.queries import QueryEntry
+
+
+def scl_salted_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the maximally-skewed grouping
+    (3 return flags × 600k rows → every key is hot). Result must equal the
+    plain GROUP BY bit-for-bit."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    out = skew.salted_agg(
+        li,
+        keys=["l_returnflag"],
+        aggs={
+            "sum_qty": ("l_quantity", "sum"),
+            "n_rows": ("l_quantity", "count"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        "n_rows",
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+_SALTED_PRICING_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS n_rows,
+       ROUND(MAX(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def scl_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (orders fact ⨝ customer dim on custkey, dim
+    replicated across 16 salts) rolled up per market segment — identical
+    to the straight join."""
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = skew.salted_join(orders, cust.select("o_custkey", "c_mktsegment"), "o_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max("o_totalprice"), 2).alias("max_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_order"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(MAX(o.o_totalprice), 2) AS max_order,
+       ROUND(MIN(o.o_totalprice), 2) AS min_order
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+QUERIES: dict[str, QueryEntry] = {
+    "scl_salted_pricing": QueryEntry(scl_salted_pricing, _SALTED_PRICING_SQL),
+    "scl_salted_join_segments": QueryEntry(scl_salted_join_segments, _SALTED_JOIN_SQL),
+}

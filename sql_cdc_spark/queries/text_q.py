@@ -108,8 +108,52 @@ FROM (
 """
 
 
+def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word token count vs whitespace word count — the
+    tokens-per-word ratio is the cheap proxy for tokenizer blow-up on a
+    corpus (all JVM-side regex, no UDF)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    n_bpe = F.size(TX.bpe_tokens(F.col("text")))
+    n_words = TX.token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_words.alias("n_words"),
+        F.round(n_bpe / n_words, 6).alias("tokens_per_word"),
+    )
+
+
+_BPE_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{TX.BPE_RE}')) AS INTEGER) AS n_bpe_tokens,
+       CAST(len({_TOKS_SQL}) AS INTEGER) AS n_words,
+       ROUND(len(regexp_extract_all(lower(text), '{TX.BPE_RE}'))
+             / len({_TOKS_SQL}), 6) AS tokens_per_word
+FROM documents
+"""
+
+
+def txt_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin–Karp polynomial fingerprint per document — the rolling-hash
+    dedup/chunking primitive, folded with built-in HOFs (no UDF)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.rolling_hash(F.col("text")).alias("rhash"))
+
+
+_ROLLING_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * {TX.ROLLING_BASE} + b) % {TX.ROLLING_MOD}
+       ) AS rhash
+FROM documents
+"""
+
 QUERIES: dict[str, QueryEntry] = {
     "txt_token_stats": QueryEntry(txt_token_stats, _TOKEN_STATS_SQL),
+    "txt_bpe_tokens": QueryEntry(txt_bpe_tokens, _BPE_SQL),
+    "txt_rolling_fingerprint": QueryEntry(txt_rolling_fingerprint, _ROLLING_SQL),
     "txt_quality_score": QueryEntry(txt_quality_score, _QUALITY_SQL),
     "txt_language_id": QueryEntry(txt_language_id, _language_sql()),
 }
