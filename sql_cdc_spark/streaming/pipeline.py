@@ -147,6 +147,19 @@ def write_documents(docs: DataFrame, out_dir: str) -> int:
     return int(written)
 
 
+def write_documents_partitioned(docs: DataFrame, out_dir: str, batch_id: int) -> int:
+    """Scale-mode document sink: one JSON part-file set per batch under
+    ``batch_id=N/``, written with overwrite — replaying a failed batch
+    rewrites the same directory, so delivery is idempotent without
+    per-record filenames. This is the 100 TB path (bounded file count,
+    partition-parallel, no per-row driver work); the per-record sink above
+    is the strict reference-parity mode."""
+    path = os.path.join(out_dir, f"batch_id={int(batch_id)}")
+    payload = docs.select("doc_filename", "doc_json")
+    payload.write.mode("overwrite").json(path)
+    return payload.count()
+
+
 def pull_batch(
     spark: SparkSession,
     log_dir: str,

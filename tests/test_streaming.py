@@ -240,3 +240,28 @@ def test_document_listing_source(spark, base, tmp_path):
     rows = listing.collect()
     assert len(rows) == len(os.listdir(out))
     assert all(r.size_bytes > 0 for r in rows)
+
+
+def test_partitioned_sink_idempotent_replay(spark, base, tmp_path):
+    """Scale-mode sink: batchId-keyed overwrite makes replaying a batch a
+    no-op in content terms (same rows, same directory)."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=1, keys=range(0, 10), seed=33)
+    changes = cl.read_changelog(spark, w.log_dir)
+    changed = pl._changed_invoices(changes, lines, MODEL)
+    latest = pl._latest_with_op(changed)
+    docs = pl._assemble(header, lines, latest, MODEL)
+    out = str(tmp_path / "pdocs")
+
+    n1 = pl.write_documents_partitioned(docs, out, batch_id=7)
+    first = sorted(
+        r.doc_json for r in spark.read.json(os.path.join(out, "batch_id=7"))
+        .select(F.to_json(F.struct("*")).alias("doc_json")).collect()
+    )
+    n2 = pl.write_documents_partitioned(docs, out, batch_id=7)  # replay
+    second = sorted(
+        r.doc_json for r in spark.read.json(os.path.join(out, "batch_id=7"))
+        .select(F.to_json(F.struct("*")).alias("doc_json")).collect()
+    )
+    assert n1 == n2 == len(first) > 0
+    assert first == second
