@@ -1,0 +1,71 @@
+"""Plan-quality guards: the scale properties that make these queries
+viable at 100 TB must be visible in the physical plan — filters reaching
+the parquet scan, broadcast joins for small sides, and no row-at-a-time
+Python evaluation anywhere in the relational core. A regression that
+silently de-optimizes a plan fails here even though results stay correct."""
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+
+
+# queries whose plans may legitimately contain Python evaluation nodes:
+# the Arrow-batched multimodal stages and the stateful streaming op
+_PANDAS_OK = {"mm_decode_features", "mm_resize_digest", "mm_frame_sample"}
+
+
+def test_no_row_python_udfs_anywhere(spark):
+    """BatchEvalPython (row-at-a-time UDF) must never appear; Arrow nodes
+    (MapInPandas/ArrowEvalPython) only in the multimodal queries."""
+    for name in entry.queries():
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+        if name not in _PANDAS_OK:
+            assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+                f"{name} unexpectedly routes through Python"
+            )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "rel_filter_composite")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not just IsNotNull
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert any(
+        tok in pushed for tok in ("GreaterThan", "LessThan", "In(", "EqualTo")
+    ), pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "rel_pricing_summary")
+    # the lineitem scan must not read the full 16-column schema
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert read.count(":") <= 8, read
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = _plan(spark, "cdc_net_changes_enriched")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bounded_batch_is_take_ordered(spark):
+    """O1 must plan as TakeOrderedAndProject (per-partition heaps), not a
+    global sort followed by a limit."""
+    plan = _plan(spark, "cdc_bounded_batch")
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize("name", ["dd_exact", "evt_tumbling_hourly"])
+def test_aggregates_are_partial(spark, name):
+    """Shuffled aggregations must map-side combine (partial_ functions
+    before the exchange)."""
+    plan = _plan(spark, name)
+    assert "partial_" in plan
