@@ -348,6 +348,47 @@ def reset_consumer(registry: SyncStateRegistry, checkpoint_root: str, consumer: 
         shutil.rmtree(chk)
 
 
+def compact_documents(spark: SparkSession, out_dir: str, parquet_dir: str) -> int:
+    """Compact the per-record JSON document directory into parquet — the
+    small-files answer at scale (T9-adjacent): the per-record sink is the
+    reference-parity delivery format; long-term storage re-compacts to a
+    columnar table (one file per partition instead of one per invoice).
+    Returns the number of compacted documents."""
+    docs = spark.read.json(out_dir)
+    docs.write.mode("overwrite").parquet(parquet_dir)
+    return spark.read.parquet(parquet_dir).count()
+
+
+def expire_changelog(
+    spark: SparkSession, log_dir: str, min_version: int
+) -> int:
+    """Change-retention cleanup (T9, setup-invoice-db.sql:70-72's 3-day
+    auto-cleanup): drop change rows below min_version. Consumers whose
+    cursor is older than min_version must reset — same constraint the
+    reference documents. Rewrites the log atomically (new dir + swap).
+    Returns rows retained."""
+    import shutil
+    import tempfile
+
+    from sql_cdc_spark.streaming import changelog as cl
+
+    kept = cl.read_changelog(spark, log_dir).filter(
+        F.col("change_version") >= min_version
+    )
+    tmp = tempfile.mkdtemp(prefix="changelog_compact_")
+    new_dir = os.path.join(tmp, "log")
+    kept.write.parquet(new_dir)
+    n = spark.read.parquet(new_dir).count()
+    old = log_dir.rstrip("/") + ".expired"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(log_dir, old)
+    os.replace(new_dir, log_dir)
+    shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return int(n)
+
+
 def list_documents(spark: SparkSession, out_dir: str) -> DataFrame:
     """S7: document-directory listing source — path/size/mtime newest
     first (invoice-api/server.js:368-398), via the binaryFile reader."""

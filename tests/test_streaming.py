@@ -265,3 +265,31 @@ def test_partitioned_sink_idempotent_replay(spark, base, tmp_path):
     )
     assert n1 == n2 == len(first) > 0
     assert first == second
+
+
+def test_compact_documents_roundtrip(spark, base, tmp_path):
+    """Per-record JSON docs compact losslessly into one parquet table."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=1, keys=range(0, 10), seed=41)
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    out = str(tmp_path / "docs")
+    pl.drain(spark, w.log_dir, "c", reg, header, lines, MODEL, out, limit=100)
+    n_files = len(os.listdir(out))
+    pq = str(tmp_path / "docs_pq")
+    n = pl.compact_documents(spark, out, pq)
+    assert n == n_files
+    compacted = spark.read.parquet(pq)
+    assert compacted.select("invoice_id").distinct().count() == n_files
+
+
+def test_expire_changelog_retention(spark, base, tmp_path):
+    """T9: rows below the retention floor disappear; a consumer behind the
+    floor must reset (its next pull sees only retained versions)."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=2, keys=range(0, 10), seed=43)
+    hw = cl.current_version(spark, w.log_dir)
+    floor = hw // 2
+    kept = pl.expire_changelog(spark, w.log_dir, floor)
+    log = cl.read_changelog(spark, w.log_dir)
+    assert log.count() == kept
+    assert log.agg(F.min("change_version")).first()[0] >= floor
