@@ -35,6 +35,7 @@ HEADLINE = [
     "txt_quality_score",  # scan-speed text heuristics
     "evt_tumbling_hourly",  # event-time tumbling window rollup
     "mm_decode_features",  # mapInPandas binary decode path (Arrow batches)
+    "tpch_q5_local_supplier_volume",  # 6-way star join with dim broadcasts
 ]
 
 

@@ -36,6 +36,7 @@ def _registry() -> dict[str, QueryEntry]:
         scale_q,
         similarity_q,
         text_q,
+        tpch_q,
         windows_q,
     )
 
@@ -43,6 +44,7 @@ def _registry() -> dict[str, QueryEntry]:
     for mod in (
         cdc_q,
         relational_q,
+        tpch_q,
         functions_q,
         windows_q,
         events_q,
