@@ -65,6 +65,71 @@ def topk_cosine(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means over the corpus (MLlib, seeded),
+    returning (assignments DataFrame with `cluster`, fitted model). The
+    inverted-file ANN shape: search probes only the query's nearest
+    centroid(s) instead of the corpus. Train on a sample at scale; assign
+    is one map-side pass (no shuffle)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.withColumn("__feat", array_to_vector(as_double_array(F.col(vec_col))))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat", predictionCol="cluster").fit(
+        feat
+    )
+    assigned = model.transform(feat).drop("__feat")
+    return assigned, model
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: exact cosine within the query's n_probe nearest
+    clusters only. n_probe trades recall for scan fraction (~n_probe/
+    n_clusters of the corpus)."""
+    import numpy as np
+
+    assigned, model = ivf_assign(vectors, n_clusters, vec_col, id_col)
+    centers = model.clusterCenters()
+    qvec = np.array(
+        vectors.filter(F.col(id_col) == query_id).select(vec_col).first()[0],
+        dtype="float64",
+    )
+
+    def _cos(c):
+        denom = (np.linalg.norm(c) * np.linalg.norm(qvec)) or 1.0
+        return float(np.dot(c, qvec) / denom)
+
+    probe = sorted(range(len(centers)), key=lambda i: -_cos(centers[i]))[:n_probe]
+    q = F.broadcast(
+        vectors.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("__qvec")
+        )
+    )
+    a = as_double_array(F.col(vec_col))
+    b = as_double_array(F.col("__qvec"))
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .crossJoin(q)
+        .select(id_col, "cluster", cosine(a, b).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def lsh_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket id in [0, 2^n_bits): bit i is the
     sign of <v, h_i> where hyperplane h_i has deterministic pseudo-random

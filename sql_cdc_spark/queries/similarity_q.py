@@ -113,8 +113,18 @@ LIMIT {TOP_K}
 """
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (seeded MLlib), exact cosine in
+    the query's nearest cluster only. Not SQL-expressible (k-means), so
+    the driver records the rows-only check; recall and membership
+    properties are pytest-gated in tests/test_llm_ops.py."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, query_id=QUERY_VEC_ID, k=TOP_K)
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),
     "sim_bucketed_topk": QueryEntry(sim_bucketed_topk, _bucketed_topk_sql()),
+    "sim_ivf_topk": QueryEntry(sim_ivf_topk, None),
 }

@@ -92,3 +92,14 @@ def test_topk_cosine_bounds(spark):
     assert len(top) == 5
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in top)
     assert top[0].vec_id == 0 and top[0].cos_sim == 1.0
+
+
+def test_ivf_topk_membership_and_self_retrieval(spark):
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings")
+    got = SIM.ivf_topk(emb, query_id=0, k=10, n_clusters=8).collect()
+    assert got and got[0].vec_id == 0 and got[0].cos_sim == 1.0
+    # single-probe: all results share the query's cluster
+    assert len({r.cluster for r in got}) == 1
+    # probing more clusters can only improve (or keep) the k-th score
+    wide = SIM.ivf_topk(emb, query_id=0, k=10, n_clusters=8, n_probe=4).collect()
+    assert wide[-1].cos_sim >= got[-1].cos_sim
