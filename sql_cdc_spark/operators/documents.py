@@ -53,6 +53,12 @@ def assemble_documents(
     l_orderkey vs o_orderkey)."""
     if line_key_col and line_key_col != key_col:
         lines = lines.withColumnRenamed(line_key_col, key_col)
+    # nest only lines belonging to the headers being assembled: when the
+    # header side is a small changed-set, this semi join (broadcast under
+    # AQE) keeps the collect_list shuffle proportional to the changed
+    # documents, not the whole line table — the difference between nesting
+    # a 100 TB fact table and nesting one batch
+    lines = lines.join(header.select(key_col), key_col, "left_semi")
     nested = nest_lines(lines, key_col, line_cols, line_order_col, array_col)
     doc = header.select(key_col, *[c for c in header_cols if c != key_col]).join(
         nested, key_col, "left"
