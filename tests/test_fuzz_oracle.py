@@ -30,7 +30,8 @@ def _gen(rng: random.Random) -> dict:
         op = rng.choice(OPS)
         val = rng.randint(0, 5000)
         filters.append((col, op, val))
-    if rng.random() < 0.5:
+    shape = rng.random()
+    if shape < 0.35:
         keys = rng.sample(STR_COLS + ["l_linenumber"], rng.randint(1, 2))
         aggs = []
         for _ in range(rng.randint(1, 3)):
@@ -38,8 +39,25 @@ def _gen(rng: random.Random) -> dict:
             col = rng.choice(NUM_COLS)
             aggs.append((fn, col, f"{fn}_{col}_{len(aggs)}"))
         return {"filters": filters, "group": keys, "aggs": aggs}
+    if shape < 0.6:
+        # join lineitem ⨝ orders, grouped rollup on the join result
+        keys = rng.sample(["o_orderstatus", "o_orderpriority", "l_returnflag"], 1)
+        fn = rng.choice(AGGS)
+        col = rng.choice(NUM_COLS)
+        return {"filters": filters, "join_group": keys, "aggs": [(fn, col, f"{fn}_{col}")]}
+    if shape < 0.8:
+        # deterministic top-k: total sort key (all projected cols)
+        cols = rng.sample(NUM_COLS, 3)
+        return {"filters": filters, "project": cols, "topk": (cols, rng.choice([5, 50]))}
     cols = rng.sample(NUM_COLS + STR_COLS, rng.randint(2, 4))
     return {"filters": filters, "project": cols}
+
+
+def _aggs(q):
+    return [
+        (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(out)
+        for fn, col, out in q["aggs"]
+    ]
 
 
 def _to_spark(spark, q: dict):
@@ -47,11 +65,16 @@ def _to_spark(spark, q: dict):
     for col, (_, pyop), val in q["filters"]:
         df = df.filter(getattr(F.col(col), pyop)(F.lit(val)))
     if "group" in q:
-        aggs = [
-            (F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)).alias(out)
-            for fn, col, out in q["aggs"]
-        ]
-        return df.groupBy(*q["group"]).agg(*aggs)
+        return df.groupBy(*q["group"]).agg(*_aggs(q))
+    if "join_group" in q:
+        orders = tables.load(spark, SF_DIR, "orders")
+        joined = df.join(orders, df.l_orderkey == orders.o_orderkey)
+        return joined.groupBy(*q["join_group"]).agg(*_aggs(q))
+    if "topk" in q:
+        cols, k = q["topk"]
+        # PK tiebreak makes the sort total so the k-boundary is stable
+        order = [F.col(c).asc() for c in cols + ["l_orderkey", "l_linenumber"]]
+        return df.orderBy(*order).limit(k).select(*q["project"])
     return df.select(*q["project"])
 
 
@@ -60,15 +83,29 @@ def _to_sql(q: dict) -> str:
         f"{col} {sqlop} {val}" for col, (sqlop, _), val in q["filters"]
     )
     where = f"WHERE {where}" if where else ""
+    agg_sql = lambda: ", ".join(  # noqa: E731
+        ("COUNT(*)" if fn == "count" else f"{fn.upper()}({col})") + f" AS {out}"
+        for fn, col, out in q.get("aggs", [])
+    )
     if "group" in q:
         sel = ", ".join(q["group"])
-        aggs = ", ".join(
-            ("COUNT(*)" if fn == "count" else f"{fn.upper()}({col})") + f" AS {out}"
-            for fn, col, out in q["aggs"]
-        )
         return (
-            f"SELECT {sel}, {aggs} FROM lineitem {where} "
+            f"SELECT {sel}, {agg_sql()} FROM lineitem {where} "
             f"GROUP BY {', '.join(q['group'])}"
+        )
+    if "join_group" in q:
+        sel = ", ".join(q["join_group"])
+        return (
+            f"SELECT {sel}, {agg_sql()} "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey {where} "
+            f"GROUP BY {', '.join(q['join_group'])}"
+        )
+    if "topk" in q:
+        cols, k = q["topk"]
+        order = ", ".join(f"{c} ASC" for c in cols + ["l_orderkey", "l_linenumber"])
+        return (
+            f"SELECT {', '.join(q['project'])} FROM ("
+            f"SELECT * FROM lineitem {where} ORDER BY {order} LIMIT {k})"
         )
     return f"SELECT {', '.join(q['project'])} FROM lineitem {where}"
 
