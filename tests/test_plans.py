@@ -69,3 +69,29 @@ def test_aggregates_are_partial(spark, name):
     before the exchange)."""
     plan = _plan(spark, name)
     assert "partial_" in plan
+
+
+def test_partition_pruning_on_partitioned_changelog(spark, tmp_path):
+    """A change log laid out as version-range partitions gets partition
+    pruning for version predicates — the layout SURVEY.md prescribes for
+    the log at scale (scan touches only matching directories)."""
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark import tables as T
+
+    ev = T.load(spark, SF_DIR, "events").select(
+        F.col("event_id").alias("change_version"),
+        F.col("user_id").alias("key_id"),
+        (F.col("event_id") % 4).cast("int").alias("version_bucket"),
+    )
+    log = str(tmp_path / "partitioned_log")
+    ev.write.partitionBy("version_bucket").parquet(log)
+    df = spark.read.parquet(log).filter(F.col("version_bucket") == 2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "version_bucket" in pf
+    # pruned scan reads one bucket only
+    assert df.select("version_bucket").distinct().count() == 1
