@@ -95,6 +95,19 @@ def session_windows(
     )
 
 
+def dedupe_stream(
+    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming duplicate suppression (T4/T5 the idiomatic way): keep the
+    first arrival per key among events whose event times fall within the
+    watermark delay of each other. State is bounded by the watermark —
+    the exact-offsets answer to the reference's inclusive-re-read + keyset
+    dedup (invoice-api/server.js:134,165-168)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 RUNNING_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

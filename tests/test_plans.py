@@ -95,3 +95,45 @@ def test_partition_pruning_on_partitioned_changelog(spark, tmp_path):
     assert "version_bucket" in pf
     # pruned scan reads one bucket only
     assert df.select("version_bucket").distinct().count() == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key removes the exchange: the
+    sort-merge join reads co-located buckets directly — the 100 TB answer
+    for repeated large-fact joins (SURVEY.md §7 Phase 4)."""
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark import tables as T
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path / 'bktdb'}'"
+    )
+    try:
+        orders = T.load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+        li = T.load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("bktdb.orders_b")
+        )
+        (
+            li.withColumnRenamed("l_orderkey", "o_orderkey")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("bktdb.lineitem_b")
+        )
+        joined = (
+            spark.table("bktdb.orders_b")
+            .hint("merge")  # force SMJ so the missing exchange is observable
+            .join(spark.table("bktdb.lineitem_b"), "o_orderkey")
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")

@@ -119,3 +119,28 @@ def test_metrics_listener_observes_pipeline(spark, event_stream_dir, tmp_path):
         assert s["total_ms"] > 0 and s["rows_per_second"] > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_dedupe_stream_drops_replayed_batch(spark, tmp_path):
+    """T4/T5: replaying the same change file (at-least-once delivery)
+    yields no duplicate events downstream."""
+    ev = tables.load(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).limit(500)
+    src = str(tmp_path / "dup_stream")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # replay: same rows again
+    stream = W.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        W.dedupe_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("deduped")
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
