@@ -243,8 +243,43 @@ SELECT day_start, user_id, n_events, rnk FROM (
 ) WHERE rnk <= 3
 """
 
+def evt_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type — the
+    latency-dashboard aggregate. Exact (sort-based) here as the golden
+    reference; the sketch twin below is the at-scale variant."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def evt_user_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user sketch per event type — the mergeable,
+    bounded-memory cardinality path for 100 TB streams. Sketch estimates
+    are engine-specific, so no SQL oracle; the accuracy bound vs exact
+    COUNT(DISTINCT) is pytest-gated (tests/test_llm_ops.py)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
+    "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
+    "evt_user_cardinality_sketch": QueryEntry(evt_user_cardinality_sketch, None),
     "evt_sliding_windows": QueryEntry(evt_sliding_windows, _SLIDING_SQL),
     "evt_session_windows": QueryEntry(evt_session_windows, _SESSION_SQL),
     "evt_daily_user_activity": QueryEntry(evt_daily_user_activity, _DAILY_SQL),

@@ -103,3 +103,24 @@ def test_ivf_topk_membership_and_self_retrieval(spark):
     # probing more clusters can only improve (or keep) the k-th score
     wide = SIM.ivf_topk(emb, query_id=0, k=10, n_clusters=8, n_probe=4).collect()
     assert wide[-1].cos_sim >= got[-1].cos_sim
+
+
+def test_hll_sketch_accuracy_bound(spark):
+    """approx_count_distinct at rsd=0.02 stays within 5% of the exact
+    distinct count for every event type."""
+    from sql_cdc_spark.queries.events_q import evt_user_cardinality_sketch
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in evt_user_cardinality_sketch(spark, SF_DIR_SMALL).collect()
+    }
+    ev = tables.load(spark, SF_DIR_SMALL, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for t in exact:
+        assert abs(approx[t] - exact[t]) <= max(1, 0.05 * exact[t]), (t, approx[t], exact[t])
