@@ -70,7 +70,55 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
 
+def scl_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map normalization via applyInPandas: z-score of order
+    totals within each order status. The third Pandas API shape (whole
+    group per Arrow batch) — appropriate when the per-group computation
+    is genuinely vectorized-Python (sklearn scalers, per-group model
+    scoring); this z-score has a pure-SQL window twin, which is exactly
+    what the oracle uses. Rounded to 4dp: pandas' and the window's
+    mean/stddev differ only by float summation order (~1e-11)."""
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("zscore", DoubleType()),
+        ]
+    )
+
+    def norm(pdf):
+        m = pdf["o_totalprice"].mean()
+        s = pdf["o_totalprice"].std(ddof=1)
+        out = pdf[["o_orderkey", "o_orderstatus"]].copy()
+        out["zscore"] = ((pdf["o_totalprice"] - m) / s).round(4)
+        return out
+
+    return orders.groupBy("o_orderstatus").applyInPandas(norm, schema)
+
+
+_ZSCORE_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+             / STDDEV_SAMP(o_totalprice) OVER w, 4) AS zscore
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus)
+"""
+
 QUERIES: dict[str, QueryEntry] = {
     "scl_salted_pricing": QueryEntry(scl_salted_pricing, _SALTED_PRICING_SQL),
     "scl_salted_join_segments": QueryEntry(scl_salted_join_segments, _SALTED_JOIN_SQL),
+    "scl_group_zscore": QueryEntry(scl_group_zscore, _ZSCORE_SQL),
 }

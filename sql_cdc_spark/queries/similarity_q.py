@@ -113,6 +113,54 @@ LIMIT {TOP_K}
 """
 
 
+def sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: search the query's bucket plus all hamming-1
+    neighbor buckets (one flipped hyperplane bit) — the standard recall
+    lever when a near vector straddles a hyperplane. Probes 1+8 of 256
+    buckets ≈ 3.5% of the corpus."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        SIM.lsh_bucket(F.col("embedding"), n_bits=LSH_BITS, dim=DIM).alias("bucket"),
+    )
+    qrow = bucketed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("__qvec"), F.col("bucket").alias("__qbucket")
+    )
+    probes = F.array(
+        F.col("__qbucket"),
+        *[F.col("__qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)],
+    )
+    a = SIM.as_double_array(F.col("embedding"))
+    b = SIM.as_double_array(F.col("__qvec"))
+    return (
+        bucketed.join(
+            F.broadcast(qrow), F.array_contains(probes, F.col("bucket"))
+        )
+        .select("vec_id", SIM.cosine(a, b).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def _multiprobe_sql() -> str:
+    lsh = _lsh_sql().strip()
+    neighbors = ", ".join(f"xor(q.qb, {1 << i})" for i in range(LSH_BITS))
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS ({lsh.replace('WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)', '')} ),
+vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
+q AS (SELECT e AS qe, bucket AS qb FROM vb WHERE vec_id = {QUERY_VEC_ID})
+SELECT vb.vec_id,
+       ROUND(list_dot_product(vb.e, q.qe)
+             / (sqrt(list_dot_product(vb.e, vb.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6)
+         AS cos_sim
+FROM vb, q WHERE vb.bucket IN (q.qb, {neighbors})
+ORDER BY cos_sim DESC, vb.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (seeded MLlib), exact cosine in
     the query's nearest cluster only. Not SQL-expressible (k-means), so
@@ -126,5 +174,6 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),
     "sim_bucketed_topk": QueryEntry(sim_bucketed_topk, _bucketed_topk_sql()),
+    "sim_multiprobe_topk": QueryEntry(sim_multiprobe_topk, _multiprobe_sql()),
     "sim_ivf_topk": QueryEntry(sim_ivf_topk, None),
 }

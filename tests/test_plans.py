@@ -18,8 +18,13 @@ def _plan(spark, name: str) -> str:
 
 
 # queries whose plans may legitimately contain Python evaluation nodes:
-# the Arrow-batched multimodal stages and the stateful streaming op
-_PANDAS_OK = {"mm_decode_features", "mm_resize_digest", "mm_frame_sample"}
+# the Arrow-batched multimodal stages and the grouped-map normalization
+_PANDAS_OK = {
+    "mm_decode_features",
+    "mm_resize_digest",
+    "mm_frame_sample",
+    "scl_group_zscore",
+}
 
 
 def test_no_row_python_udfs_anywhere(spark):
@@ -29,9 +34,10 @@ def test_no_row_python_udfs_anywhere(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
         if name not in _PANDAS_OK:
-            assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
-                f"{name} unexpectedly routes through Python"
-            )
+            assert all(
+                tok not in plan
+                for tok in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas")
+            ), f"{name} unexpectedly routes through Python"
 
 
 def test_filter_pushdown_reaches_scan(spark):
