@@ -357,8 +357,80 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 2
 """
 
+def rel_cube_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, returnflag): all 4 grouping combinations in one
+    pass — the grouping-sets family beyond the reference's single-level
+    GROUP BY (rollup variant in rel_rollup_lineitem)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return (
+        j.cube("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(l_returnflag, 'ALL') AS flag,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY CUBE (o_orderstatus, l_returnflag)
+"""
+
+
+def rel_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both halves of the key space's
+    order stream (set semantics — dedup built in)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey")
+    return a.intersect(b)
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+def rel_except_lost_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with early orders but none recent — the churn
+    set (set difference with dedup)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    early = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    late = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    ).select("o_custkey")
+    # subtract = SQL EXCEPT (set semantics); exceptAll would be bag
+    # difference and keep customers whose early orders outnumber late ones
+    return early.subtract(late)
+
+
+_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+"""
+
 QUERIES: dict[str, QueryEntry] = {
     "rel_pricing_summary": QueryEntry(rel_pricing_summary, _PRICING_SQL),
+    "rel_cube_status_flag": QueryEntry(rel_cube_status_flag, _CUBE_SQL),
+    "rel_intersect_buyers": QueryEntry(rel_intersect_buyers, _INTERSECT_SQL),
+    "rel_except_lost_customers": QueryEntry(rel_except_lost_customers, _EXCEPT_SQL),
     "rel_header_line_view": QueryEntry(rel_header_line_view, _HEADER_LINE_VIEW_SQL),
     "rel_top_revenue_orders": QueryEntry(rel_top_revenue_orders, _TOP_REVENUE_SQL),
     "rel_customer_order_stats": QueryEntry(rel_customer_order_stats, _CUSTOMER_STATS_SQL),
