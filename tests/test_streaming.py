@@ -293,3 +293,35 @@ def test_expire_changelog_retention(spark, base, tmp_path):
     log = cl.read_changelog(spark, w.log_dir)
     assert log.count() == kept
     assert log.agg(F.min("change_version")).first()[0] >= floor
+
+
+def test_document_assembly_roundtrip(spark, base):
+    """Nested-doc invariant: exploding the assembled line arrays
+    reconstructs exactly the source lines of those invoices."""
+    from sql_cdc_spark.operators.documents import assemble_documents
+
+    header, lines = base
+    header = header.limit(50)
+    docs = assemble_documents(
+        header.withColumnRenamed("o_orderkey", "invoice_id"),
+        lines,
+        key_col="invoice_id",
+        header_cols=["invoice_id", "o_custkey"],
+        line_cols=["l_linenumber", "l_quantity"],
+        line_order_col="l_linenumber",
+        line_key_col="l_orderkey",
+    )
+    back = docs.select(
+        "invoice_id", F.explode("lines").alias("ln")
+    ).select("invoice_id", "ln.l_linenumber", "ln.l_quantity")
+    orig = lines.join(
+        header.select(F.col("o_orderkey").alias("invoice_id")), 
+        lines.l_orderkey == F.col("invoice_id"),
+    ).select("invoice_id", "l_linenumber", "l_quantity")
+    assert back.count() == orig.count()
+    assert back.subtract(orig).count() == 0 and orig.subtract(back).count() == 0
+    # array ordering is deterministic: sorted by line number
+    arrs = docs.select("lines").collect()
+    for r in arrs:
+        nums = [x.l_linenumber for x in r.lines]
+        assert nums == sorted(nums)
