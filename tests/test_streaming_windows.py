@@ -144,3 +144,35 @@ def test_dedupe_stream_drops_replayed_batch(spark, tmp_path):
     got = spark.table("deduped")
     assert got.count() == 500
     assert got.select("event_id").distinct().count() == 500
+
+
+def test_session_windows_stream_closes_sessions(spark, event_stream_dir, tmp_path):
+    """Streaming session windows (append mode): sessions fully below the
+    final watermark are emitted and match the batch computation restricted
+    to that horizon."""
+    src, ev = event_stream_dir
+    stream = W.read_event_stream(spark, src)
+    q = (
+        W.session_windows(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk5"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.table("sessions").collect()
+    }
+    assert got, "no sessions closed below the watermark"
+    # batch twin: all sessions ending before (max ts - watermark) must appear
+    horizon = ev.agg(F.max("ts")).first()[0] - __import__("datetime").timedelta(hours=1)
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in W.session_windows(ev).collect()
+        if r.session_end <= horizon
+    }
+    for key, val in batch.items():
+        assert got.get(key) == val, f"closed session {key} missing or differs"
