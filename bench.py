@@ -96,10 +96,21 @@ def cdc_pipeline_throughput(spark, sf_dir: str) -> dict:
             spark, log_dir, "bench", reg, orders, lines, model, out_dir, limit=n
         )
         dt = _t.perf_counter() - t0
+
+        # scale-mode sink: same DAG, one partitioned JSON write per batch
+        changes = cl.read_changelog(spark, log_dir)
+        changed = pl._changed_invoices(changes, lines, model)
+        docs = pl._assemble(orders, lines, pl._latest_with_op(changed), model)
+        t1 = _t.perf_counter()
+        n_part = pl.write_documents_partitioned(
+            docs, os.path.join(tmp, "docs_part"), batch_id=0
+        )
+        dt_part = _t.perf_counter() - t1
         return {
             "invoices": res.processed,
             "seconds": round(dt, 3),
             "invoices_per_second": round(res.processed / dt, 1),
+            "partitioned_sink_invoices_per_second": round(n_part / dt_part, 1),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
