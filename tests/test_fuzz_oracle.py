@@ -45,10 +45,28 @@ def _gen(rng: random.Random) -> dict:
         fn = rng.choice(AGGS)
         col = rng.choice(NUM_COLS)
         return {"filters": filters, "join_group": keys, "aggs": [(fn, col, f"{fn}_{col}")]}
-    if shape < 0.8:
+    if shape < 0.72:
         # deterministic top-k: total sort key (all projected cols)
         cols = rng.sample(NUM_COLS, 3)
         return {"filters": filters, "project": cols, "topk": (cols, rng.choice([5, 50]))}
+    if shape < 0.82:
+        # union of two filtered branches, optionally distinct
+        cols = rng.sample(NUM_COLS + STR_COLS, 2)
+        pivot = rng.randint(1000, 4000)
+        return {
+            "filters": filters,
+            "union": {"cols": cols, "pivot": pivot, "distinct": rng.random() < 0.5},
+        }
+    if shape < 0.9:
+        # group + HAVING on the aggregate
+        keys = rng.sample(STR_COLS, 1)
+        fn, col = rng.choice(["sum", "count"]), rng.choice(NUM_COLS)
+        return {
+            "filters": filters,
+            "group": keys,
+            "aggs": [(fn, col, f"{fn}_{col}")],
+            "having_min": rng.randint(10, 10000),
+        }
     cols = rng.sample(NUM_COLS + STR_COLS, rng.randint(2, 4))
     return {"filters": filters, "project": cols}
 
@@ -65,7 +83,16 @@ def _to_spark(spark, q: dict):
     for col, (_, pyop), val in q["filters"]:
         df = df.filter(getattr(F.col(col), pyop)(F.lit(val)))
     if "group" in q:
-        return df.groupBy(*q["group"]).agg(*_aggs(q))
+        out = df.groupBy(*q["group"]).agg(*_aggs(q))
+        if "having_min" in q:
+            out = out.filter(F.col(q["aggs"][0][2]) >= q["having_min"])
+        return out
+    if "union" in q:
+        cols, pivot = q["union"]["cols"], q["union"]["pivot"]
+        a = df.filter(F.col("l_orderkey") < pivot).select(*cols)
+        b = df.filter(F.col("l_partkey") < pivot).select(*cols)
+        u = a.unionByName(b)
+        return u.distinct() if q["union"]["distinct"] else u
     if "join_group" in q:
         orders = tables.load(spark, SF_DIR, "orders")
         joined = df.join(orders, df.l_orderkey == orders.o_orderkey)
@@ -89,9 +116,24 @@ def _to_sql(q: dict) -> str:
     )
     if "group" in q:
         sel = ", ".join(q["group"])
+        having = ""
+        if "having_min" in q:
+            fn, col, _ = q["aggs"][0]
+            agg = "COUNT(*)" if fn == "count" else f"{fn.upper()}({col})"
+            having = f"HAVING {agg} >= {q['having_min']}"
         return (
             f"SELECT {sel}, {agg_sql()} FROM lineitem {where} "
-            f"GROUP BY {', '.join(q['group'])}"
+            f"GROUP BY {', '.join(q['group'])} {having}"
+        )
+    if "union" in q:
+        cols, pivot = q["union"]["cols"], q["union"]["pivot"]
+        sel = ", ".join(cols)
+        conj = "AND" if q["filters"] else "WHERE"
+        op = "UNION" if q["union"]["distinct"] else "UNION ALL"
+        return (
+            f"SELECT {sel} FROM lineitem {where} {conj} l_orderkey < {pivot} "
+            f"{op} "
+            f"SELECT {sel} FROM lineitem {where} {conj} l_partkey < {pivot}"
         )
     if "join_group" in q:
         sel = ", ".join(q["join_group"])
@@ -110,7 +152,7 @@ def _to_sql(q: dict) -> str:
     return f"SELECT {', '.join(q['project'])} FROM lineitem {where}"
 
 
-@pytest.mark.parametrize("seed", range(25))
+@pytest.mark.parametrize("seed", range(40))
 def test_random_query_matches_duckdb(spark, oracle, seed):
     rng = random.Random(1000 + seed)
     q = _gen(rng)
