@@ -9,7 +9,7 @@ bit-identical to the unsalted forms, so they share the unsalted oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SALT = 16

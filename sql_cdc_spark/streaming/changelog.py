@@ -82,9 +82,59 @@ class ChangeLogWriter:
         return self.version
 
 
+VERSION_BUCKET_SIZE = 10_000
+
+
+def write_changelog_partitioned(
+    changes: DataFrame, log_dir: str, bucket_size: int = VERSION_BUCKET_SIZE
+) -> None:
+    """Append change rows under `version_bucket=N/` directories
+    (N = change_version // bucket_size) — the at-scale layout SURVEY.md §
+    prescribes: version predicates become partition pruning, so an
+    incremental pull from version v touches only ⌈(hw−v)/bucket⌉
+    directories of a log holding years of history."""
+    (
+        changes.withColumn(
+            "version_bucket", (F.col("change_version") / bucket_size).cast("long")
+        )
+        .write.mode("append")
+        .partitionBy("version_bucket")
+        .parquet(log_dir)
+    )
+
+
 def read_changelog(spark: SparkSession, log_dir: str) -> DataFrame:
-    """Batch view of the change log."""
-    return spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir)
+    """Batch view of the change log. Handles both the flat test-harness
+    layout and the partitioned `version_bucket=` layout (the partition
+    column is dropped after read — pruning has already happened)."""
+    df = spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir)
+    if "version_bucket" in df.columns:
+        df = df.drop("version_bucket")
+    return df
+
+
+def read_changelog_range(
+    spark: SparkSession,
+    log_dir: str,
+    since_exclusive: int,
+    until_inclusive: int,
+    bucket_size: int = VERSION_BUCKET_SIZE,
+) -> DataFrame:
+    """Bounded change scan over a partitioned log: the version range is
+    translated to a version_bucket range so the scan prunes to the
+    matching directories (visible as PartitionFilters in the plan), then
+    exact row-level predicates apply within them. Falls back to plain
+    row-level filtering on a flat log."""
+    df = spark.read.parquet(log_dir)
+    if "version_bucket" in df.columns:
+        df = df.filter(
+            (F.col("version_bucket") >= since_exclusive // bucket_size)
+            & (F.col("version_bucket") <= until_inclusive // bucket_size)
+        ).drop("version_bucket")
+    return df.filter(
+        (F.col("change_version") > since_exclusive)
+        & (F.col("change_version") <= until_inclusive)
+    )
 
 
 def read_changelog_stream(spark: SparkSession, log_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:

@@ -325,3 +325,30 @@ def test_document_assembly_roundtrip(spark, base):
     for r in arrs:
         nums = [x.l_linenumber for x in r.lines]
         assert nums == sorted(nums)
+
+
+def test_partitioned_changelog_prunes_and_reads(spark, base, tmp_path):
+    """Version-bucketed log layout: a bounded range read prunes to the
+    matching bucket directories and returns exactly the range rows."""
+    header, lines = base
+    log = str(tmp_path / "plog")
+    ev = tables.load(spark, SF_DIR_SMALL, "events").select(
+        F.lit(cl.HEADER_TABLE).alias("table_name"),
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("change_version"),
+        F.lit("U").alias("op"),
+        F.col("ts"),
+    )
+    cl.write_changelog_partitioned(ev, log, bucket_size=100)
+    got = cl.read_changelog_range(spark, log, 250, 720, bucket_size=100)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    assert "version_bucket" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    versions = [r.change_version for r in got.collect()]
+    assert versions and min(versions) == 251 and max(versions) == 720
+    # generic reader sees the whole log without the partition column
+    full = cl.read_changelog(spark, log)
+    assert "version_bucket" not in full.columns
+    assert full.count() == ev.count()
