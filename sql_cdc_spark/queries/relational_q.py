@@ -29,9 +29,20 @@ def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # cents-exact sums: these groups hold ~150k fractional values,
+            # where plain double summation drifts past cent precision and
+            # varies with partial-aggregation order (run-to-run!)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                )
+                / 100.0,
+                2,
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -43,8 +54,8 @@ def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_disc_price,
        ROUND(AVG(l_quantity), 4) AS avg_qty,
        ROUND(AVG(l_discount), 4) AS avg_disc,
        COUNT(*) AS count_order
