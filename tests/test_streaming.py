@@ -352,3 +352,33 @@ def test_partitioned_changelog_prunes_and_reads(spark, base, tmp_path):
     full = cl.read_changelog(spark, log)
     assert "version_bucket" not in full.columns
     assert full.count() == ev.count()
+
+
+def test_drain_no_loss_no_dup_under_random_limits(spark, base, tmp_path):
+    """Hard-parts 3/4: for arbitrary (seeded) batch-size sequences, the
+    checkpointed pull loop delivers every changed invoice exactly once,
+    with the composite (version, id) cursor crossing tie groups safely."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=2, keys=range(0, 25), seed=77)
+    expected = set(_oracle_latest(spark, w.log_dir, lines))
+    rng = random.Random(99)
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    out = str(tmp_path / "docs")
+    seen: list[int] = []
+    for _ in range(200):
+        limit = rng.choice([1, 2, 3, 5, 7, 11])
+        res = pl.pull_batch(
+            spark, w.log_dir, "rand", reg, header, lines, MODEL, out, limit=limit
+        )
+        batch_ids = []
+        if res.processed:
+            batch_ids = [
+                int(f.split("_v")[0]) for f in os.listdir(out)
+            ]
+        seen.append(res.processed)
+        if not res.has_more and res.processed < limit:
+            break
+    delivered = {int(f.split("_v")[0]) for f in os.listdir(out)}
+    assert delivered == expected
+    # exactly-once on disk: one file per invoice (deterministic names)
+    assert len(os.listdir(out)) == len(expected)
