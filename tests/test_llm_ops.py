@@ -124,3 +124,26 @@ def test_hll_sketch_accuracy_bound(spark):
     assert approx.keys() == exact.keys()
     for t in exact:
         assert abs(approx[t] - exact[t]) <= max(1, 0.05 * exact[t]), (t, approx[t], exact[t])
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Recall@10 vs the exact baseline at sf0.01 (deterministic data, so
+    exact values are stable). The synthetic embeddings are uniform random
+    — near-zero cosine structure — so absolute recall is modest by
+    construction; the load-bearing assertions are the orderings: wider
+    probing never loses recall, and every variant beats the 1/N floor."""
+    from tests.conftest import SF_DIR
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    truth = {r.vec_id for r in qs["sim_topk_cosine"](spark, SF_DIR).collect()}
+
+    def recall(name):
+        got = {r.vec_id for r in qs[name](spark, SF_DIR).collect()}
+        return len(got & truth) / len(truth)
+
+    r_single = recall("sim_bucketed_topk")
+    r_multi = recall("sim_multiprobe_topk")
+    assert r_multi >= r_single >= 0.1
+    assert r_multi >= 0.3
