@@ -1,0 +1,58 @@
+"""Polling consumer (reference invoice-api/consumer.js:6-49): a timer
+loop that drains all available batches each tick, never advancing on
+error. The Spark-native replacement for the timer is a Structured
+Streaming trigger; this utility exists for operational parity (cron-style
+deployments driving the batch pull loop).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_cdc_spark.streaming import pipeline as pl
+from sql_cdc_spark.streaming.registry import SyncStateRegistry
+
+
+def poll_loop(
+    spark: SparkSession,
+    log_dir: str,
+    consumer: str,
+    registry: SyncStateRegistry,
+    header: DataFrame,
+    lines: DataFrame,
+    model: pl.InvoiceModel,
+    out_dir: str,
+    limit: int = 1000,
+    interval_s: float = 300.0,
+    max_polls: int | None = None,
+    on_batch: Callable[[pl.BatchResult], None] | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[pl.BatchResult]:
+    """Poll every interval_s: drain until `hasMore` is false (immediate
+    re-poll, consumer.js:34-37), report each batch, sleep, repeat. On a
+    batch error the cursor is simply not advanced (pull_batch's
+    advance-only-on-success), so the next tick retries from the same
+    point (consumer.js:39-42). `max_polls` bounds the loop for tests/cron."""
+    results: list[pl.BatchResult] = []
+    polls = 0
+    while max_polls is None or polls < max_polls:
+        polls += 1
+        try:
+            batch_results = pl.drain(
+                spark, log_dir, consumer, registry, header, lines, model,
+                out_dir, limit=limit,
+            )
+            results.extend(batch_results)
+            if on_batch:
+                for r in batch_results:
+                    on_batch(r)
+        except Exception:
+            # don't advance, don't crash the loop — retry next tick
+            pass
+        if max_polls is not None and polls >= max_polls:
+            break
+        sleep(interval_s)
+    return results

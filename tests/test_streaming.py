@@ -382,3 +382,32 @@ def test_drain_no_loss_no_dup_under_random_limits(spark, base, tmp_path):
     assert delivered == expected
     # exactly-once on disk: one file per invoice (deterministic names)
     assert len(os.listdir(out)) == len(expected)
+
+
+def test_poll_loop_drains_and_retries(spark, base, tmp_path):
+    """§3.2 parity: the polling consumer drains everything on tick 1,
+    finds nothing on tick 2, and picks up new changes on tick 3 — without
+    real sleeping (injected clock)."""
+    from sql_cdc_spark.streaming.consumer import poll_loop
+
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=1, keys=range(0, 12), seed=55)
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    out = str(tmp_path / "docs")
+    slept = []
+
+    r1 = poll_loop(
+        spark, w.log_dir, "p", reg, header, lines, MODEL, out,
+        limit=5, interval_s=1.0, max_polls=2, sleep=slept.append,
+    )
+    n_docs = len(os.listdir(out))
+    assert n_docs > 0
+    assert sum(r.processed for r in r1) == n_docs
+    assert slept == [1.0]  # one sleep between the two polls
+
+    w.append([(cl.HEADER_TABLE, 3, "U")])
+    r2 = poll_loop(
+        spark, w.log_dir, "p", reg, header, lines, MODEL, out,
+        limit=5, interval_s=1.0, max_polls=1, sleep=slept.append,
+    )
+    assert sum(r.processed for r in r2) == 1
