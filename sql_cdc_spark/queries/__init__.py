@@ -41,24 +41,45 @@ def _registry() -> dict[str, QueryEntry]:
     )
 
     reg: dict[str, QueryEntry] = {}
+    # Registry ORDER is part of the driver contract: the driver's
+    # correctness harness checks the FIRST 50 entries only. Modules are
+    # ordered so queries with the least accumulated driver signal come
+    # first (round 1 checked the first 50 and never saw dd_/sim_/txt_/
+    # mm_/scl_ or the two tail evt_ queries); long-green unchanged
+    # rel_/fn_/win_/tpch_ queries rotate to the back.
     for mod in (
+        dedup_q,
+        similarity_q,
+        text_q,
+        multimodal_q,
+        scale_q,
+        events_q,
         cdc_q,
         relational_q,
         tpch_q,
         functions_q,
         windows_q,
-        events_q,
-        text_q,
-        dedup_q,
-        similarity_q,
-        multimodal_q,
-        scale_q,
     ):
         overlap = reg.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         reg.update(mod.QUERIES)
-    return reg
+    # Individually pull changed-this-round queries into the driver window
+    # (position 43+) ahead of their module's long-green siblings.
+    priority = [
+        "fn_string_ops",
+        "win_ntile_quartiles",
+        "rel_anti_join_no_orders",
+        "rel_above_avg_orders",
+    ]
+    ordered = {n: reg[n] for m in (dedup_q, similarity_q, text_q, multimodal_q,
+                                   scale_q, events_q, cdc_q) for n in m.QUERIES}
+    for n in priority:
+        ordered[n] = reg[n]
+    for n, e in reg.items():
+        if n not in ordered:
+            ordered[n] = e
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

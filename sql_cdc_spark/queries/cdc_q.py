@@ -180,6 +180,75 @@ def flagship_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flagship_documents_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of the flagship document query: the nested
+    `lines` array serialized to a JSON string column (`lines_json`), so the
+    result is flat and value-hashable. Line numeric fields are integer-typed
+    (cents) so Spark's Jackson and DuckDB's to_json render byte-identical
+    text — both emit compact ``{"k":v}`` with no float formatting involved.
+
+    Mirrors the reference's FOR JSON PATH serialization step
+    (sqls/storedprocedure.sql:42-52) more literally than the nested variant:
+    the sproc also ships lines as a JSON string, not a typed array.
+    """
+    changes = _all_changes(spark, sf_dir).filter(F.col("change_version") > SINCE_VERSION)
+    latest = cdc.latest_per_key(changes, ["invoice_id"])
+    orders = tables.load(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "invoice_id"
+    )
+    lineitem = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("extprice_cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("discount_pct"),
+    )
+    header = orders.join(F.broadcast(latest), "invoice_id", "inner")
+    docs = assemble_documents(
+        header,
+        lineitem,
+        key_col="invoice_id",
+        header_cols=["invoice_id", "change_version", "o_custkey", "o_totalprice"],
+        line_cols=["l_linenumber", "l_partkey", "qty", "extprice_cents", "discount_pct"],
+        line_order_col="l_linenumber",
+        line_key_col="l_orderkey",
+    )
+    docs = docs.withColumn("lines_json", F.to_json(F.col("lines"))).drop("lines")
+    return cdc.bounded_ordered_batch(docs, BATCH_LIMIT, "change_version", "invoice_id")
+
+
+_FLAGSHIP_DOCS_SQL = f"""
+WITH {_CHANGELOG_CTES},
+latest AS (
+  SELECT invoice_id, MAX(change_version) AS change_version
+  FROM all_changes WHERE change_version > {SINCE_VERSION}
+  GROUP BY invoice_id
+),
+nested AS (
+  SELECT l_orderkey AS invoice_id,
+         to_json(list(struct_pack(
+           l_linenumber := l_linenumber,
+           l_partkey := l_partkey,
+           qty := CAST(l_quantity AS BIGINT),
+           extprice_cents := CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),
+           discount_pct := CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+         ) ORDER BY l_linenumber, l_partkey, CAST(l_quantity AS BIGINT),
+                    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),
+                    CAST(ROUND(l_discount * 100, 0) AS BIGINT)
+         )) AS lines_json
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT a.invoice_id, a.change_version, o.o_custkey, o.o_totalprice,
+       COALESCE(n.lines_json, '[]') AS lines_json
+FROM latest a
+JOIN orders o ON o.o_orderkey = a.invoice_id
+LEFT JOIN nested n ON n.invoice_id = a.invoice_id
+ORDER BY a.change_version, a.invoice_id
+LIMIT {BATCH_LIMIT}
+"""
+
+
 def cdc_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+P2: bounded change-log scan on the events stream table —
     rows with since < version <= watermark. Both predicates push to the
@@ -326,7 +395,10 @@ FROM events
 
 QUERIES: dict[str, QueryEntry] = {
     "cdc_flagship_changed_invoices": QueryEntry(flagship_changed_invoices, _FLAGSHIP_SQL),
-    "cdc_flagship_documents": QueryEntry(flagship_documents, None),
+    # driver-checkable JSON-serialized form (the nested array<struct> form,
+    # flagship_documents, stays for the streaming pipeline + pytest oracle —
+    # the driver's canonicalizer can't hash nested arrays)
+    "cdc_flagship_documents": QueryEntry(flagship_documents_json, _FLAGSHIP_DOCS_SQL),
     "cdc_changes_scan": QueryEntry(cdc_changes_scan, _CHANGES_SCAN_SQL),
     "cdc_keyset_resume": QueryEntry(cdc_keyset_resume, _KEYSET_SQL),
     "cdc_latest_event_per_user": QueryEntry(cdc_latest_event_per_user, _LATEST_EVENT_SQL),
