@@ -61,8 +61,16 @@ def salted_join(
     an n_salt× dim replication — the classic trade when the dim is too big
     to broadcast but far smaller than the fact.
 
-    Column contract matches df.join(dim, key, how): one key column, then
-    fact columns, then dim columns."""
+    Only ``inner`` and ``left`` (outer-on-the-fact-side) are supported:
+    those are the joins whose semantics survive dim replication. Any
+    right/full/semi/anti variant would emit each unmatched dim row once
+    per salt value (n_salt× duplication) — callers needing those must use
+    the unsalted join (or swap sides so the skewed side is the fact)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}: "
+            "dim-side replication breaks right/full/semi/anti semantics"
+        )
     salted_fact = fact.withColumn("__salt", (F.rand(seed=42) * n_salt).cast("int"))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

@@ -213,46 +213,56 @@ def pull_batch(
     batch = cdc.bounded_ordered_batch(
         resumable, limit, "change_version", "invoice_id"
     )
-    docs = _assemble(header, lines, batch, model).cache()
-    rows = docs.select("invoice_id", "change_version").orderBy(
+    # The cursor advances over the PRE-JOIN batch: a batched key with no
+    # header row (deleted invoice, op='D') produces no document, but it is
+    # still consumed — otherwise a log tail of dropped keys would never
+    # advance the cursor and every future poll would re-scan it forever.
+    # has_more likewise derives from the pre-join count, so a batch made
+    # entirely of dropped keys keeps drain() moving. (The reference sproc
+    # limits AFTER joining InvoiceHeader, sqls/storedprocedure.sql:35,55-56,
+    # so its deleted keys never enter the batch; advancing past them here
+    # is the equivalent no-starvation guarantee.)
+    batch = batch.cache()
+    batch_rows = batch.select("invoice_id", "change_version").orderBy(
         "change_version", "invoice_id"
     ).collect()
     stage_ms["query"] = (time.time() - t1) * 1000
 
-    processed = len(rows)
-    if processed == 0:
-        docs.unpersist()
+    batch_count = len(batch_rows)
+    if batch_count == 0:
+        batch.unpersist()
         return BatchResult(
             consumer, state.last_sync_version, to_version, 0, False,
             state.last_sync_version, state.last_processed_id, stage_ms,
         )
 
+    docs = _assemble(header, lines, batch, model)
     t2 = time.time()
     if fail_sink:
-        docs.unpersist()
+        batch.unpersist()
         raise OSError("injected sink failure")
     written = write_documents(docs, out_dir)
     stage_ms["sink"] = (time.time() - t2) * 1000
 
-    # advance to the LAST row of the version-ordered batch (server.js:235-249)
+    # advance to the LAST row of the version-ordered pre-join batch
+    # (server.js:235-249) — only reached when the sink succeeded
     t3 = time.time()
-    last = rows[-1]
-    if written > 0:
-        registry.advance(consumer, last.change_version, last.invoice_id)
+    last = batch_rows[-1]
+    registry.advance(consumer, last.change_version, last.invoice_id)
     stage_ms["update_state"] = (time.time() - t3) * 1000
-    docs.unpersist()
+    batch.unpersist()
 
     total_s = time.time() - t0
     return BatchResult(
         consumer=consumer,
         from_version=state.last_sync_version,
         to_version=to_version,
-        processed=processed,
-        has_more=processed == limit,
+        processed=written,
+        has_more=batch_count == limit,
         last_version=last.change_version,
         last_id=last.invoice_id,
         stage_ms=stage_ms,
-        docs_per_second=processed / total_s if total_s > 0 else 0.0,
+        docs_per_second=written / total_s if total_s > 0 else 0.0,
     )
 
 
@@ -365,7 +375,11 @@ def expire_changelog(
     """Change-retention cleanup (T9, setup-invoice-db.sql:70-72's 3-day
     auto-cleanup): drop change rows below min_version. Consumers whose
     cursor is older than min_version must reset — same constraint the
-    reference documents. Rewrites the log atomically (new dir + swap).
+    reference documents. Rewrites the log atomically: the compacted copy is
+    staged in a sibling directory (same filesystem, so both os.replace
+    calls are atomic renames — never EXDEV), and the ``.expired`` backup of
+    the old log is deleted only after the new log is in place, so a crash
+    at any point leaves either the old or the new log recoverable.
     Returns rows retained."""
     import shutil
     import tempfile
@@ -375,7 +389,8 @@ def expire_changelog(
     kept = cl.read_changelog(spark, log_dir).filter(
         F.col("change_version") >= min_version
     )
-    tmp = tempfile.mkdtemp(prefix="changelog_compact_")
+    parent = os.path.dirname(os.path.abspath(log_dir.rstrip("/")))
+    tmp = tempfile.mkdtemp(prefix="changelog_compact_", dir=parent)
     new_dir = os.path.join(tmp, "log")
     kept.write.parquet(new_dir)
     n = spark.read.parquet(new_dir).count()
@@ -383,7 +398,12 @@ def expire_changelog(
     if os.path.exists(old):
         shutil.rmtree(old)
     os.replace(log_dir, old)
-    os.replace(new_dir, log_dir)
+    try:
+        os.replace(new_dir, log_dir)
+    except OSError:
+        # roll the old log back so the path never dangles
+        os.replace(old, log_dir)
+        raise
     shutil.rmtree(old)
     shutil.rmtree(tmp, ignore_errors=True)
     return int(n)

@@ -1,0 +1,26 @@
+"""Contract guards on operators whose misuse silently corrupts results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_cdc_spark.operators.skew import salted_agg, salted_join
+
+
+def test_salted_join_rejects_replication_breaking_how(spark):
+    df = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    for how in ("right", "full", "outer", "left_semi", "left_anti", "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, dim, "k", how=how)
+
+
+def test_salted_join_matches_unsalted_inner_and_left(spark):
+    fact = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("d"))
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "k", n_salt=4, how=how)
+        want = fact.join(dim, "k", how)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -411,3 +411,87 @@ def test_poll_loop_drains_and_retries(spark, base, tmp_path):
         limit=5, interval_s=1.0, max_polls=1, sleep=slept.append,
     )
     assert sum(r.processed for r in r2) == 1
+
+
+def test_header_missing_keys_do_not_stall_or_starve(spark, base, tmp_path):
+    """Regression (round-2 verdict #1): batched keys absent from the header
+    (deleted invoices) must neither starve later deliverable keys nor leave
+    the cursor stuck re-scanning an all-dropped log tail. The cursor
+    advances over the PRE-JOIN batch; has_more derives from its count."""
+    header, lines = base
+    present = [r.o_orderkey for r in header.select("o_orderkey").orderBy("o_orderkey").limit(4).collect()]
+    w = cl.ChangeLogWriter(spark, str(tmp_path / "changelog"))
+    # low versions: keys with NO header row — every small batch hits them first
+    w.append([(cl.HEADER_TABLE, 990000 + i, "D") for i in range(6)])
+    # middle: deliverable keys
+    w.append([(cl.HEADER_TABLE, k, "U") for k in present])
+    # tail: all-missing again (the permanent-re-scan case)
+    w.append([(cl.HEADER_TABLE, 990100 + i, "D") for i in range(4)])
+
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    out = str(tmp_path / "docs")
+    results = pl.drain(spark, w.log_dir, "c", reg, header, lines, MODEL, out, limit=3)
+
+    delivered = {int(f.split("_v")[0]) for f in os.listdir(out)}
+    assert delivered == set(present), "dropped keys ate batch slots"
+    # the cursor sits at the global high-watermark: the all-missing tail was
+    # consumed, so the next pull is empty and re-scans nothing
+    hw = cl.current_version(spark, w.log_dir)
+    assert reg.read("c").last_sync_version == hw
+    res = pl.pull_batch(spark, w.log_dir, "c", reg, header, lines, MODEL, out, limit=3)
+    assert res.processed == 0 and res.has_more is False
+
+
+def test_expire_changelog_stages_on_same_filesystem(spark, base, tmp_path, monkeypatch):
+    """The compacted log must be staged in a sibling directory of the log
+    (same filesystem) so the final os.replace is an atomic rename, and no
+    .expired backup or staging dir may survive a successful swap."""
+    import tempfile as _tf
+
+    staged_dirs = []
+    real_mkdtemp = _tf.mkdtemp
+
+    def spy_mkdtemp(*args, **kwargs):
+        staged_dirs.append(kwargs.get("dir"))
+        return real_mkdtemp(*args, **kwargs)
+
+    monkeypatch.setattr(_tf, "mkdtemp", spy_mkdtemp)
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=2, keys=range(0, 10), seed=47)
+    hw = cl.current_version(spark, w.log_dir)
+    kept = pl.expire_changelog(spark, w.log_dir, hw // 2)
+    assert staged_dirs and staged_dirs[0] == os.path.dirname(os.path.abspath(w.log_dir.rstrip("/")))
+    assert cl.read_changelog(spark, w.log_dir).count() == kept
+    parent = os.path.dirname(w.log_dir.rstrip("/"))
+    leftovers = [d for d in os.listdir(parent) if ".expired" in d or "changelog_compact_" in d]
+    assert leftovers == []
+
+
+def test_poll_loop_reports_errors_and_bounds_failures(spark, base, tmp_path):
+    """Regression (round-2 verdict #3): poll_loop must surface every batch
+    error through on_error and abort after max_consecutive_failures instead
+    of spinning silently forever."""
+    from sql_cdc_spark.streaming.consumer import poll_loop
+
+    header, lines = base
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    missing_log = str(tmp_path / "no_such_log")
+    errors = []
+
+    # bounded polls < failure bound: errors reported, loop ends normally
+    out = poll_loop(
+        spark, missing_log, "p", reg, header, lines, MODEL,
+        str(tmp_path / "docs"), max_polls=2, max_consecutive_failures=5,
+        on_error=errors.append, sleep=lambda _s: None,
+    )
+    assert out == [] and len(errors) == 2
+
+    # unbounded polls: the consecutive-failure bound aborts the loop
+    errors.clear()
+    with pytest.raises(RuntimeError, match="consecutive failed ticks"):
+        poll_loop(
+            spark, missing_log, "p", reg, header, lines, MODEL,
+            str(tmp_path / "docs"), max_polls=10, max_consecutive_failures=3,
+            on_error=errors.append, sleep=lambda _s: None,
+        )
+    assert len(errors) == 3
