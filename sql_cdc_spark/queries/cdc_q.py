@@ -190,6 +190,12 @@ def flagship_documents_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors the reference's FOR JSON PATH serialization step
     (sqls/storedprocedure.sql:42-52) more literally than the nested variant:
     the sproc also ships lines as a JSON string, not a typed array.
+
+    Parity constraint: Spark's to_json OMITS null struct fields while
+    DuckDB's to_json emits "key":null, so byte-identical lines_json holds
+    only while every line column is non-null — true for the TPC-H lineitem
+    columns used here. Adding a nullable line column requires coalescing
+    it to a sentinel on BOTH sides first.
     """
     changes = _all_changes(spark, sf_dir).filter(F.col("change_version") > SINCE_VERSION)
     latest = cdc.latest_per_key(changes, ["invoice_id"])
@@ -200,7 +206,10 @@ def flagship_documents_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        F.col("l_quantity").cast("long").alias("qty"),
+        # round-then-cast so Spark and the oracle's CAST(l_quantity AS
+        # BIGINT) share one rounding rule even for non-integral quantities
+        # (bare cast("long") truncates; DuckDB CAST rounds to nearest)
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("extprice_cents"),
         F.round(F.col("l_discount") * 100).cast("long").alias("discount_pct"),
     )
@@ -315,7 +324,11 @@ def cdc_net_changes_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = ev.groupBy("user_id").agg(
         F.max("event_id").alias("last_version"),
         F.count(F.lit(1)).alias("n_changes"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # cents-exact sum: per-row integer cents → bigint SUM → divide
+        # (CLAUDE.md hard rule for fractional-double sums over large groups)
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
     )
     return (
         latest.join(
@@ -336,7 +349,7 @@ _NET_CHANGES_SQL = """
 SELECT e.user_id, e.last_version, e.n_changes, e.total_value, c.c_name, c.c_mktsegment
 FROM (
   SELECT user_id, MAX(event_id) AS last_version, COUNT(*) AS n_changes,
-         ROUND(SUM(value), 2) AS total_value
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
   FROM events GROUP BY user_id
 ) e JOIN customer c ON e.user_id = c.c_custkey
 """

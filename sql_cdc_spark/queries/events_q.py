@@ -44,7 +44,12 @@ def evt_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # cents-exact: round per-row to integer cents, SUM as bigint,
+            # divide — double-summation order can drift past 2dp on large
+            # groups and varies run-to-run (CLAUDE.md hard rule)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "total_value"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -61,7 +66,7 @@ SELECT make_timestamp(epoch_us(ts) // {_HOUR_US} * {_HOUR_US}) AS window_start,
        make_timestamp(epoch_us(ts) // {_HOUR_US} * {_HOUR_US} + {_HOUR_US}) AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS total_value
 FROM events
 GROUP BY 1, 2, 3
 """
@@ -115,7 +120,10 @@ def evt_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # cents-exact sum (see evt_tumbling_hourly)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "session_value"
+            ),
         )
         .select(
             "user_id",
@@ -146,7 +154,7 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 2) AS session_value
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS session_value
 FROM numbered
 GROUP BY user_id, session_id
 """
@@ -162,7 +170,10 @@ def evt_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
-            F.round(F.sum("value"), 2).alias("day_value"),
+            # cents-exact sum (see evt_tumbling_hourly)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "day_value"
+            ),
         )
         .select(
             F.col("w.start").alias("day_start"),
@@ -179,7 +190,7 @@ SELECT {_DAY_FLOOR_SQL} AS day_start,
        user_id,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types,
-       ROUND(SUM(value), 2) AS day_value
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0 AS day_value
 FROM events
 GROUP BY 1, 2
 """

@@ -167,9 +167,11 @@ FROM events
 def fn_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12+F13+F14: endsWith filter, regexp_replace, split, CASE-WHEN
     banding (the duration pretty-printer shape, invoice-api/server.js:55-59),
-    and coalesce/nullif."""
+    and coalesce/nullif. The filter suffix 'E' matches the synthetic part
+    table's LARGE type (~1/6 of rows) so the gate compares real rows —
+    an empty-vs-empty green verifies nothing."""
     part = tables.load(spark, sf_dir, "part")
-    return part.filter(F.col("p_type").endswith("STEEL")).select(
+    return part.filter(F.col("p_type").endswith("E")).select(
         "p_partkey",
         F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
         F.size(F.split("p_type", " ")).alias("type_words"),
@@ -192,7 +194,7 @@ SELECT p_partkey,
             ELSE 'premium' END AS price_band,
        COALESCE(NULLIF(p_brand, 'Brand#00'), 'UNKNOWN') AS brand_or_unknown
 FROM part
-WHERE p_type LIKE '%STEEL'
+WHERE p_type LIKE '%E'
 """
 
 QUERIES: dict[str, QueryEntry] = {

@@ -174,17 +174,25 @@ WHERE EXISTS (SELECT 1 FROM orders o
 
 
 def rel_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 complement: left-anti join — customers with no orders at all."""
+    """J5 complement: left-anti join — customers with no large (>400k)
+    order. The synthetic data gives every customer at least one order, so
+    an unpredicated anti-join would green on empty-vs-empty and verify
+    nothing; the price predicate leaves ~13% of customers unmatched."""
     cust = tables.load(spark, sf_dir, "customer")
-    orders = tables.load(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    big = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_mktsegment"
     )
 
 
 _ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name, c_mktsegment FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
 """
 
 
@@ -352,20 +360,23 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def rel_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery extension: orders above the global average price —
-    the scalar aggregate is broadcast as a 1-row join (no driver collect)."""
+    """Scalar-subquery extension: orders at least 1.5× the global average
+    price — the scalar aggregate is broadcast as a 1-row join (no driver
+    collect). 1.5× matches ~25% of the synthetic orders (prices are
+    ~uniform below 500k, so 2× the ~250k average matched nothing and the
+    gate compared empty to empty)."""
     orders = tables.load(spark, sf_dir, "orders")
     avg_price = orders.agg(F.avg("o_totalprice").alias("__avg"))
     return (
         orders.crossJoin(F.broadcast(avg_price))
-        .filter(F.col("o_totalprice") > F.col("__avg") * 2)
+        .filter(F.col("o_totalprice") > F.col("__avg") * 1.5)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
 
 
 _ABOVE_AVG_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 2
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.5
 """
 
 def rel_cube_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
