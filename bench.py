@@ -53,7 +53,6 @@ def cdc_pipeline_throughput(spark, sf_dir: str) -> dict:
     import time as _t
 
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from sql_cdc_spark import tables
     from sql_cdc_spark.streaming import changelog as cl
@@ -73,10 +72,10 @@ def cdc_pipeline_throughput(spark, sf_dir: str) -> dict:
             .select(
                 F.lit(cl.HEADER_TABLE).alias("table_name"),
                 F.col("o_orderkey").alias("key_id"),
-                F.row_number()
-                .over(Window.orderBy("o_orderkey"))
-                .cast("long")
-                .alias("change_version"),
+                # the key doubles as the version: versions only need to be
+                # ordered, not dense — a global row_number window would
+                # single-task the whole generator
+                F.col("o_orderkey").cast("long").alias("change_version"),
                 F.lit("I").alias("op"),
                 F.current_timestamp().alias("ts"),
             )

@@ -123,14 +123,71 @@ FROM events
 """
 
 
+N_RANGE_BUCKETS = 32
+
+
 def win_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile over a total ordering (value + unique key tiebreaker)."""
-    orders = tables.load(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return orders.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.ntile(4).over(w).alias("price_quartile"),
+    """ntile(4) over a total ordering (value + unique key tiebreaker) —
+    computed WITHOUT a partition-less window. ``F.ntile().over(W.orderBy)``
+    plans as a single-partition WindowExec: the whole table sorts in one
+    task, a scale-killer at 100 TB. Instead:
+
+    1. approximate percentile boundaries split the value domain into
+       N_RANGE_BUCKETS balanced ranges (one pass, tiny driver result);
+    2. per-bucket row counts give each bucket's global rank offset
+       (second pass, ≤ N_RANGE_BUCKETS rows to the driver);
+    3. global rank = offset + row_number over a window PARTITIONED by
+       bucket — every partition sorts independently;
+    4. the exact NTILE bucket follows from (rank, total) arithmetic:
+       the first n%4 quartiles hold floor(n/4)+1 rows, the rest floor(n/4).
+
+    Rows equal to a boundary value land in one bucket (strict >), so
+    bucket ranges never interleave and offset+local-rank is the exact
+    global rank. Matches SQL NTILE bit-for-bit, shuffles once on the
+    bucket key, and no task ever sees more than ~1/N_RANGE_BUCKETS of
+    the table."""
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    probs = [i / N_RANGE_BUCKETS for i in range(1, N_RANGE_BUCKETS)]
+    bounds = sorted(
+        set(
+            orders.agg(
+                F.percentile_approx("o_totalprice", probs, 10_000).alias("b")
+            ).first()["b"]
+        )
+    )
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("o_totalprice") > F.lit(float(b))).cast("int")
+    ranged = orders.withColumn("__bucket", bucket)
+    counts = {
+        r["__bucket"]: r["n"]
+        for r in ranged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets, acc = {}, 0
+    for bkt in range(len(bounds) + 1):
+        offsets[bkt] = acc
+        acc += counts.get(bkt, 0)
+    off_map = F.create_map(
+        *[
+            lit
+            for bkt in range(len(bounds) + 1)
+            for lit in (F.lit(bkt), F.lit(offsets[bkt]))
+        ]
+    )
+    w = W.partitionBy("__bucket").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    rank0 = F.element_at(off_map, F.col("__bucket")) + F.row_number().over(w) - 1
+    s, r = divmod(n_total, 4)
+    big = r * (s + 1)  # rows covered by the r larger quartiles
+    quartile = (
+        F.when(rank0 < big, F.floor(rank0 / (s + 1)))
+        .otherwise(r + F.floor((rank0 - big) / max(s, 1)))
+        + 1
+    )
+    return ranged.select(
+        "o_orderkey", "o_totalprice", quartile.cast("int").alias("price_quartile")
     )
 
 

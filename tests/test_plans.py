@@ -62,6 +62,24 @@ def test_dim_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_no_partitionless_window_anywhere(spark):
+    """A WindowExec with no PARTITION BY funnels the whole input into one
+    task (Spark warns 'No Partition Defined for Window operation') — a
+    100 TB scale-killer. Physical-plan signature: a Window node whose
+    child exchange is `Exchange SinglePartition`. Global scalar aggregates
+    also use SinglePartition exchanges, so only flag ones feeding Window."""
+    for name in entry.queries():
+        plan = _plan(spark, name)
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window " not in line:
+                continue
+            for follow in lines[i + 1 : i + 4]:
+                assert "Exchange SinglePartition" not in follow, (
+                    f"{name} plans a partition-less window:\n{line}\n{follow}"
+                )
+
+
 def test_bounded_batch_is_take_ordered(spark):
     """O1 must plan as TakeOrderedAndProject (per-partition heaps), not a
     global sort followed by a limit."""
