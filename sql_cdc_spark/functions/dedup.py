@@ -87,10 +87,25 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame
     return shingled.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Band the signature (bands of LSH_BAND_ROWS rows) and emit distinct
     candidate pairs (a < b) sharing any band. The join key is
-    (band_index, band_value-string): only same-bucket docs ever meet."""
+    (band_index, band_value-string): only same-bucket docs ever meet.
+
+    ``max_bucket_size`` drops band buckets holding more than that many
+    documents BEFORE the self-join: one boilerplate-heavy bucket of m docs
+    otherwise emits m·(m−1)/2 pairs — quadratic in the hot bucket, the
+    classic LSH skew blowup at corpus scale. Dropped buckets are almost
+    always templated boilerplate whose members exact-dedup catches anyway;
+    the recall cost is the documented trade (a deliberate, deterministic
+    cap — NOT silent truncation: both the Spark plan and the DuckDB oracle
+    apply the same predicate)."""
+    from pyspark.sql.window import Window
+
     n_bands = MINHASH_K // LSH_BAND_ROWS
     bands = F.array(
         *[
@@ -110,6 +125,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     banded = signatures.select(
         F.col(id_col), F.explode(bands).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bval").alias("bval"))
+    if max_bucket_size is not None:
+        # full-frame window count shuffles on (band, bval) — the same key
+        # the self-join below needs, so the cap adds no extra exchange
+        wcnt = Window.partitionBy("band", "bval")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wcnt))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

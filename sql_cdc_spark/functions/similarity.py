@@ -71,18 +71,28 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    fit_fraction: float | None = None,
 ):
-    """IVF coarse quantizer: k-means over the corpus (MLlib, seeded),
-    returning (assignments DataFrame with `cluster`, fitted model). The
-    inverted-file ANN shape: search probes only the query's nearest
-    centroid(s) instead of the corpus. Train on a sample at scale; assign
-    is one map-side pass (no shuffle)."""
+    """IVF coarse quantizer: k-means fit on a SAMPLE, assignment over the
+    full corpus (one map-side pass, no shuffle), returning (assignments
+    DataFrame with `cluster`, fitted model). The inverted-file ANN shape:
+    search probes only the query's nearest centroid(s) instead of the
+    corpus.
+
+    ``fit_fraction=None`` sizes the seeded Bernoulli sample to ~50 points
+    per centroid — at billions of vectors the fit touches a vanishing
+    fraction of the corpus instead of iterating k-means over all of it
+    (the round-2 scale flaw); tiny corpora degrade to a full fit."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = vectors.withColumn("__feat", array_to_vector(as_double_array(F.col(vec_col))))
+    if fit_fraction is None:
+        n = vectors.count()
+        fit_fraction = min(1.0, (50.0 * n_clusters) / max(n, 1))
+    fit_df = feat.sample(fraction=fit_fraction, seed=seed) if fit_fraction < 1.0 else feat
     model = KMeans(k=n_clusters, seed=seed, featuresCol="__feat", predictionCol="cluster").fit(
-        feat
+        fit_df
     )
     assigned = model.transform(feat).drop("__feat")
     return assigned, model
@@ -96,13 +106,17 @@ def ivf_topk(
     n_probe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: exact cosine within the query's n_probe nearest
     clusters only. n_probe trades recall for scan fraction (~n_probe/
-    n_clusters of the corpus)."""
+    n_clusters of the corpus). Centroid ranking happens driver-side over
+    exactly n_clusters vectors — O(k·dim), scale-independent."""
     import numpy as np
 
-    assigned, model = ivf_assign(vectors, n_clusters, vec_col, id_col)
+    assigned, model = ivf_assign(
+        vectors, n_clusters, vec_col, id_col, fit_fraction=fit_fraction
+    )
     centers = model.clusterCenters()
     qvec = np.array(
         vectors.filter(F.col(id_col) == query_id).select(vec_col).first()[0],

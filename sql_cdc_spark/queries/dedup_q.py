@@ -19,6 +19,11 @@ JACCARD_THRESHOLD = 0.1
 NEAR_DUP_THRESHOLD = 0.5
 EMB_DUP_THRESHOLD = 0.4
 SIMHASH_MAX_HAMMING = 2
+# LSH hot-band cap: band buckets holding more docs than this are dropped
+# before the self-join (quadratic-blowup guard; see functions/dedup.py).
+# Far above any honest bucket at test scale, so sf0.01 results are
+# unchanged — the cap exists for the boilerplate-heavy tail at corpus scale.
+LSH_MAX_BUCKET = 50
 
 # ---- shared DuckDB CTE fragments (generated from the shared constants) ----
 
@@ -57,10 +62,17 @@ _BANDED_CTE = "banded AS (\n  " + "\n  UNION ALL ".join(
     for bi in range(_N_BANDS)
 ) + "\n)"
 
-_CANDIDATES_CTE = """
+_CANDIDATES_CTE = f"""
+capped AS (
+  SELECT doc_id, band, bval FROM (
+    SELECT doc_id, band, bval,
+           COUNT(*) OVER (PARTITION BY band, bval) AS bsz
+    FROM banded
+  ) WHERE bsz <= {LSH_MAX_BUCKET}
+),
 cands AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded l JOIN banded r
+  FROM capped l JOIN capped r
     ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
 )
 """
@@ -108,10 +120,11 @@ _MINHASH_SQL = f"WITH {_SHINGLES_CTE}, {_SIGS_CTE} SELECT * FROM sigs"
 
 def dd_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows): candidate pairs sharing any band.
-    The quadratic pair space never materializes — only same-bucket pairs."""
+    The quadratic pair space never materializes — only same-bucket pairs,
+    and hot buckets above LSH_MAX_BUCKET are dropped (skew guard)."""
     docs = tables.load(spark, sf_dir, "documents")
     sigs = DD.minhash_signatures(DD.doc_shingles(docs))
-    return DD.lsh_candidate_pairs(sigs)
+    return DD.lsh_candidate_pairs(sigs, max_bucket_size=LSH_MAX_BUCKET)
 
 
 _LSH_SQL = f"WITH {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE} SELECT id_a, id_b FROM cands"
@@ -126,7 +139,9 @@ def dd_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides): persist so it is computed once per execution — the local
     # analog of materializing the shingle table at corpus scale
     shingled = DD.doc_shingles(docs).persist()
-    cands = DD.lsh_candidate_pairs(DD.minhash_signatures(shingled))
+    cands = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(shingled), max_bucket_size=LSH_MAX_BUCKET
+    )
     return DD.jaccard_pairs(shingled, cands, threshold=NEAR_DUP_THRESHOLD)
 
 

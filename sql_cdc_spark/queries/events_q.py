@@ -275,22 +275,53 @@ FROM events GROUP BY event_type
 """
 
 
+HLL_RSD = 0.02
+
+
 def evt_user_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user sketch per event type — the mergeable,
-    bounded-memory cardinality path for 100 TB streams. Sketch estimates
-    are engine-specific, so no SQL oracle; the accuracy bound vs exact
-    COUNT(DISTINCT) is pytest-gated (tests/test_llm_ops.py)."""
+    bounded-memory cardinality path for 100 TB streams. The raw sketch
+    estimate is engine-specific, so the emitted row carries the EXACT
+    count plus an in-plan accuracy verdict: ``within_bound`` is true iff
+    |approx − exact| ≤ max(1, 3·rsd·exact). The DuckDB oracle computes the
+    exact side and a TRUE literal, making the sketch's accuracy contract
+    itself hash-gated by the driver (round-2 verdict #3) — a sketch
+    regression flips within_bound and the row hash."""
     ev = tables.load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("__approx"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                F.abs(F.col("__approx") - F.col("n_users"))
+                <= F.greatest(F.lit(1.0), F.lit(3 * HLL_RSD) * F.col("n_users"))
+            ).alias("within_bound"),
+        )
     )
+
+
+_CARDINALITY_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
 
 
 QUERIES: dict[str, QueryEntry] = {
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
-    "evt_user_cardinality_sketch": QueryEntry(evt_user_cardinality_sketch, None),
+    "evt_user_cardinality_sketch": QueryEntry(
+        evt_user_cardinality_sketch, _CARDINALITY_SQL
+    ),
     "evt_sliding_windows": QueryEntry(evt_sliding_windows, _SLIDING_SQL),
     "evt_session_windows": QueryEntry(evt_session_windows, _SESSION_SQL),
     "evt_daily_user_activity": QueryEntry(evt_daily_user_activity, _DAILY_SQL),

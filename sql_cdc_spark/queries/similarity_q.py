@@ -161,13 +161,38 @@ LIMIT {TOP_K}
 """
 
 
+IVF_N_PROBE = 4
+IVF_RECALL_BOUND = 0.3  # measured 0.5 at sf0.01 (deterministic: seeded fit)
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (seeded MLlib), exact cosine in
-    the query's nearest cluster only. Not SQL-expressible (k-means), so
-    the driver records the rows-only check; recall and membership
-    properties are pytest-gated in tests/test_llm_ops.py."""
+    """IVF ANN with a hash-gated accuracy contract. The k-means result
+    itself is not SQL-expressible, so the emitted row is the CONTRACT, not
+    the neighbor list: recall@k of the IVF search vs the exact brute-force
+    top-k, computed in-plan (left-semi join of the two id sets), plus the
+    boolean ``recall_ok`` (≥ IVF_RECALL_BOUND). The oracle emits the
+    expected literals, so a quantizer/probe regression flips recall_ok and
+    fails the driver hash (round-2 verdict #3). Membership/self-retrieval
+    properties remain pytest-gated in tests/test_llm_ops.py.
+
+    The synthetic embeddings are uniform random (no cluster structure), so
+    recall tracks the scanned fraction: n_probe=4 of 16 centroids scans
+    ~1/4 of the corpus and measures 0.5 recall@10 at sf0.01."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(emb, query_id=QUERY_VEC_ID, k=TOP_K)
+    ivf = SIM.ivf_topk(emb, query_id=QUERY_VEC_ID, k=TOP_K, n_probe=IVF_N_PROBE)
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding")
+    exact = SIM.topk_cosine(emb, query, k=TOP_K)
+    hits = ivf.select("vec_id").join(exact.select("vec_id"), "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("__n_hits")).select(
+        F.lit(TOP_K).alias("k"),
+        F.lit(IVF_N_PROBE).alias("n_probe"),
+        (F.col("__n_hits") / TOP_K >= IVF_RECALL_BOUND).alias("recall_ok"),
+    )
+
+
+_IVF_SQL = f"""
+SELECT {TOP_K} AS k, {IVF_N_PROBE} AS n_probe, TRUE AS recall_ok
+"""
 
 
 QUERIES: dict[str, QueryEntry] = {
@@ -175,5 +200,5 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),
     "sim_bucketed_topk": QueryEntry(sim_bucketed_topk, _bucketed_topk_sql()),
     "sim_multiprobe_topk": QueryEntry(sim_multiprobe_topk, _multiprobe_sql()),
-    "sim_ivf_topk": QueryEntry(sim_ivf_topk, None),
+    "sim_ivf_topk": QueryEntry(sim_ivf_topk, _IVF_SQL),
 }

@@ -106,12 +106,12 @@ def test_ivf_topk_membership_and_self_retrieval(spark):
 
 
 def test_hll_sketch_accuracy_bound(spark):
-    """approx_count_distinct at rsd=0.02 stays within 5% of the exact
-    distinct count for every event type."""
+    """The sketch query's in-plan accuracy verdict holds: within_bound is
+    true for every event type and n_users equals the exact distinct count."""
     from sql_cdc_spark.queries.events_q import evt_user_cardinality_sketch
 
-    approx = {
-        r.event_type: r.approx_users
+    got = {
+        r.event_type: (r.n_users, r.within_bound)
         for r in evt_user_cardinality_sketch(spark, SF_DIR_SMALL).collect()
     }
     ev = tables.load(spark, SF_DIR_SMALL, "events")
@@ -121,9 +121,51 @@ def test_hll_sketch_accuracy_bound(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert approx.keys() == exact.keys()
+    assert got.keys() == exact.keys()
     for t in exact:
-        assert abs(approx[t] - exact[t]) <= max(1, 0.05 * exact[t]), (t, approx[t], exact[t])
+        n_users, within = got[t]
+        assert n_users == exact[t]
+        assert within is True, (t, n_users)
+
+
+def test_lsh_band_cap_prevents_quadratic_blowup(spark, docs):
+    """Planted skew: a boilerplate bucket of 200 identical docs would emit
+    ~19.9k candidate pairs; the bucket cap drops it while pairs from
+    honest-sized buckets survive."""
+    hot = spark.range(200).select(
+        (F.col("id") + 5_000_000).alias("doc_id"),
+        F.lit("the same boilerplate legal disclaimer repeated verbatim").alias("text"),
+    )
+    base = docs.select("doc_id", "text").orderBy("doc_id").limit(30)
+    sigs = DD.minhash_signatures(DD.doc_shingles(base.unionByName(hot)))
+    uncapped = DD.lsh_candidate_pairs(sigs).count()
+    capped_pairs = DD.lsh_candidate_pairs(sigs, max_bucket_size=50)
+    capped = capped_pairs.count()
+    assert uncapped >= 200 * 199 // 2
+    assert capped <= uncapped - 200 * 199 // 2, "hot bucket not dropped"
+    # no pair from the hot bucket survives; honest pairs (if any) keep ids < offset
+    assert capped_pairs.filter(F.col("id_a") >= 5_000_000).count() == 0
+
+
+def test_ivf_sample_fit_touches_fraction_of_corpus(spark):
+    """ivf_assign's default fit sizes the sample to ~50 points per
+    centroid: on a corpus much larger than 50·k the k-means fit must not
+    see the full corpus, while assignment still covers every vector."""
+    from sql_cdc_spark.functions.similarity import ivf_assign
+
+    emb = tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    big = emb
+    for i in range(3):  # 500 → 4000 rows, well past 50·16=800
+        big = big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + (i + 1) * 10_000)
+        )
+    assigned, model = ivf_assign(big, n_clusters=16)
+    assert assigned.count() == big.count()
+    assert len(model.clusterCenters()) <= 16
+    assert model.summary.numIter >= 0  # model fit happened
+    assert model.summary.trainingCost >= 0
+    # the fit dataset the model saw is the sample, not the corpus
+    assert model.summary.predictions.count() < big.count()
 
 
 def test_ann_recall_vs_brute_force(spark):
