@@ -42,40 +42,54 @@ def _registry() -> dict[str, QueryEntry]:
 
     reg: dict[str, QueryEntry] = {}
     # Registry ORDER is part of the driver contract: the driver's
-    # correctness harness checks the FIRST 50 entries only. Modules are
-    # ordered so queries with the least accumulated driver signal come
-    # first (round 1 checked the first 50 and never saw dd_/sim_/txt_/
-    # mm_/scl_ or the two tail evt_ queries); long-green unchanged
-    # rel_/fn_/win_/tpch_ queries rotate to the back.
+    # correctness harness checks the FIRST 50 entries only. Round-3
+    # rotation: the rel_/fn_/win_/tpch_ modules (green in r1, rotated OUT
+    # of the r2 window, stalest signal) come back first — they also hold
+    # most of this round's edits (de-trivialized predicates, two-phase
+    # ntile, the new view-rollup query). The r2-green dd_/sim_/txt_/mm_/
+    # scl_ families rotate to the back.
     for mod in (
+        relational_q,
+        functions_q,
+        windows_q,
+        tpch_q,
+        events_q,
+        cdc_q,
         dedup_q,
         similarity_q,
         text_q,
         multimodal_q,
         scale_q,
-        events_q,
-        cdc_q,
-        relational_q,
-        tpch_q,
-        functions_q,
-        windows_q,
     ):
         overlap = reg.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         reg.update(mod.QUERIES)
-    # Individually pull changed-this-round queries into the driver window
-    # (position 43+) ahead of their module's long-green siblings.
+    # Pull the queries CHANGED this round that live in back modules into
+    # the window right after the four front modules (position 37+): every
+    # touched query must be driver-checked the round it changes.
     priority = [
-        "fn_string_ops",
-        "win_ntile_quartiles",
-        "rel_anti_join_no_orders",
-        "rel_above_avg_orders",
+        "evt_tumbling_hourly",           # cents-exact sum
+        "evt_session_windows",           # cents-exact sum
+        "evt_daily_user_activity",       # cents-exact sum
+        "evt_user_cardinality_sketch",   # new within_bound oracle
+        "cdc_net_changes_enriched",      # cents-exact sum
+        "cdc_flagship_documents",        # qty round-then-cast
+        "sim_ivf_topk",                  # new recall_ok oracle
+        "dd_lsh_candidate_pairs",        # hot-band cap
+        "dd_near_dup_pairs",             # hot-band cap
     ]
-    ordered = {n: reg[n] for m in (dedup_q, similarity_q, text_q, multimodal_q,
-                                   scale_q, events_q, cdc_q) for n in m.QUERIES}
+    front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
+             for n in m.QUERIES}
+    ordered = dict(front)
     for n in priority:
+        # a priority name already emitted by a front module would keep its
+        # old dict position and silently no-op the intended placement
+        assert n not in ordered, f"priority query {n} already placed"
         ordered[n] = reg[n]
+    assert len(ordered) <= 50, (
+        f"rotation overflows the driver's 50-entry window: {len(ordered)}"
+    )
     for n, e in reg.items():
         if n not in ordered:
             ordered[n] = e

@@ -338,6 +338,44 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def rel_invoice_view_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-exposure parity (reference Superset over
+    sqls/vw_Invoicedetails.sql:5-19): register the denormalized invoice
+    view in the session catalog and aggregate THROUGH the named view with
+    spark.sql — the path a dashboard or Thrift client takes. The view is
+    lazy: the status grouping and column pruning push through the join
+    into both parquet scans."""
+    from sql_cdc_spark.sources.views import INVOICE_VIEW, register_invoice_views
+
+    register_invoice_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT status,
+               COUNT(*) AS n_lines,
+               COUNT(DISTINCT invoice_id) AS n_invoices,
+               SUM(CAST(ROUND(line_total * 100) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS revenue
+        FROM {INVOICE_VIEW}
+        GROUP BY status
+        """
+    )
+
+
+_INVOICE_VIEW_ROLLUP_SQL = """
+WITH vw_invoice_header_line AS (
+  SELECT o.o_orderkey AS invoice_id, o.o_orderstatus AS status,
+         ROUND(l.l_quantity * l.l_extendedprice, 2) AS line_total
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT status,
+       COUNT(*) AS n_lines,
+       COUNT(DISTINCT invoice_id) AS n_invoices,
+       SUM(CAST(ROUND(line_total * 100, 0) AS BIGINT)) / 100.0 AS revenue
+FROM vw_invoice_header_line
+GROUP BY status
+"""
+
+
 def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregation extension: pivot linestatus values to columns."""
     li = tables.load(spark, sf_dir, "lineitem")
@@ -454,6 +492,9 @@ QUERIES: dict[str, QueryEntry] = {
     "rel_intersect_buyers": QueryEntry(rel_intersect_buyers, _INTERSECT_SQL),
     "rel_except_lost_customers": QueryEntry(rel_except_lost_customers, _EXCEPT_SQL),
     "rel_header_line_view": QueryEntry(rel_header_line_view, _HEADER_LINE_VIEW_SQL),
+    "rel_invoice_view_rollup": QueryEntry(
+        rel_invoice_view_rollup, _INVOICE_VIEW_ROLLUP_SQL
+    ),
     "rel_top_revenue_orders": QueryEntry(rel_top_revenue_orders, _TOP_REVENUE_SQL),
     "rel_customer_order_stats": QueryEntry(rel_customer_order_stats, _CUSTOMER_STATS_SQL),
     "rel_semi_join_big_spenders": QueryEntry(rel_semi_join_big_spenders, _SEMI_JOIN_SQL),

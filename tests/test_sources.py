@@ -1,0 +1,86 @@
+"""S5 JDBC option plumbing (no RDBMS in the container, so everything up
+to `.load()` is exercised) and catalog-view registration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_cdc_spark.sources import jdbc_options, read_jdbc, register_invoice_views
+from sql_cdc_spark.sources.views import INVOICE_VIEW
+from tests.conftest import SF_DIR_SMALL
+
+
+def test_jdbc_options_mirror_reference_config():
+    """The option map carries the reference dbConfig fields
+    (invoice-api/server.js:11-26) in Spark JDBC form."""
+    opts = jdbc_options(
+        server="dbhost", database="InvoiceDB", table="dbo.InvoiceHeader",
+        user="sa", password="pw", encrypt=True,
+    )
+    assert opts["url"] == (
+        "jdbc:sqlserver://dbhost:1433;databaseName=InvoiceDB;"
+        "encrypt=true;trustServerCertificate=true"
+    )
+    assert opts["dbtable"] == "dbo.InvoiceHeader"
+    assert opts["driver"].endswith("SQLServerDriver")
+    assert "partitionColumn" not in opts
+
+
+def test_jdbc_options_partitioned_read_is_all_or_nothing():
+    full = jdbc_options(
+        server="h", database="d", table="t", user="u", password="p",
+        partition_column="InvoiceId", lower_bound=1, upper_bound=25_000,
+        num_partitions=32,
+    )
+    assert (full["partitionColumn"], full["lowerBound"], full["upperBound"],
+            full["numPartitions"]) == ("InvoiceId", "1", "25000", "32")
+    with pytest.raises(ValueError, match="ALL of"):
+        jdbc_options(
+            server="h", database="d", table="t", user="u", password="p",
+            partition_column="InvoiceId",
+        )
+
+
+def test_jdbc_options_extra_passthrough_and_fetchsize():
+    opts = jdbc_options(
+        server="h", database="d", table="t", user="u", password="p",
+        fetchsize=500, queryTimeout=30,
+    )
+    assert opts["fetchsize"] == "500" and opts["queryTimeout"] == "30"
+
+
+def test_read_jdbc_fails_clearly_without_driver(spark):
+    """No JDBC driver jar ships in this container: the wrapper must fail
+    with an actionable message, not a raw Py4J stack."""
+    with pytest.raises(RuntimeError, match="JDBC driver jar"):
+        read_jdbc(
+            spark, server="localhost", database="InvoiceDB",
+            table="dbo.InvoiceHeader", user="sa", password="pw",
+        )
+
+
+def test_invoice_view_registration_and_sql_access(spark):
+    names = register_invoice_views(spark, SF_DIR_SMALL)
+    assert names == [INVOICE_VIEW]
+    assert spark.catalog.tableExists(INVOICE_VIEW)
+    out = spark.sql(
+        f"SELECT invoice_id, line_total FROM {INVOICE_VIEW} "
+        "WHERE total_amount > 100000 LIMIT 5"
+    )
+    assert out.count() <= 5 and set(out.columns) == {"invoice_id", "line_total"}
+    # re-registration replaces, not errors
+    register_invoice_views(spark, SF_DIR_SMALL)
+
+
+def test_invoice_view_pushes_filters_into_scan(spark):
+    """The view is a logical plan: a predicate on the view must reach the
+    orders parquet scan as a pushed filter."""
+    register_invoice_views(spark, SF_DIR_SMALL)
+    df = spark.sql(
+        f"SELECT invoice_id FROM {INVOICE_VIEW} WHERE total_amount > 400000"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan(o_totalprice" in pushed
