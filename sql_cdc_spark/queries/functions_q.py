@@ -197,6 +197,51 @@ FROM part
 WHERE p_type LIKE '%E'
 """
 
+def fn_bson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: BSON encode/decode byte parity (BSON.serialize/deserialize,
+    invoice-api/server.js:69,412) through the pure-Python spec codec
+    (functions/bsoncodec.py), Arrow-batched. Per event row: build a
+    deterministic two-field JSON doc, encode to BSON, decode back, and
+    emit (a) the decoded field — must equal the directly-computed value,
+    (b) the encoded byte count — closed-form from the spec (4-byte len +
+    [1 type + 6 name + 4 int32] + [1 + 2 + 4] + 1 terminator = 23; an
+    event_id past int32 becomes a js-bson double, +4), and (c) the
+    roundtrip-equality boolean. The oracle computes (a) directly, (b)
+    from the same arithmetic, and TRUE for (c) — so the hash gate fails
+    if the codec mangles bytes, values, or key order."""
+    from sql_cdc_spark.functions import bsoncodec
+
+    ev = tables.load(spark, sf_dir, "events")
+    k = F.coalesce(F.get_json_object("props", "$.k").cast("int"), F.lit(0))
+    doc = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"event":'),
+            F.col("event_id").cast("string"),
+            F.lit(',"k":'),
+            k.cast("string"),
+            F.lit("}"),
+        ).alias("doc_json"),
+    )
+    enc = doc.withColumn("bson", bsoncodec.json_to_bson(F.col("doc_json")))
+    dec = enc.withColumn("decoded_json", bsoncodec.bson_to_json(F.col("bson")))
+    return dec.select(
+        "event_id",
+        F.octet_length("bson").alias("bson_bytes"),
+        F.get_json_object("decoded_json", "$.k").cast("int").alias("k_decoded"),
+        (F.col("decoded_json") == F.col("doc_json")).alias("bson_ok"),
+    )
+
+
+_BSON_ROUNDTRIP_SQL = """
+SELECT event_id,
+       CASE WHEN event_id > 2147483647 THEN 27 ELSE 23 END AS bson_bytes,
+       COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k_decoded,
+       TRUE AS bson_ok
+FROM events
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "fn_invoice_numbering": QueryEntry(fn_invoice_numbering, _INVOICE_NUMBERING_SQL),
     "fn_date_arithmetic": QueryEntry(fn_date_arithmetic, _DATE_ARITH_SQL),
@@ -204,4 +249,5 @@ QUERIES: dict[str, QueryEntry] = {
     "fn_timestamp_format": QueryEntry(fn_timestamp_format, _TS_FORMAT_SQL),
     "fn_json_extract": QueryEntry(fn_json_extract, _JSON_EXTRACT_SQL),
     "fn_string_ops": QueryEntry(fn_string_ops, _STRING_OPS_SQL),
+    "fn_bson_roundtrip": QueryEntry(fn_bson_roundtrip, _BSON_ROUNDTRIP_SQL),
 }

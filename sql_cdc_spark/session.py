@@ -35,6 +35,18 @@ def get_spark(
     reproducible across sites.
     """
     cpus = default_parallelism()
+    # Python workers re-import this package when a UDF closure references
+    # it (cloudpickle pickles module-level functions by reference), so the
+    # package root must be on the workers' PYTHONPATH — the driver's
+    # sys.path is NOT inherited. Local mode: export it before the JVM
+    # forks the worker daemon. Cluster mode: ship a wheel via --py-files;
+    # this env line is still correct for the driver-side process.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

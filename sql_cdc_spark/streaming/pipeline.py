@@ -415,19 +415,63 @@ def expire_changelog(
     return int(n)
 
 
-def list_documents(spark: SparkSession, out_dir: str) -> DataFrame:
+def list_documents(spark: SparkSession, out_dir: str, suffix: str = ".json") -> DataFrame:
     """S7: document-directory listing source — path/size/mtime newest
-    first (invoice-api/server.js:368-398), via the binaryFile reader."""
+    first (invoice-api/server.js:368-398), via the binaryFile reader.
+    ``suffix=".bson"`` lists a BSON-mode sink (the reference's own
+    filter, server.js:373)."""
     return (
         spark.read.format("binaryFile")
         .load(out_dir)
-        .filter(F.col("path").endswith(".json"))
+        .filter(F.col("path").endswith(suffix))
         .select("path", F.col("length").alias("size_bytes"), "modificationTime")
         .orderBy(F.col("modificationTime").desc(), F.col("path"))
     )
 
 
 def read_document(out_dir: str, filename: str) -> dict:
-    """S8: single-document reader (invoice-api/server.js:401-421)."""
-    with open(os.path.join(out_dir, filename)) as f:
+    """S8: single-document reader (invoice-api/server.js:401-421).
+    Dispatches on extension: ``.bson`` files decode via the BSON codec
+    (BSON.deserialize, server.js:412), anything else parses as JSON."""
+    path = os.path.join(out_dir, filename)
+    if filename.endswith(".bson"):
+        from sql_cdc_spark.functions import bsoncodec
+
+        with open(path, "rb") as f:
+            return bsoncodec.decode_document(f.read())
+    with open(path) as f:
         return json.load(f)
+
+
+def write_documents_bson(docs: DataFrame, out_dir: str) -> int:
+    """Per-record BSON document sink — strict byte-parity mode with the
+    reference's saveInvoiceAsBSON (invoice-api/server.js:62-80): each
+    document becomes one ``.bson`` file whose bytes are what js-bson's
+    BSON.serialize would produce for the same JSON. Same idempotent
+    deterministic-filename contract as write_documents; the encode runs
+    inside the Arrow batch loop, so it is partition-parallel and never
+    touches the driver."""
+    from sql_cdc_spark.functions import bsoncodec
+
+    os.makedirs(out_dir, exist_ok=True)
+    payload = docs.select("doc_filename", "doc_json")
+
+    def _write_batches(batches):
+        import pandas as pd
+
+        n = 0
+        for pdf in batches:
+            for fname, js in zip(pdf["doc_filename"], pdf["doc_json"]):
+                fname = fname.removesuffix(".json") + ".bson"
+                data = bsoncodec.encode_document(json.loads(js))
+                tmp = os.path.join(out_dir, f".{fname}.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(data)
+                os.replace(tmp, os.path.join(out_dir, fname))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    written = (
+        payload.mapInPandas(_write_batches, "n long").agg(F.sum("n")).first()[0]
+    )
+    return int(written or 0)

@@ -18,12 +18,14 @@ def _plan(spark, name: str) -> str:
 
 
 # queries whose plans may legitimately contain Python evaluation nodes:
-# the Arrow-batched multimodal stages and the grouped-map normalization
+# the Arrow-batched multimodal stages, the grouped-map normalization,
+# and the BSON codec (a binary format no JVM built-in speaks)
 _PANDAS_OK = {
     "mm_decode_features",
     "mm_resize_digest",
     "mm_frame_sample",
     "scl_group_zscore",
+    "fn_bson_roundtrip",
 }
 
 
