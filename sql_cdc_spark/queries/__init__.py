@@ -28,6 +28,7 @@ def _registry() -> dict[str, QueryEntry]:
     # syntax error in one domain module is easy to localize
     from . import (
         cdc_q,
+        corpus_q,
         dedup_q,
         events_q,
         functions_q,
@@ -60,6 +61,7 @@ def _registry() -> dict[str, QueryEntry]:
         text_q,
         multimodal_q,
         scale_q,
+        corpus_q,
     ):
         overlap = reg.keys() & mod.QUERIES.keys()
         if overlap:
@@ -78,6 +80,9 @@ def _registry() -> dict[str, QueryEntry]:
         "sim_ivf_topk",                  # new recall_ok oracle
         "dd_lsh_candidate_pairs",        # hot-band cap
         "dd_near_dup_pairs",             # hot-band cap
+        "crp_train_test_split",          # NEW: deterministic hash split
+        "crp_stratified_sample",         # NEW: per-stratum hash sampling
+        "crp_corpus_clean",              # NEW: composite clean step
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES}

@@ -1,0 +1,125 @@
+"""Corpus-preparation queries: the end-to-end operations a training-data
+pipeline runs over a raw document corpus — deterministic train/test
+splitting, stratified subsampling, and the composite clean step
+(quality gate + language agreement + exact dedup). North-star extensions
+(SURVEY.md §7 Phase 3); no reference analog.
+
+Everything is scan-local column algebra plus at most one groupBy (the
+dedup), so the plans hold at 100 TB: the split and sample never shuffle,
+and the clean step's only exchange is the digest groupBy with map-side
+partial aggregation. Oracle SQL is generated from the SAME constants as
+the Spark expressions so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_cdc_spark import tables
+from sql_cdc_spark.functions import sampling as SP
+from sql_cdc_spark.functions import text as TX
+from sql_cdc_spark.queries import QueryEntry
+from sql_cdc_spark.queries.text_q import _NORM_SQL, _QUALITY_EXPR_SQL
+
+TEST_FRAC = 0.1
+VAL_FRAC = 0.05
+SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.1}
+MIN_QUALITY = 0.5
+MIN_TOKENS = 5
+
+
+def crp_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: every doc keyed into train/val/test by
+    md5(doc_id) — reproducible across runs, engines, and cluster sizes
+    (functions/sampling.py). Emits the per-split census plus the exact
+    boundary check the assignment must satisfy."""
+    docs = tables.load(spark, sf_dir, "documents")
+    split = SP.with_split(docs, "doc_id", TEST_FRAC, VAL_FRAC)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def _split_census_sql() -> str:
+    case = SP.split_sql("doc_id", TEST_FRAC, VAL_FRAC)
+    return f"""
+SELECT split, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM (SELECT doc_id, {case} AS split FROM documents)
+GROUP BY split ORDER BY split
+"""
+
+
+def crp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic subsample (down-weight the dominant
+    language, keep the tail): the exact same rows survive in Spark and
+    the oracle because survival is a pure function of (lang, doc_id)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = SP.stratified_sample(docs, "lang", "doc_id", SAMPLE_FRACS)
+    return kept.select("doc_id", "lang", "source")
+
+
+def _stratified_sql() -> str:
+    u = SP.unit_sql("doc_id", "sample")
+    frac = "CASE " + " ".join(
+        f"WHEN lang = '{v}' THEN {f}" for v, f in SAMPLE_FRACS.items()
+    ) + " ELSE 0.0 END"
+    return f"SELECT doc_id, lang, source FROM documents WHERE {u} < {frac}"
+
+
+def crp_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite clean step every pretraining corpus goes through:
+    (1) length gate (≥ MIN_TOKENS tokens), (2) quality gate
+    (heuristic score ≥ MIN_QUALITY, functions/text.py), (3) exact dedup
+    on the normalized-text digest keeping the smallest doc_id. Emits the
+    surviving docs with their scores — the input manifest of a training
+    run. One shuffle total (the dedup groupBy); gates are scan-local."""
+    docs = tables.load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.fingerprint(F.col("text")).alias("digest"),
+    ).filter(
+        (F.col("n_tokens") >= MIN_TOKENS) & (F.col("quality") >= MIN_QUALITY)
+    )
+    canonical = scored.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        scored.join(canonical, ["digest", "doc_id"], "inner")
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
+def _corpus_clean_sql() -> str:
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         {_QUALITY_EXPR_SQL} AS quality,
+         md5({_NORM_SQL}) AS digest
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored WHERE n_tokens >= {MIN_TOKENS} AND quality >= {MIN_QUALITY}
+),
+canonical AS (
+  SELECT digest, MIN(doc_id) AS doc_id FROM gated GROUP BY digest
+)
+SELECT g.doc_id, g.lang, g.n_tokens, g.quality
+FROM gated g JOIN canonical c ON g.digest = c.digest AND g.doc_id = c.doc_id
+"""
+
+
+QUERIES: dict[str, QueryEntry] = {
+    "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
+    "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),
+    "crp_corpus_clean": QueryEntry(crp_corpus_clean, _corpus_clean_sql()),
+}

@@ -57,13 +57,15 @@ def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PADDED = "(' ' || lower(text) || ' ')"
-_QUALITY_SQL = rf"""
-SELECT doc_id,
-  ROUND(
+# the bare quality expression, shared with corpus_q's composite clean step
+_QUALITY_EXPR_SQL = rf"""ROUND(
     0.4 * LEAST(CAST(len({_TOKS_SQL}) AS DOUBLE) / 100.0, 1.0)
   + 0.3 * LEAST(((CAST(length(text) AS DOUBLE) - len({_TOKS_SQL}) + 1) / len({_TOKS_SQL})) / 8.0, 1.0)
   + 0.3 * LEAST(CAST({_occ_sql(_PADDED, ' the ')} + {_occ_sql(_PADDED, ' a ')} AS DOUBLE)
-                / len({_TOKS_SQL}) * 5.0, 1.0), 6) AS quality
+                / len({_TOKS_SQL}) * 5.0, 1.0), 6)"""
+_QUALITY_SQL = rf"""
+SELECT doc_id,
+  {_QUALITY_EXPR_SQL} AS quality
 FROM documents
 """
 
