@@ -66,11 +66,27 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def balance_partitions(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster parallelism — only when
+    the scan produced fewer splits than cores. Shingling/minhashing is
+    compute-dense per input byte, and Spark sizes scan partitions by
+    BYTES (maxPartitionBytes), so a small-but-expensive corpus otherwise
+    runs single-task (parquet can't split below a row group). At real
+    corpus scale the input already has ≥cores splits and this is a no-op
+    — the shuffle only fires exactly when the layout starves the CPUs."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) exploded-distinct — the shared input of MinHash
     and Jaccard verification."""
     return (
-        docs.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
+        balance_partitions(docs)
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
         .distinct()
     )
 
@@ -160,26 +176,33 @@ def jaccard_pairs(
     only verifies those (the LSH path — linear-ish work); without, blocks
     on shared shingles (still avoids the full cross join: pairs sharing
     zero shingles are never generated)."""
-    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    # 60-bit md5-prefix hash of each shingle: every join/shuffle below
+    # moves 8-byte ints instead of shingle strings (~3× narrower, int
+    # compares). The oracle applies the SAME hash, so both engines see
+    # identical shingle sets — hash collisions included — and parity is
+    # exact by construction.
+    sh64 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    hashed = shingled.select(F.col(id_col), sh64.alias("sh64"))
+    a = hashed.select(F.col(id_col).alias("id_a"), "sh64")
+    b = hashed.select(F.col(id_col).alias("id_b"), "sh64")
     if candidates is not None:
         # candidate-first: expand candidates by id_a's shingles, then keep
         # those id_b also has — work is O(|candidates| × shingles/doc),
         # never the full shared-shingle pair space
         inter = (
             candidates.join(a, "id_a")
-            .join(b, ["id_b", "shingle"])
+            .join(b, ["id_b", "sh64"])
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     else:
         inter = (
-            a.join(b, ["shingle"])
+            a.join(b, ["sh64"])
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
