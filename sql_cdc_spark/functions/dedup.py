@@ -226,7 +226,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     the sign of Σ_tokens count · (2·bit_b(hash(token)) − 1). All-integer
     arithmetic — exact cross-engine parity, no float knife edges."""
     tok = (
-        docs.select(F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"))
+        balance_partitions(docs)
+        .select(F.col(id_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

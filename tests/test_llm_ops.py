@@ -189,3 +189,16 @@ def test_ann_recall_vs_brute_force(spark):
     r_multi = recall("sim_multiprobe_topk")
     assert r_multi >= r_single >= 0.1
     assert r_multi >= 0.3
+
+
+def test_balance_partitions_fixes_compute_starved_scans(spark, docs):
+    """A byte-small corpus scans as one partition (parquet can't split
+    below a row group), starving compute-dense shingling; balancing must
+    lift it to cluster parallelism — and leave well-split inputs alone."""
+    from sql_cdc_spark.functions.dedup import balance_partitions
+
+    target = spark.sparkContext.defaultParallelism
+    small = docs.coalesce(1)
+    assert balance_partitions(small).rdd.getNumPartitions() == target
+    wide = docs.repartition(target + 4)
+    assert balance_partitions(wide).rdd.getNumPartitions() == target + 4
