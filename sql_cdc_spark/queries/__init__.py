@@ -83,9 +83,14 @@ def _registry() -> dict[str, QueryEntry]:
         "crp_train_test_split",          # NEW: deterministic hash split
         "crp_stratified_sample",         # NEW: per-stratum hash sampling
         "crp_corpus_clean",              # NEW: composite clean step
+        "crp_repetition_filter",         # NEW: Gopher-style repetition gate
+        "crp_contamination",             # NEW: train/test n-gram overlap
     ]
+    # demoted to the back to keep the window ≤50: single-op long-greens
+    # (r1-verified, untouched since) — they rotate back in next round
+    demote = ["rel_sample_avg", "rel_cross_join_small"]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
-             for n in m.QUERIES}
+             for n in m.QUERIES if n not in demote}
     ordered = dict(front)
     for n in priority:
         # a priority name already emitted by a front module would keep its

@@ -118,8 +118,143 @@ FROM gated g JOIN canonical c ON g.digest = c.digest AND g.doc_id = c.doc_id
 """
 
 
+REPETITION_MAX_RATIO = 0.2
+
+
+def crp_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition gate (the Gopher/MassiveText family of rules): the
+    fraction of a document's 3-token shingles occupied by its single most
+    frequent shingle. Boilerplate / template / degenerate-loop text spikes
+    this ratio; natural prose stays low. Emits the ratio and the keep
+    verdict. Shingle explode + one groupBy — same scale shape as dedup."""
+    from sql_cdc_spark.functions import dedup as DD
+
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = DD.balance_partitions(docs).select(
+        "doc_id", F.explode(DD.shingles(F.col("text"))).alias("shingle")
+    )
+    per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per.groupBy("doc_id").agg(
+        F.max("cnt").alias("max_cnt"), F.sum("cnt").alias("n_sh")
+    )
+    return stats.select(
+        "doc_id",
+        F.round(F.col("max_cnt") / F.col("n_sh"), 6).alias("top_shingle_ratio"),
+        (F.col("max_cnt") / F.col("n_sh") <= REPETITION_MAX_RATIO).alias("keep"),
+    )
+
+
+def _repetition_sql() -> str:
+    # non-distinct shingles: mirror functions/dedup.shingles (list incl.
+    # duplicates), unlike the dedup _SHINGLES_CTE which dedups
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM toks
+),
+per AS (SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY 1, 2),
+stats AS (SELECT doc_id, MAX(cnt) AS max_cnt, SUM(cnt) AS n_sh FROM per GROUP BY doc_id)
+SELECT doc_id,
+       ROUND(max_cnt * 1.0 / n_sh, 6) AS top_shingle_ratio,
+       max_cnt * 1.0 / n_sh <= {REPETITION_MAX_RATIO} AS keep
+FROM stats
+"""
+
+
+CONTAM_NGRAM = 8  # 8-gram overlap: the standard decontamination window —
+                  # short shingles (3) mark every doc contaminated on any
+                  # shared phrase; 8-token spans are quotation-level evidence
+
+
+def crp_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: for every test-split document,
+    count distinct 8-token shingles it shares with ANY train document —
+    the n-gram-overlap decontamination check every eval set needs before
+    training. Shingles join on the 60-bit portable hash (ints, not
+    strings); the train side aggregates to distinct shingle hashes first,
+    so the join is |test shingles| ⨝ |distinct train shingles| — never
+    doc×doc. Emits every test doc (LEFT join: zero-overlap docs too)."""
+    from sql_cdc_spark.functions import dedup as DD
+
+    docs = tables.load(spark, sf_dir, "documents")
+    split = SP.with_split(docs, "doc_id", TEST_FRAC, VAL_FRAC)
+    sh64 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    shingled = (
+        DD.balance_partitions(split)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(DD.shingles(F.col("text"), CONTAM_NGRAM)).alias("shingle"),
+        )
+        .select("doc_id", "split", sh64.alias("sh64"))
+        .distinct()
+    )
+    train_sh = (
+        shingled.filter(F.col("split") == "train").select("sh64").distinct()
+    )
+    test_sh = shingled.filter(F.col("split") == "test").select("doc_id", "sh64")
+    hits = (
+        test_sh.join(train_sh, "sh64", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shingled.filter(F.col("split") == "test")
+        .select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _contamination_sql() -> str:
+    case = SP.split_sql("doc_id", TEST_FRAC, VAL_FRAC)
+    k = CONTAM_NGRAM
+    return f"""
+WITH splat AS (
+  SELECT doc_id, text, {case} AS split FROM documents
+),
+toks AS (
+  SELECT doc_id, split, string_split_regex({_NORM_SQL}, '\\s+') AS t FROM splat
+),
+sh AS (
+  SELECT DISTINCT doc_id, split,
+    CAST(('0x' || substring(md5(
+      unnest(CASE WHEN len(t) >= {k}
+             THEN list_transform(range(1, len(t) - {k - 2}), i -> array_to_string(t[i:i+{k - 1}], ' '))
+             ELSE [array_to_string(t, ' ')] END)
+    ), 1, 15)) AS BIGINT) AS sh64
+  FROM toks
+),
+train_sh AS (SELECT DISTINCT sh64 FROM sh WHERE split = 'train'),
+test_sh AS (SELECT doc_id, sh64 FROM sh WHERE split = 'test'),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_shared
+  FROM test_sh t JOIN train_sh tr ON t.sh64 = tr.sh64
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared, 0) AS n_shared,
+       COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM test_sh) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),
     "crp_corpus_clean": QueryEntry(crp_corpus_clean, _corpus_clean_sql()),
+    "crp_repetition_filter": QueryEntry(crp_repetition_filter, _repetition_sql()),
+    "crp_contamination": QueryEntry(crp_contamination, _contamination_sql()),
 }
