@@ -221,6 +221,64 @@ def jaccard_pairs(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = the smallest doc_id in the component. This is the
+    final step of corpus dedup: keep one representative per cluster
+    (``filter(doc_id == cluster_id)``), drop the rest.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round a node adopts the minimum label among itself and
+    its neighbors; converged when no label changes. Rounds needed = graph
+    diameter — near-dup components are shallow (stars/chains of a few
+    hops), so convergence is fast; ``max_iters`` guards degenerate
+    chains. Each round is one join + one groupBy (shuffle on node id);
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    per iteration — without it, iteration k replans k joins deep.
+
+    The driver-side loop only reads a per-round changed-count (one
+    scalar), not data — the operator stays fully distributed.
+
+    Expects ``pairs`` with columns (id_a, id_b); singleton documents
+    (never paired) are not emitted — they are their own clusters.
+    """
+    edges_one = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges_one.union(
+        edges_one.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        updated = (
+            labels.join(neigh_min, labels.id == neigh_min.id2, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                "lbl",
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = updated.select("id", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SIMHASH_BITS-bit SimHash per document from token counts: bit b is
     the sign of Σ_tokens count · (2·bit_b(hash(token)) − 1). All-integer

@@ -85,6 +85,7 @@ def _registry() -> dict[str, QueryEntry]:
         "crp_corpus_clean",              # NEW: composite clean step
         "crp_repetition_filter",         # NEW: Gopher-style repetition gate
         "crp_contamination",             # NEW: train/test n-gram overlap
+        "dd_dup_clusters",               # NEW: connected-components dedup
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round

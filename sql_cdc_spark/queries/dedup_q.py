@@ -158,6 +158,43 @@ WHERE j.jaccard >= {NEAR_DUP_THRESHOLD}
 """
 
 
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: connected components over the verified
+    near-dup pairs (iterative min-label propagation — the DataFrame form
+    of an algorithm Spark has no built-in for; functions/dedup.py). The
+    oracle walks the same graph with a recursive CTE, proving the
+    fixpoint matches exactly. cluster_id = min doc_id per component; the
+    keep-set of a dedup run is ``doc_id == cluster_id``."""
+    docs = tables.load(spark, sf_dir, "documents")
+    shingled = DD.doc_shingles(docs).persist()
+    cands = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(shingled), max_bucket_size=LSH_MAX_BUCKET
+    )
+    pairs = DD.jaccard_pairs(shingled, cands, threshold=NEAR_DUP_THRESHOLD)
+    return DD.dup_clusters(pairs).orderBy("doc_id")
+
+
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE},
+pairs AS (
+  SELECT j.id_a, j.id_b
+  FROM jac j JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE j.jaccard >= {NEAR_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS cluster_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
 def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.1, blocked on shared shingles (pairs
     with zero overlap are never generated — the no-LSH exact variant)."""
@@ -267,6 +304,7 @@ QUERIES: dict[str, QueryEntry] = {
     "dd_minhash_signatures": QueryEntry(dd_minhash_signatures, _MINHASH_SQL),
     "dd_lsh_candidate_pairs": QueryEntry(dd_lsh_candidate_pairs, _LSH_SQL),
     "dd_near_dup_pairs": QueryEntry(dd_near_dup_pairs, _NEAR_DUP_SQL),
+    "dd_dup_clusters": QueryEntry(dd_dup_clusters, _DUP_CLUSTERS_SQL),
     "dd_jaccard_pairs": QueryEntry(dd_jaccard_pairs, _JACCARD_PAIRS_SQL),
     "dd_simhash": QueryEntry(dd_simhash, _SIMHASH_SQL),
     "dd_simhash_pairs": QueryEntry(dd_simhash_pairs, _SIMHASH_PAIRS_SQL),

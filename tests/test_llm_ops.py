@@ -202,3 +202,16 @@ def test_balance_partitions_fixes_compute_starved_scans(spark, docs):
     assert balance_partitions(small).rdd.getNumPartitions() == target
     wide = docs.repartition(target + 4)
     assert balance_partitions(wide).rdd.getNumPartitions() == target + 4
+
+
+def test_dup_clusters_connected_components(spark):
+    """Chains must collapse transitively (A~B, B~C => one cluster even
+    though A,C were never paired), disjoint components stay disjoint, and
+    every cluster is labeled by its minimum member."""
+    from sql_cdc_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 9), (11, 12), (40, 41), (41, 3)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {2: 2, 7: 2, 9: 2, 11: 11, 12: 11, 3: 3, 40: 3, 41: 3}
