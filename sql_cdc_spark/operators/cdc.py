@@ -159,3 +159,32 @@ def bounded_ordered_batch(
     if key_col:
         order.append(F.col(key_col).asc())
     return df.orderBy(*order).limit(limit)
+
+
+def apply_changes_to_replica(
+    replica: DataFrame,
+    base: DataFrame,
+    latest_changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Materialize the next replica snapshot from a key-only change feed —
+    the merge a downstream copy of the tracked table performs with the
+    reference's feed. SQL Server Change Tracking ships PKs + ops, not
+    payloads (CHANGETABLE, sqls/storedprocedure.sql:17,24); the fresh row
+    values always come from the base table, so:
+
+      replica' = (replica ANTI changed-keys)            -- untouched rows
+               ∪ (base SEMI changed-keys where op ≠ D)  -- upserted rows
+
+    Deletes fall out for free: a D key is removed from the replica side
+    and never re-pulled from the base. Both joins are key-equi; the
+    changed-key set is a CDC batch (small), so AQE broadcasts it and the
+    big sides never shuffle — the merge is scan + broadcast-join at any
+    replica size. ``latest_changes`` must be one row per key (the
+    latest-version-per-key reduction, A1)."""
+    changed_keys = latest_changes.select(key_col)
+    survivors = replica.join(F.broadcast(changed_keys), key_col, "left_anti")
+    upsert_keys = latest_changes.filter(F.col(op_col) != "D").select(key_col)
+    upserts = base.join(F.broadcast(upsert_keys), key_col, "left_semi")
+    return survivors.unionByName(upserts)

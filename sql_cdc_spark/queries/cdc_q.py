@@ -406,6 +406,54 @@ SELECT MAX(event_id) AS current_version, MIN(event_id) AS min_version,
 FROM events
 """
 
+def cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica merge (operators/cdc.py::apply_changes_to_replica): a
+    downstream copy of orders — missing some rows (pending inserts,
+    o_orderkey % 17 == 3) and stale on others (o_totalprice = -1 for
+    o_orderkey % 5 == 0) — is synced with the latest synthesized change
+    feed. Keys with op 'D' (invoice_id % 19 == 0) disappear; every other
+    changed key is upserted with the TRUE base values; untouched rows
+    keep their (possibly stale) replica values. The oracle materializes
+    the same snapshot set-theoretically, so the hash gate proves the
+    delete/upsert/survivor partition exact."""
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    latest = cdc.latest_per_key(_all_changes(spark, sf_dir), ["invoice_id"]).select(
+        F.col("invoice_id").alias("o_orderkey"),
+        F.when(F.col("invoice_id") % 19 == 0, "D").otherwise("U").alias("op"),
+    )
+    replica = orders.filter(F.col("o_orderkey") % 17 != 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return cdc.apply_changes_to_replica(replica, orders, latest, "o_orderkey")
+
+
+_REPLICA_SYNC_SQL = f"""
+WITH {_CHANGELOG_CTES},
+latest AS (
+  SELECT invoice_id, CASE WHEN invoice_id % 19 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM (SELECT DISTINCT invoice_id FROM all_changes)
+),
+replica AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 17 <> 3
+)
+SELECT r.o_orderkey, r.o_custkey, r.o_totalprice
+FROM replica r WHERE NOT EXISTS (SELECT 1 FROM latest c WHERE c.invoice_id = r.o_orderkey)
+UNION ALL
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o WHERE EXISTS (
+  SELECT 1 FROM latest c WHERE c.invoice_id = o.o_orderkey AND c.op <> 'D'
+)
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "cdc_flagship_changed_invoices": QueryEntry(flagship_changed_invoices, _FLAGSHIP_SQL),
     # driver-checkable JSON-serialized form (the nested array<struct> form,
@@ -419,4 +467,5 @@ QUERIES: dict[str, QueryEntry] = {
     "cdc_union_distinct_keys": QueryEntry(cdc_union_distinct_keys, _UNION_DISTINCT_SQL),
     "cdc_bounded_batch": QueryEntry(cdc_bounded_batch, _BOUNDED_BATCH_SQL),
     "cdc_version_watermark": QueryEntry(cdc_version_watermark, _WATERMARK_SQL),
+    "cdc_replica_sync": QueryEntry(cdc_replica_sync, _REPLICA_SYNC_SQL),
 }
