@@ -87,10 +87,16 @@ def _registry() -> dict[str, QueryEntry]:
         "crp_contamination",             # NEW: train/test n-gram overlap
         "dd_dup_clusters",               # NEW: connected-components dedup
         "cdc_replica_sync",              # NEW: delete-aware replica merge
+        "evt_asof_last_purchase",        # NEW: as-of temporal join
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
-    demote = ["rel_sample_avg", "rel_cross_join_small", "rel_distinct_flags"]
+    demote = [
+        "rel_sample_avg",
+        "rel_cross_join_small",
+        "rel_distinct_flags",
+        "rel_derived_columns",
+    ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}
     ordered = dict(front)

@@ -316,6 +316,46 @@ FROM events GROUP BY event_type
 """
 
 
+def evt_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) enrichment: every click event carries the
+    value of the same user's most recent purchase at-or-before the click
+    (operators/asof.py — union + windowed last_value, one shuffle on
+    user_id, linear at any scale). Clicks before the user's first
+    purchase stay null (LEFT semantics). The oracle is DuckDB's native
+    ASOF LEFT JOIN — two independent implementations of the temporal
+    merge must agree row-for-row."""
+    from sql_cdc_spark.operators.asof import asof_join
+
+    ev = tables.load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value")
+    )
+    joined = asof_join(clicks, purchases, "user_id", "ts", ["last_purchase_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "last_purchase_value",
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, value AS last_purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, p.last_purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
@@ -327,4 +367,5 @@ QUERIES: dict[str, QueryEntry] = {
     "evt_daily_user_activity": QueryEntry(evt_daily_user_activity, _DAILY_SQL),
     "evt_late_data_filter": QueryEntry(evt_late_data_filter, _LATE_FILTER_SQL),
     "evt_top_users_per_day": QueryEntry(evt_top_users_per_day, _TOP_USERS_SQL),
+    "evt_asof_last_purchase": QueryEntry(evt_asof_last_purchase, _ASOF_SQL),
 }
