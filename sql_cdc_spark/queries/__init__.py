@@ -88,6 +88,7 @@ def _registry() -> dict[str, QueryEntry]:
         "dd_dup_clusters",               # NEW: connected-components dedup
         "cdc_replica_sync",              # NEW: delete-aware replica merge
         "evt_asof_last_purchase",        # NEW: as-of temporal join
+        "evt_percentile_sketch",         # NEW: GK quantile sketch gate
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -96,6 +97,7 @@ def _registry() -> dict[str, QueryEntry]:
         "rel_cross_join_small",
         "rel_distinct_flags",
         "rel_derived_columns",
+        "fn_date_arithmetic",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

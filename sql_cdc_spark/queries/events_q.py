@@ -316,6 +316,53 @@ FROM events GROUP BY event_type
 """
 
 
+PCT_REL_ERR = 0.02  # approx_percentile accuracy contract (relative rank error)
+
+
+def evt_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per event type — the mergeable
+    bounded-memory quantile path for 100 TB streams (Greenwald-Khanna
+    sketch under Spark's approx_percentile; the exact sort-based twin is
+    evt_value_percentiles). Same hash-gate pattern as the HLL sketch:
+    the row carries the EXACT percentiles plus an in-plan verdict that
+    the sketch landed within the rank-error contract — a GK regression
+    flips the boolean and the row hash. Rank error ε means the returned
+    value's rank is within ε·n of the target, so the value bound is
+    checked against the exact quantiles at (q ± 3ε)."""
+    ev = tables.load(spark, sf_dir, "events")
+    acc = int(1.0 / PCT_REL_ERR)
+    eps = 3 * PCT_REL_ERR
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for q in (0.5, 0.95):
+        tag = str(q).replace(".", "")
+        aggs += [
+            F.round(F.percentile("value", q), 6).alias(f"p{tag}"),
+            F.percentile_approx("value", q, acc).alias(f"__a{tag}"),
+            F.percentile("value", max(0.0, q - eps)).alias(f"__lo{tag}"),
+            F.percentile("value", min(1.0, q + eps)).alias(f"__hi{tag}"),
+        ]
+    g = ev.groupBy("event_type").agg(*aggs)
+    ok = None
+    for q in (0.5, 0.95):
+        tag = str(q).replace(".", "")
+        cond = (F.col(f"__a{tag}") >= F.col(f"__lo{tag}")) & (
+            F.col(f"__a{tag}") <= F.col(f"__hi{tag}")
+        )
+        ok = cond if ok is None else (ok & cond)
+    return g.select(
+        "event_type", "n_events", "p05", "p095", ok.alias("within_bound")
+    )
+
+
+_PCT_SKETCH_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(quantile_cont(value, 0.5), 6) AS p05,
+       ROUND(quantile_cont(value, 0.95), 6) AS p095,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+
 def evt_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (point-in-time) enrichment: every click event carries the
     value of the same user's most recent purchase at-or-before the click
@@ -368,4 +415,5 @@ QUERIES: dict[str, QueryEntry] = {
     "evt_late_data_filter": QueryEntry(evt_late_data_filter, _LATE_FILTER_SQL),
     "evt_top_users_per_day": QueryEntry(evt_top_users_per_day, _TOP_USERS_SQL),
     "evt_asof_last_purchase": QueryEntry(evt_asof_last_purchase, _ASOF_SQL),
+    "evt_percentile_sketch": QueryEntry(evt_percentile_sketch, _PCT_SKETCH_SQL),
 }
