@@ -120,8 +120,6 @@ def lsh_candidate_pairs(
     the recall cost is the documented trade (a deliberate, deterministic
     cap — NOT silent truncation: both the Spark plan and the DuckDB oracle
     apply the same predicate)."""
-    from pyspark.sql.window import Window
-
     n_bands = MINHASH_K // LSH_BAND_ROWS
     bands = F.array(
         *[
@@ -142,14 +140,17 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(bands).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.bval").alias("bval"))
     if max_bucket_size is not None:
-        # full-frame window count shuffles on (band, bval) — the same key
-        # the self-join below needs, so the cap adds no extra exchange
-        wcnt = Window.partitionBy("band", "bval")
-        banded = (
-            banded.withColumn("__bsz", F.count(F.lit(1)).over(wcnt))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        # the oversized-bucket list is tiny (hot boilerplate buckets):
+        # aggregate with map-side combine and anti-broadcast it — cheaper
+        # than a window count, which would sort every partition of the
+        # full banded set just to attach a per-bucket size
+        big = (
+            banded.groupBy("band", "bval")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bval")
         )
+        banded = banded.join(F.broadcast(big), ["band", "bval"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
