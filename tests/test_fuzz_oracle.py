@@ -45,11 +45,11 @@ def _gen(rng: random.Random) -> dict:
         fn = rng.choice(AGGS)
         col = rng.choice(NUM_COLS)
         return {"filters": filters, "join_group": keys, "aggs": [(fn, col, f"{fn}_{col}")]}
-    if shape < 0.72:
+    if shape < 0.7:
         # deterministic top-k: total sort key (all projected cols)
         cols = rng.sample(NUM_COLS, 3)
         return {"filters": filters, "project": cols, "topk": (cols, rng.choice([5, 50]))}
-    if shape < 0.82:
+    if shape < 0.78:
         # union of two filtered branches, optionally distinct
         cols = rng.sample(NUM_COLS + STR_COLS, 2)
         pivot = rng.randint(1000, 4000)
@@ -57,7 +57,7 @@ def _gen(rng: random.Random) -> dict:
             "filters": filters,
             "union": {"cols": cols, "pivot": pivot, "distinct": rng.random() < 0.5},
         }
-    if shape < 0.9:
+    if shape < 0.84:
         # group + HAVING on the aggregate
         keys = rng.sample(STR_COLS, 1)
         fn, col = rng.choice(["sum", "count"]), rng.choice(NUM_COLS)
@@ -67,6 +67,16 @@ def _gen(rng: random.Random) -> dict:
             "aggs": [(fn, col, f"{fn}_{col}")],
             "having_min": rng.randint(10, 10000),
         }
+    if shape < 0.92:
+        # partitioned ranking window over a total per-partition order
+        part = rng.choice(STR_COLS)
+        cols = rng.sample(NUM_COLS, 2)
+        return {"filters": filters, "window": {"part": part, "cols": cols}}
+    if shape < 0.97:
+        # null-producing left join: orders ⟕ (lineitem restricted below a
+        # pivot) — unmatched orders exercise the null path in both engines
+        pivot = rng.randint(500, 3000)
+        return {"filters": [], "left_join": {"pivot": pivot}}
     cols = rng.sample(NUM_COLS + STR_COLS, rng.randint(2, 4))
     return {"filters": filters, "project": cols}
 
@@ -97,6 +107,24 @@ def _to_spark(spark, q: dict):
         orders = tables.load(spark, SF_DIR, "orders")
         joined = df.join(orders, df.l_orderkey == orders.o_orderkey)
         return joined.groupBy(*q["join_group"]).agg(*_aggs(q))
+    if "window" in q:
+        from pyspark.sql.window import Window
+
+        part, cols = q["window"]["part"], q["window"]["cols"]
+        w = Window.partitionBy(part).orderBy(
+            *[F.col(c).asc() for c in cols + ["l_orderkey", "l_linenumber"]]
+        )
+        return df.select(part, *cols, F.row_number().over(w).alias("rn"))
+    if "left_join" in q:
+        pivot = q["left_join"]["pivot"]
+        orders = tables.load(spark, SF_DIR, "orders")
+        li = df.filter(F.col("l_orderkey") < pivot)
+        joined = orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        return joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("l_orderkey").alias("n_matched"),
+            F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0))).alias("qty_sum"),
+        )
     if "topk" in q:
         cols, k = q["topk"]
         # PK tiebreak makes the sort total so the k-boundary is stable
@@ -142,6 +170,23 @@ def _to_sql(q: dict) -> str:
             f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey {where} "
             f"GROUP BY {', '.join(q['join_group'])}"
         )
+    if "window" in q:
+        part, cols = q["window"]["part"], q["window"]["cols"]
+        order = ", ".join(f"{c} ASC" for c in cols + ["l_orderkey", "l_linenumber"])
+        return (
+            f"SELECT {part}, {', '.join(cols)}, "
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {order}) AS rn "
+            f"FROM lineitem {where}"
+        )
+    if "left_join" in q:
+        pivot = q["left_join"]["pivot"]
+        return (
+            f"SELECT o_orderstatus, COUNT(*) AS n_rows, "
+            f"COUNT(l_orderkey) AS n_matched, "
+            f"SUM(COALESCE(l_quantity, 0.0)) AS qty_sum "
+            f"FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_orderkey < {pivot}) l "
+            f"ON o_orderkey = l_orderkey GROUP BY o_orderstatus"
+        )
     if "topk" in q:
         cols, k = q["topk"]
         order = ", ".join(f"{c} ASC" for c in cols + ["l_orderkey", "l_linenumber"])
@@ -152,7 +197,7 @@ def _to_sql(q: dict) -> str:
     return f"SELECT {', '.join(q['project'])} FROM lineitem {where}"
 
 
-@pytest.mark.parametrize("seed", range(40))
+@pytest.mark.parametrize("seed", range(60))
 def test_random_query_matches_duckdb(spark, oracle, seed):
     rng = random.Random(1000 + seed)
     q = _gen(rng)
