@@ -89,6 +89,7 @@ def _registry() -> dict[str, QueryEntry]:
         "cdc_replica_sync",              # NEW: delete-aware replica merge
         "evt_asof_last_purchase",        # NEW: as-of temporal join
         "evt_percentile_sketch",         # NEW: GK quantile sketch gate
+        "crp_pack_sequences",            # NEW: token-budget packing
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -98,6 +99,7 @@ def _registry() -> dict[str, QueryEntry]:
         "rel_distinct_flags",
         "rel_derived_columns",
         "fn_date_arithmetic",
+        "fn_timestamp_format",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

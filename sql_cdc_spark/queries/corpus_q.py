@@ -251,10 +251,71 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def crp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: within each language shard, documents are
+    laid end-to-end in doc_id order and cut into PACK_BUDGET-token bins —
+    the packing pass that turns a cleaned corpus into fixed-length
+    training sequences. bin = floor((cumulative_tokens - n_tokens) /
+    budget), i.e. the bin the document STARTS in. The running sum is a
+    window partitioned by lang (a shard never crosses executors at
+    scale — no global ordering anywhere); emits per-bin occupancy."""
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", TX.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens) * 1.0 / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM toks
+)
+SELECT lang, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       MIN(doc_id) AS first_doc
+FROM binned GROUP BY lang, bin ORDER BY lang, bin
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),
     "crp_corpus_clean": QueryEntry(crp_corpus_clean, _corpus_clean_sql()),
     "crp_repetition_filter": QueryEntry(crp_repetition_filter, _repetition_sql()),
     "crp_contamination": QueryEntry(crp_contamination, _contamination_sql()),
+    "crp_pack_sequences": QueryEntry(crp_pack_sequences, _PACK_SQL),
 }
