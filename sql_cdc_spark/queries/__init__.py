@@ -90,6 +90,7 @@ def _registry() -> dict[str, QueryEntry]:
         "evt_asof_last_purchase",        # NEW: as-of temporal join
         "evt_percentile_sketch",         # NEW: GK quantile sketch gate
         "crp_pack_sequences",            # NEW: token-budget packing
+        "sim_label_centroids",           # NEW: per-label centroid vectors
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -100,6 +101,7 @@ def _registry() -> dict[str, QueryEntry]:
         "rel_derived_columns",
         "fn_date_arithmetic",
         "fn_timestamp_format",
+        "fn_hash_bucket",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

@@ -195,10 +195,41 @@ SELECT {TOP_K} AS k, {IVF_N_PROBE} AS n_probe, TRUE AS recall_ok
 """
 
 
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid of the embedding vectors — the
+    primitive under IVF coarse quantizers and k-means clustering, as one
+    posexplode + one groupBy (map-side partial sums; shuffle is
+    |labels|×dim rows regardless of corpus size). Sums run in integer
+    micro-units (CLAUDE.md cents rule) so the result is bit-identical
+    across engines and partition orders."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pe = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    micros = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    return (
+        pe.groupBy("label", "pos")
+        .agg(
+            F.round(F.sum(micros) / (F.count(F.lit(1)) * 1e6), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+_CENTROIDS_SQL = f"""
+SELECT label, p - 1 AS pos,
+       ROUND(SUM(CAST(ROUND(CAST(embedding[p] AS DOUBLE) * 1000000, 0) AS BIGINT))
+             / (COUNT(*) * 1000000.0), 6) AS centroid,
+       COUNT(*) AS n_vecs
+FROM embeddings, generate_series(1, {DIM}) t(p)
+GROUP BY label, p ORDER BY label, pos
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),
     "sim_bucketed_topk": QueryEntry(sim_bucketed_topk, _bucketed_topk_sql()),
     "sim_multiprobe_topk": QueryEntry(sim_multiprobe_topk, _multiprobe_sql()),
     "sim_ivf_topk": QueryEntry(sim_ivf_topk, _IVF_SQL),
+    "sim_label_centroids": QueryEntry(sim_label_centroids, _CENTROIDS_SQL),
 }
