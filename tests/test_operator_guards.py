@@ -24,3 +24,32 @@ def test_salted_join_matches_unsalted_inner_and_left(spark):
         want = fact.join(dim, "k", how)
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_registry_window_holds_all_round3_queries():
+    """Driver contract: only the first 50 registry entries are
+    hash-checked per round, so every query added or changed this round
+    must sit inside that window — silently rotating one out would skip
+    its verification the very round it changed."""
+    from sql_cdc_spark.queries import _registry
+
+    window = list(_registry())[:50]
+    round3_new = [
+        "fn_bson_roundtrip",
+        "crp_train_test_split",
+        "crp_stratified_sample",
+        "crp_corpus_clean",
+        "crp_repetition_filter",
+        "crp_contamination",
+        "crp_pack_sequences",
+        "dd_dup_clusters",
+        "cdc_replica_sync",
+        "evt_asof_last_purchase",
+        "evt_percentile_sketch",
+        "sim_label_centroids",
+        "dd_near_dup_pairs",   # hashed-shingle + band-cap changes
+        "dd_lsh_candidate_pairs",
+        "cdc_flagship_documents",
+    ]
+    missing = [n for n in round3_new if n not in window]
+    assert not missing, f"changed queries outside the driver window: {missing}"
