@@ -129,7 +129,7 @@ def _decode_element(data: bytes, pos: int) -> tuple[str, Any, int]:
         return name, None, pos
     if etype == _T_INT32:
         return name, struct.unpack_from("<i", data, pos)[0], pos + 4
-    if etype == _T_TIMESTAMP:  # internal Mongo type; expose as raw int64
+    if etype == _T_TIMESTAMP:  # Mongo replication-oplog type; expose as raw int64
         return name, struct.unpack_from("<q", data, pos)[0], pos + 8
     if etype == _T_INT64:
         return name, struct.unpack_from("<q", data, pos)[0], pos + 8
