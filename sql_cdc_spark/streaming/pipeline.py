@@ -309,6 +309,7 @@ def run_available_now(
     registry: SyncStateRegistry | None = None,
     max_files_per_trigger: int | None = None,
     timeout_s: int = 300,
+    doc_format: str = "json",
 ) -> dict:
     """Structured Streaming form: readStream over the change log →
     foreachBatch(collapse → enrich → nest → idempotent per-doc sink) with
@@ -318,15 +319,21 @@ def run_available_now(
     trigger(availableNow=True) drains everything present then stops —
     the reference's poll-until-hasMore loop, minus the hand-rolled cursor:
     exact file-source offsets in the checkpoint replace (version, id).
+
+    ``doc_format="bson"`` writes reference-parity .bson files
+    (invoice-api/server.js:62-80) through the same idempotent sink.
     """
+    if doc_format not in ("json", "bson"):
+        raise ValueError(f"doc_format must be 'json' or 'bson', got {doc_format!r}")
     stream = cl.read_changelog_stream(spark, log_dir, max_files_per_trigger)
     metrics: dict = {"batches": 0, "documents": 0}
+    sink = write_documents_bson if doc_format == "bson" else write_documents
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         changed = _changed_invoices(batch_df, lines, model)
         latest = _latest_with_op(changed)
         docs = _assemble(header, lines, latest, model)
-        n = write_documents(docs, out_dir)
+        n = sink(docs, out_dir)
         metrics["batches"] += 1
         metrics["documents"] += n
         if registry is not None and n > 0:

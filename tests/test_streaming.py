@@ -495,3 +495,38 @@ def test_poll_loop_reports_errors_and_bounds_failures(spark, base, tmp_path):
             on_error=errors.append, sleep=lambda _s: None,
         )
     assert len(errors) == 3
+
+
+def test_streaming_bson_sink_parity(spark, base, tmp_path):
+    """run_available_now(doc_format='bson') writes .bson files whose
+    decoded content equals the JSON run's documents — byte format
+    changes, semantics don't (invoice-api/server.js:62-80)."""
+    import json as _json
+
+    from sql_cdc_spark.functions import bsoncodec as bc
+
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=1, keys=range(0, 10), seed=31)
+    out_j = str(tmp_path / "docs_json")
+    out_b = str(tmp_path / "docs_bson")
+    mj = pl.run_available_now(
+        spark, w.log_dir, "pj", header, lines, MODEL, out_j, str(tmp_path / "cj")
+    )
+    mb = pl.run_available_now(
+        spark, w.log_dir, "pb", header, lines, MODEL, out_b, str(tmp_path / "cb"),
+        doc_format="bson",
+    )
+    assert mb["documents"] == mj["documents"] > 0
+    jnames = sorted(os.listdir(out_j))
+    bnames = sorted(os.listdir(out_b))
+    assert bnames == [n.removesuffix(".json") + ".bson" for n in jnames]
+    for jn, bn in zip(jnames, bnames):
+        with open(os.path.join(out_j, jn)) as f:
+            want = _json.load(f)
+        with open(os.path.join(out_b, bn), "rb") as f:
+            assert bc.decode_document(f.read()) == want
+    with pytest.raises(ValueError):
+        pl.run_available_now(
+            spark, w.log_dir, "px", header, lines, MODEL, out_b,
+            str(tmp_path / "cx"), doc_format="xml",
+        )
