@@ -40,6 +40,13 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def normalize_words(col: Column) -> Column:
+    """Word array of the canonical lowercased form — the n-gram unit for
+    vocabulary counting (single-space split is exact because
+    normalize_text collapsed every whitespace run)."""
+    return F.split(normalize_text(col), " ")
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text —
     the exact-dedup key. (Content-defined rolling-hash chunking would sit

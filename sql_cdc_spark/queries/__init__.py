@@ -91,6 +91,9 @@ def _registry() -> dict[str, QueryEntry]:
         "evt_percentile_sketch",         # NEW: GK quantile sketch gate
         "crp_pack_sequences",            # NEW: token-budget packing
         "sim_label_centroids",           # NEW: per-label centroid vectors
+        "evt_funnel_conversion",         # NEW: ordered funnel analysis
+        "txt_bigram_topk",               # NEW: n-gram vocabulary top-k
+        "sim_embedding_quantize",        # NEW: int8 quantization checksums
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -102,6 +105,13 @@ def _registry() -> dict[str, QueryEntry]:
         "fn_date_arithmetic",
         "fn_timestamp_format",
         "fn_hash_bucket",
+        # r1-green singles, untouched since — make room for the three
+        # queries added late in round 3 (every touched query must be
+        # inside the 50-entry driver window the round it changes)
+        "rel_filter_composite",
+        "rel_union_all_segments",
+        "win_lag_delta",
+        "win_moving_avg",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

@@ -403,6 +403,101 @@ ASOF LEFT JOIN purchases p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def evt_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis view → click → purchase: a user reaches a
+    stage only via an event at-or-after their entry into the previous
+    stage (first qualifying timestamp). Emits the per-stage census plus
+    the exact total inter-stage delay in integer microseconds (bigint —
+    no float summation drift). Plan: one min-agg per stage, each join
+    keyed on user_id so the groupBy exchange is reused by the subsequent
+    join (co-partitioned, no extra shuffle); final per-stage rollups are
+    single-row aggregates. Linear at any scale — no window over the full
+    event stream, no broadcast of an unbounded side."""
+    ev = tables.load(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("view_ts"))
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks.select("user_id", "click_ts"), "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def census(df, stage, delay):
+        d = (
+            F.coalesce(F.sum(delay), F.lit(0)).cast("long")
+            if delay is not None
+            else F.lit(0).cast("long")
+        )
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+            d.alias("total_delay_us"),
+        )
+
+    out = (
+        census(views, "view", None)
+        .unionAll(
+            census(
+                clicks,
+                "click",
+                F.unix_micros("click_ts") - F.unix_micros("view_ts"),
+            )
+        )
+        .unionAll(
+            census(
+                purchases,
+                "purchase",
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts"),
+            )
+        )
+    )
+    return out.orderBy("stage")
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.view_ts, MIN(e.ts) AS click_ts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+  GROUP BY e.user_id, v.view_ts
+),
+p AS (
+  SELECT e.user_id, c.click_ts, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+  GROUP BY e.user_id, c.click_ts
+)
+SELECT * FROM (
+  SELECT 'view' AS stage, COUNT(*) AS n_users, CAST(0 AS BIGINT) AS total_delay_us
+  FROM v
+  UNION ALL
+  SELECT 'click', COUNT(*),
+         CAST(COALESCE(SUM(epoch_us(click_ts) - epoch_us(view_ts)), 0) AS BIGINT)
+  FROM c
+  UNION ALL
+  SELECT 'purchase', COUNT(*),
+         CAST(COALESCE(SUM(epoch_us(purchase_ts) - epoch_us(click_ts)), 0) AS BIGINT)
+  FROM p
+) ORDER BY stage
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
@@ -416,4 +511,5 @@ QUERIES: dict[str, QueryEntry] = {
     "evt_top_users_per_day": QueryEntry(evt_top_users_per_day, _TOP_USERS_SQL),
     "evt_asof_last_purchase": QueryEntry(evt_asof_last_purchase, _ASOF_SQL),
     "evt_percentile_sketch": QueryEntry(evt_percentile_sketch, _PCT_SKETCH_SQL),
+    "evt_funnel_conversion": QueryEntry(evt_funnel_conversion, _FUNNEL_SQL),
 }

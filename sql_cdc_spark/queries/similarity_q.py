@@ -225,6 +225,76 @@ GROUP BY label, p ORDER BY label, pos
 """
 
 
+def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/bandwidth
+    scale path for ANN at 100 TB (4 bytes/dim → 1). All arithmetic runs
+    in an exact integer-microsecond domain: element → round(x·1e6) as
+    bigint, scale = max|micro|, q = floor(micro·127/scale + 0.5) —
+    floor(x+0.5) sidesteps engine round-half conventions, and every
+    product stays ≪ 2^53 so the doubles are exact. Emits per-vector
+    checksums (sum of quantized codes, total abs dequantization error in
+    micros) — a quantizer regression moves the hash. Pure scan-side
+    column algebra: zero shuffles, zero UDFs."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    def q_of(m):  # quantized code of a micro element (needs `scale` col)
+        return F.floor(m * 127.0 / F.col("scale_micro") + 0.5).cast("long")
+
+    def dq_of(m):  # dequantized micros of the same element
+        return F.floor(q_of(m) * F.col("scale_micro") / 127.0 + 0.5).cast("long")
+
+    micro = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    return (
+        emb.withColumn("micro", micro)
+        .withColumn(
+            "scale_micro",
+            F.greatest(
+                F.array_max(F.transform(F.col("micro"), lambda v: F.abs(v))),
+                F.lit(1).cast("long"),
+            ),
+        )
+        .select(
+            "vec_id",
+            "scale_micro",
+            F.aggregate(
+                F.col("micro"),
+                F.lit(0).cast("long"),
+                lambda acc, m: acc + q_of(m),
+            ).alias("sum_q"),
+            F.aggregate(
+                F.col("micro"),
+                F.lit(0).cast("long"),
+                lambda acc, m: acc + F.abs(m - dq_of(m)),
+            ).alias("sum_abs_err_micro"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_QUANTIZE_SQL = """
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS micro
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, micro,
+         GREATEST(list_max(list_transform(micro, v -> abs(v))), 1) AS scale_micro
+  FROM m
+)
+SELECT vec_id, scale_micro,
+       CAST(list_sum(list_transform(micro,
+            v -> CAST(floor(v * 127.0 / scale_micro + 0.5) AS BIGINT))) AS BIGINT) AS sum_q,
+       CAST(list_sum(list_transform(micro,
+            v -> abs(v - CAST(floor(CAST(floor(v * 127.0 / scale_micro + 0.5) AS BIGINT)
+                                    * scale_micro / 127.0 + 0.5) AS BIGINT)))) AS BIGINT)
+         AS sum_abs_err_micro
+FROM s ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),
@@ -232,4 +302,5 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_multiprobe_topk": QueryEntry(sim_multiprobe_topk, _multiprobe_sql()),
     "sim_ivf_topk": QueryEntry(sim_ivf_topk, _IVF_SQL),
     "sim_label_centroids": QueryEntry(sim_label_centroids, _CENTROIDS_SQL),
+    "sim_embedding_quantize": QueryEntry(sim_embedding_quantize, _QUANTIZE_SQL),
 }

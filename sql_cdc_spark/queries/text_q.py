@@ -152,10 +152,52 @@ SELECT doc_id,
 FROM documents
 """
 
+TOP_BIGRAMS = 20
+
+
+def txt_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram vocabulary top-k — the distributed n-gram
+    counting pass tokenizer training starts from. zip_with over two
+    shifted slices builds per-doc bigram arrays scan-side (no join, no
+    UDF), explode + groupBy counts with map-side partial aggregation,
+    and the bounded top-k compiles to TakeOrderedAndProject — no global
+    sort of the vocabulary. ORDER is total (count desc, bigram asc) so
+    limit() is deterministic. At 100 TB the only exchange is the
+    count groupBy, hash-partitioned on bigram."""
+    docs = tables.load(spark, sf_dir, "documents")
+    w = TX.normalize_words(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(TOP_BIGRAMS)
+    )
+
+
+_BIGRAM_SQL = rf"""
+WITH d AS (SELECT string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+b AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+)
+SELECT bigram, COUNT(*) AS n_occurrences
+FROM b GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram
+LIMIT {TOP_BIGRAMS}
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "txt_token_stats": QueryEntry(txt_token_stats, _TOKEN_STATS_SQL),
     "txt_bpe_tokens": QueryEntry(txt_bpe_tokens, _BPE_SQL),
     "txt_rolling_fingerprint": QueryEntry(txt_rolling_fingerprint, _ROLLING_SQL),
     "txt_quality_score": QueryEntry(txt_quality_score, _QUALITY_SQL),
     "txt_language_id": QueryEntry(txt_language_id, _language_sql()),
+    "txt_bigram_topk": QueryEntry(txt_bigram_topk, _BIGRAM_SQL),
 }

@@ -197,6 +197,37 @@ SELECT o_orderkey, o_totalprice,
 FROM orders
 """
 
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per order-priority partition — the
+    relative-standing analytics the ntile query approximates in buckets.
+    Both are pure rank arithmetic ((rank-1)/(n-1), rows≤current/n): the
+    inputs are identical integers in any engine, so the double division
+    is bit-identical and hash-stable without rounding tricks (rounded to
+    6dp anyway to match house style). Partitioned window — no global
+    sort; note for 100 TB: o_orderpriority has only 5 values, so this
+    shape assumes the per-partition slice fits one task; for
+    low-cardinality keys at extreme scale use the two-phase broadcast
+    boundary pattern (win_ntile_quartiles)."""
+    orders = tables.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+_PERCENT_RANK_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "win_latest_n_per_user": QueryEntry(win_latest_n_per_user, _LATEST_N_SQL),
     "win_order_ranks": QueryEntry(win_order_ranks, _ORDER_RANKS_SQL),
@@ -204,4 +235,5 @@ QUERIES: dict[str, QueryEntry] = {
     "win_lag_delta": QueryEntry(win_lag_delta, _LAG_DELTA_SQL),
     "win_moving_avg": QueryEntry(win_moving_avg, _MOVING_AVG_SQL),
     "win_ntile_quartiles": QueryEntry(win_ntile_quartiles, _NTILE_SQL),
+    "win_percent_rank": QueryEntry(win_percent_rank, _PERCENT_RANK_SQL),
 }

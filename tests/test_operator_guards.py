@@ -50,6 +50,10 @@ def test_registry_window_holds_all_round3_queries():
         "dd_near_dup_pairs",   # hashed-shingle + band-cap changes
         "dd_lsh_candidate_pairs",
         "cdc_flagship_documents",
+        "evt_funnel_conversion",
+        "txt_bigram_topk",
+        "sim_embedding_quantize",
+        "win_percent_rank",
     ]
     missing = [n for n in round3_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
