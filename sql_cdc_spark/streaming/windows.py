@@ -95,6 +95,41 @@ def session_windows(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    same-key right events whose event time lands in [left.ts, left.ts +
+    interval]. Both sides carry watermarks and the join condition bounds
+    event-time distance, so Spark can evict join state once the watermark
+    passes — bounded memory on unbounded streams (the correlation surface
+    the reference would push to a SQL Server join after landing both
+    feeds). Works unchanged on batch DataFrames (the watermark node is a
+    no-op there), so tests compare stream vs batch with one expr tree."""
+    lhs = left.select(
+        F.col(key).alias("join_key"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("left_ts"),
+    ).withWatermark("left_ts", watermark)
+    rhs = right.select(
+        F.col(key).alias("r_join_key"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+    ).withWatermark("right_ts", watermark)
+    cond = (
+        (F.col("join_key") == F.col("r_join_key"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        "join_key", "left_id", "right_id", "left_ts", "right_ts"
+    )
+
+
 def dedupe_stream(
     events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
 ) -> DataFrame:

@@ -191,6 +191,33 @@ def test_ann_recall_vs_brute_force(spark):
     assert r_multi >= 0.3
 
 
+def test_ivf_probe_sweep_recall_monotone_to_exact(spark):
+    """IVF probe-width sweep: with a seeded (deterministic) coarse
+    quantizer, widening n_probe can only add scanned clusters, so
+    recall@10 vs brute force is non-decreasing in n_probe — and probing
+    ALL clusters degenerates to the exact scan (recall 1.0). This pins
+    the recall/cost dial the 100 TB deployment would actually turn."""
+    from tests.conftest import SF_DIR
+
+    import __spark_entry__ as e
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions.similarity import ivf_topk
+
+    truth = {
+        r.vec_id for r in e.queries()["sim_topk_cosine"](spark, SF_DIR).collect()
+    }
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    recalls = []
+    for n_probe in (1, 2, 4, 8):
+        got = {
+            r.vec_id
+            for r in ivf_topk(emb, query_id=0, k=10, n_clusters=8, n_probe=n_probe).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, f"full probe must be exact: {recalls}"
+
+
 def test_balance_partitions_fixes_compute_starved_scans(spark, docs):
     """A byte-small corpus scans as one partition (parquet can't split
     below a row group), starving compute-dense shingling; balancing must

@@ -228,6 +228,44 @@ def test_running_totals_v2_transform_with_state(spark, event_stream_dir, tmp_pat
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (inner, both sides watermarked): the
+    emitted pairs equal the batch join with the identical expr tree —
+    view→click correlation per user within 1 hour."""
+    ev = tables.load(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    views_b = ev.filter(F.col("event_type") == "view")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    # two files per side → multiple micro-batches exercise join state
+    for df, src in ((views_b, vsrc), (clicks_b, csrc)):
+        mid = df.agg(F.percentile_approx("event_id", 0.5)).first()[0]
+        df.filter(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(src)
+        df.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(src)
+    joined = W.interval_join(
+        W.read_event_stream(spark, vsrc), W.read_event_stream(spark, csrc)
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ijoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.left_id, r.right_id) for r in spark.table("ijoin").collect()
+    )
+    want = sorted(
+        (r.left_id, r.right_id)
+        for r in W.interval_join(views_b, clicks_b).collect()
+    )
+    assert got == want and got, "stream interval join must equal batch twin"
+
+
 def test_running_totals_v2_constructs_unbound(spark, event_stream_dir):
     """The TWS operator must at least build its plan (processor wiring,
     state schema, output schema) even where the protobuf-dependent
