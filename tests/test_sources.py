@@ -58,6 +58,55 @@ def test_read_jdbc_fails_clearly_without_driver(spark):
         )
 
 
+def test_cdf_options_version_and_timestamp_bounds():
+    from sql_cdc_spark.sources import cdf_options
+
+    opts = cdf_options(starting_version=5, ending_version=9)
+    assert opts == {
+        "readChangeFeed": "true",
+        "startingVersion": "5",
+        "endingVersion": "9",
+    }
+    ts = cdf_options(starting_timestamp="2026-01-01 00:00:00")
+    assert ts["startingTimestamp"] == "2026-01-01 00:00:00"
+    with pytest.raises(ValueError):
+        cdf_options()  # no start bound
+    with pytest.raises(ValueError):
+        cdf_options(starting_version=1, starting_timestamp="2026-01-01")
+
+
+def test_read_cdf_fails_clearly_without_delta(spark, tmp_path):
+    from sql_cdc_spark.sources import read_cdf
+
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        read_cdf(spark, str(tmp_path / "nope"), starting_version=0)
+
+
+def test_cdf_to_changelog_normalizes_change_types(spark):
+    """The CDF→changelog mapping: pre-images dropped, change types to
+    I/U/D, commit version as the monotone counter — output plugs into
+    the same consumers as the native changelog (CHANGELOG_SCHEMA)."""
+    from sql_cdc_spark.sources import cdf_to_changelog
+    from sql_cdc_spark.streaming.changelog import CHANGELOG_SCHEMA
+
+    rows = [
+        (1, "insert", 7, "2026-01-01 00:00:01"),
+        (1, "update_preimage", 8, "2026-01-01 00:00:02"),
+        (1, "update_postimage", 8, "2026-01-01 00:00:02"),
+        (2, "delete", 9, "2026-01-01 00:00:03"),
+    ]
+    cdf = spark.createDataFrame(
+        rows, "invoice_id long, _change_type string, _commit_version long, _commit_timestamp string"
+    )
+    out = cdf_to_changelog(cdf, "invoice_header", "invoice_id")
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in CHANGELOG_SCHEMA.fields
+    ]
+    got = {(r.key_id, r.change_version): r.op for r in out.collect()}
+    assert got == {(1, 7): "I", (1, 8): "U", (2, 9): "D"}
+    assert out.count() == 3  # pre-image dropped
+
+
 def test_invoice_view_registration_and_sql_access(spark):
     names = register_invoice_views(spark, SF_DIR_SMALL)
     assert names == [INVOICE_VIEW]
