@@ -72,11 +72,15 @@ def _gen(rng: random.Random) -> dict:
         part = rng.choice(STR_COLS)
         cols = rng.sample(NUM_COLS, 2)
         return {"filters": filters, "window": {"part": part, "cols": cols}}
-    if shape < 0.97:
+    if shape < 0.955:
         # null-producing left join: orders ⟕ (lineitem restricted below a
         # pivot) — unmatched orders exercise the null path in both engines
         pivot = rng.randint(500, 3000)
         return {"filters": [], "left_join": {"pivot": pivot}}
+    if shape < 0.985:
+        # semi / anti join rendered as [NOT] EXISTS on the SQL side
+        pivot = rng.randint(500, 3000)
+        return {"filters": filters, "semi": {"pivot": pivot, "anti": rng.random() < 0.5}}
     cols = rng.sample(NUM_COLS + STR_COLS, rng.randint(2, 4))
     return {"filters": filters, "project": cols}
 
@@ -124,6 +128,17 @@ def _to_spark(spark, q: dict):
             F.count(F.lit(1)).alias("n_rows"),
             F.count("l_orderkey").alias("n_matched"),
             F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0))).alias("qty_sum"),
+        )
+    if "semi" in q:
+        pivot, anti = q["semi"]["pivot"], q["semi"]["anti"]
+        orders = tables.load(spark, SF_DIR, "orders").filter(
+            F.col("o_orderkey") < pivot
+        )
+        how = "left_anti" if anti else "left_semi"
+        j = df.join(orders, df.l_orderkey == orders.o_orderkey, how)
+        return j.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("qty_sum"),
         )
     if "topk" in q:
         cols, k = q["topk"]
@@ -187,6 +202,16 @@ def _to_sql(q: dict) -> str:
             f"FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_orderkey < {pivot}) l "
             f"ON o_orderkey = l_orderkey GROUP BY o_orderstatus"
         )
+    if "semi" in q:
+        pivot, anti = q["semi"]["pivot"], q["semi"]["anti"]
+        conj = "AND" if q["filters"] else "WHERE"
+        neg = "NOT " if anti else ""
+        return (
+            f"SELECT l_returnflag, COUNT(*) AS n_rows, SUM(l_quantity) AS qty_sum "
+            f"FROM lineitem {where} {conj} {neg}EXISTS ("
+            f"SELECT 1 FROM orders WHERE o_orderkey = l_orderkey "
+            f"AND o_orderkey < {pivot}) GROUP BY l_returnflag"
+        )
     if "topk" in q:
         cols, k = q["topk"]
         order = ", ".join(f"{c} ASC" for c in cols + ["l_orderkey", "l_linenumber"])
@@ -197,7 +222,7 @@ def _to_sql(q: dict) -> str:
     return f"SELECT {', '.join(q['project'])} FROM lineitem {where}"
 
 
-@pytest.mark.parametrize("seed", range(60))
+@pytest.mark.parametrize("seed", range(80))
 def test_random_query_matches_duckdb(spark, oracle, seed):
     rng = random.Random(1000 + seed)
     q = _gen(rng)
