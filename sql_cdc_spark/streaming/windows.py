@@ -101,6 +101,7 @@ def interval_join(
     key: str = "user_id",
     interval: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left event pairs with
     same-key right events whose event time lands in [left.ts, left.ts +
@@ -109,7 +110,19 @@ def interval_join(
     passes — bounded memory on unbounded streams (the correlation surface
     the reference would push to a SQL Server join after landing both
     feeds). Works unchanged on batch DataFrames (the watermark node is a
-    no-op there), so tests compare stream vs batch with one expr tree."""
+    no-op there), so tests compare stream vs batch with one expr tree.
+
+    ``how='left_outer'`` additionally emits unmatched left events with
+    null right columns — in streaming, only once the watermark proves no
+    match can still arrive, so null rows for the newest events are
+    withheld until a later micro-batch advances the watermark (Spark's
+    outer stream-stream contract). Matches always emit eagerly."""
+    allowed = {"inner", "left_outer"}
+    if how not in allowed:
+        raise ValueError(
+            f"interval_join supports {sorted(allowed)}, got {how!r}: other "
+            "join types need state the streaming engine cannot bound here"
+        )
     lhs = left.select(
         F.col(key).alias("join_key"),
         F.col("event_id").alias("left_id"),
@@ -125,7 +138,7 @@ def interval_join(
         & (F.col("right_ts") >= F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {interval}"))
     )
-    return lhs.join(rhs, cond, "inner").select(
+    return lhs.join(rhs, cond, how).select(
         "join_key", "left_id", "right_id", "left_ts", "right_ts"
     )
 

@@ -97,6 +97,24 @@ def test_aggregates_are_partial(spark, name):
     assert "partial_" in plan
 
 
+def test_bigram_topk_is_take_ordered_with_partial_agg(spark):
+    """Vocabulary top-k must plan as partial-agg → exchange → heap top-k,
+    never a global sort of the whole vocabulary."""
+    plan = _plan(spark, "txt_bigram_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan
+    assert plan.count("Exchange") <= 1, "one count shuffle only"
+
+
+def test_quantize_is_scan_side_only(spark):
+    """int8 quantization is pure per-row column algebra: the only
+    exchange allowed is the final output ordering's range partition."""
+    plan = _plan(spark, "sim_embedding_quantize")
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Generate" not in plan
+
+
 def test_partition_pruning_on_partitioned_changelog(spark, tmp_path):
     """A change log laid out as version-range partitions gets partition
     pruning for version predicates — the layout SURVEY.md prescribes for

@@ -266,6 +266,54 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     assert got == want and got, "stream interval join must equal batch twin"
 
 
+def test_interval_join_left_outer_semantics(spark, tmp_path):
+    """left_outer stream-stream interval join: matched pairs equal the
+    inner batch join exactly (matches emit eagerly); emitted null rows
+    are genuinely unmatched in the batch twin (nulls for the newest left
+    events may be withheld until the watermark passes — Spark's outer
+    stream contract — so subset, not equality). Rejects unsupported
+    join types."""
+    import pytest as _pytest
+
+    ev = tables.load(spark, SF_DIR_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    views_b = ev.filter(F.col("event_type") == "view")
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    views_b.coalesce(1).write.parquet(vsrc)
+    clicks_b.coalesce(1).write.parquet(csrc)
+    with _pytest.raises(ValueError, match="interval_join supports"):
+        W.interval_join(views_b, clicks_b, how="full_outer")
+    q = (
+        W.interval_join(
+            W.read_event_stream(spark, vsrc),
+            W.read_event_stream(spark, csrc),
+            how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("ojoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk7"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ojoin").collect()
+    got_matched = sorted(
+        (r.left_id, r.right_id) for r in got if r.right_id is not None
+    )
+    got_nulls = {r.left_id for r in got if r.right_id is None}
+    batch = W.interval_join(views_b, clicks_b, how="left_outer").collect()
+    want_matched = sorted(
+        (r.left_id, r.right_id) for r in batch if r.right_id is not None
+    )
+    want_nulls = {r.left_id for r in batch if r.right_id is None}
+    assert got_matched == want_matched
+    assert got_nulls <= want_nulls
+    assert got_nulls.isdisjoint({l for l, _ in got_matched})
+
+
 def test_running_totals_v2_constructs_unbound(spark, event_stream_dir):
     """The TWS operator must at least build its plan (processor wiring,
     state schema, output schema) even where the protobuf-dependent
