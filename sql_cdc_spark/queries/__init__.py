@@ -94,6 +94,7 @@ def _registry() -> dict[str, QueryEntry]:
         "evt_funnel_conversion",         # NEW: ordered funnel analysis
         "txt_bigram_topk",               # NEW: n-gram vocabulary top-k
         "sim_embedding_quantize",        # NEW: int8 quantization checksums
+        "sim_quantized_topk",            # NEW: int8-domain ANN ranking
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -112,6 +113,7 @@ def _registry() -> dict[str, QueryEntry]:
         "rel_union_all_segments",
         "win_lag_delta",
         "win_moving_avg",
+        "win_running_total",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

@@ -273,8 +273,9 @@ def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUANTIZE_SQL = """
-WITH m AS (
+# shared CTE text: micro-domain embedding + per-vector scale (the same
+# constants drive both quantization oracles, so they cannot drift)
+_MICRO_CTES = """m AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS micro
   FROM embeddings
@@ -283,7 +284,10 @@ s AS (
   SELECT vec_id, micro,
          GREATEST(list_max(list_transform(micro, v -> abs(v))), 1) AS scale_micro
   FROM m
-)
+)"""
+
+_QUANTIZE_SQL = f"""
+WITH {_MICRO_CTES}
 SELECT vec_id, scale_micro,
        CAST(list_sum(list_transform(micro,
             v -> CAST(floor(v * 127.0 / scale_micro + 0.5) AS BIGINT))) AS BIGINT) AS sum_q,
@@ -295,6 +299,82 @@ FROM s ORDER BY vec_id
 """
 
 
+def sim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search in the int8 domain — the 100 TB hot path: score every
+    vector by the INTEGER dot product of quantized codes (4× less
+    memory-bandwidth than float32; SIMD-friendly on real hardware), rank
+    by qdot·scale_v·scale_q (exact bigint, ≪ 2^63). The query's codes are
+    one broadcast row; the scan stays scan-local and the bounded top-k
+    compiles to TakeOrderedAndProject. Every step is integer-exact, so
+    the DuckDB oracle reproduces the ranking bit-for-bit — no float
+    tolerance anywhere."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    base = (
+        emb.withColumn("micro", micro)
+        .withColumn(
+            "scale_micro",
+            F.greatest(
+                F.array_max(F.transform(F.col("micro"), lambda v: F.abs(v))),
+                F.lit(1).cast("long"),
+            ),
+        )
+        .withColumn(
+            "qv",
+            F.transform(
+                F.col("micro"),
+                lambda m: F.floor(m * 127.0 / F.col("scale_micro") + 0.5).cast(
+                    "long"
+                ),
+            ),
+        )
+        .select("vec_id", "scale_micro", "qv")
+    )
+    qrow = base.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("qv").alias("qqv"), F.col("scale_micro").alias("qscale")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qv", "qqv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        base.crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            qdot.alias("qdot"),
+            (F.col("scale_micro") * F.col("qscale")).alias("__ss"),
+        )
+        .select(
+            "vec_id", "qdot", (F.col("qdot") * F.col("__ss")).alias("qscore")
+        )
+        .orderBy(F.col("qscore").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+_QTOPK_SQL = f"""
+WITH {_MICRO_CTES},
+q AS (
+  SELECT vec_id, scale_micro,
+         list_transform(micro, v -> CAST(floor(v * 127.0 / scale_micro + 0.5) AS BIGINT)) AS qv
+  FROM s
+),
+qq AS (SELECT qv AS qqv, scale_micro AS qscale FROM q WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, qdot, qdot * scale_micro * qscale AS qscore
+FROM (
+  SELECT q.vec_id, q.scale_micro, qq.qscale,
+         (SELECT CAST(SUM(q.qv[i] * qq.qqv[i]) AS BIGINT)
+          FROM UNNEST(generate_series(1, len(q.qv))) AS t(i)) AS qdot
+  FROM q, qq
+)
+ORDER BY qscore DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),
@@ -303,4 +383,5 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_ivf_topk": QueryEntry(sim_ivf_topk, _IVF_SQL),
     "sim_label_centroids": QueryEntry(sim_label_centroids, _CENTROIDS_SQL),
     "sim_embedding_quantize": QueryEntry(sim_embedding_quantize, _QUANTIZE_SQL),
+    "sim_quantized_topk": QueryEntry(sim_quantized_topk, _QTOPK_SQL),
 }

@@ -53,6 +53,7 @@ def test_registry_window_holds_all_round3_queries():
         "evt_funnel_conversion",
         "txt_bigram_topk",
         "sim_embedding_quantize",
+        "sim_quantized_topk",
         "win_percent_rank",
     ]
     missing = [n for n in round3_new if n not in window]
