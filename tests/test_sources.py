@@ -82,6 +82,13 @@ def test_read_cdf_fails_clearly_without_delta(spark, tmp_path):
         read_cdf(spark, str(tmp_path / "nope"), starting_version=0)
 
 
+def test_read_cdf_stream_fails_clearly_without_delta(spark, tmp_path):
+    from sql_cdc_spark.sources import read_cdf_stream
+
+    with pytest.raises(RuntimeError, match="delta-spark"):
+        read_cdf_stream(spark, str(tmp_path / "nope"), starting_version=3)
+
+
 def test_cdf_to_changelog_normalizes_change_types(spark):
     """The CDF→changelog mapping: pre-images dropped, change types to
     I/U/D, commit version as the monotone counter — output plugs into
