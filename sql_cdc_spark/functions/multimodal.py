@@ -198,6 +198,67 @@ def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFra
     )
 
 
+AUDIO_WIN = 128  # synthetic audio analysis window in bytes
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame, win: int = AUDIO_WIN) -> DataFrame:
+    """Windowed audio feature extraction (audio only) via mapInPandas:
+    frame each payload into non-overlapping `win`-byte windows (full
+    windows only) and emit integer-exact per-window features — energy
+    (sum of squared samples), amplitude sum, peak sample. Bytes stand in
+    for PCM samples (no audio codec in this container — same stub stance
+    as `_decode_image`); the framing/fan-out/Arrow-batch plumbing and the
+    vectorized numpy reduction are the real 100 TB shape. All features
+    are integers, so the DuckDB oracle reproduces them bit-for-bit."""
+    import numpy as np
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, energies, amps, peaks = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = _decode_image(p)
+                n_win = len(b) // win
+                if n_win == 0:
+                    continue
+                arr = (
+                    np.frombuffer(b, dtype=np.uint8, count=n_win * win)
+                    .astype(np.int64)
+                    .reshape(n_win, win)
+                )
+                ids.extend([mid] * n_win)
+                idxs.extend(range(n_win))
+                energies.extend((arr * arr).sum(axis=1).tolist())
+                amps.extend(arr.sum(axis=1).tolist())
+                peaks.extend(arr.max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "win_idx": idxs,
+                    "energy": energies,
+                    "amp_sum": amps,
+                    "peak": peaks,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(feats, AUDIO_SCHEMA)
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -95,6 +95,7 @@ def _registry() -> dict[str, QueryEntry]:
         "txt_bigram_topk",               # NEW: n-gram vocabulary top-k
         "sim_embedding_quantize",        # NEW: int8 quantization checksums
         "sim_quantized_topk",            # NEW: int8-domain ANN ranking
+        "mm_audio_features",             # NEW: windowed audio features
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -114,6 +115,7 @@ def _registry() -> dict[str, QueryEntry]:
         "win_lag_delta",
         "win_moving_avg",
         "win_running_total",
+        "rel_multi_hop_dims",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

@@ -116,9 +116,38 @@ CROSS JOIN UNNEST(range(0, length(ptext) // {MM.FRAME_BYTES}, {FRAME_STEP})) AS 
 WHERE kind = 'video'
 """
 
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features (energy / amplitude / peak per 128-byte
+    window) for every audio object — integer-exact, so the oracle rebuilds
+    the same reductions with a per-character lateral unnest."""
+    return MM.audio_features(_media(spark, sf_dir), MM.AUDIO_WIN)
+
+
+_AUDIO_SQL = f"""
+WITH {_MEDIA_CTE},
+wins AS (
+  SELECT media_id, ptext, CAST(wi AS INTEGER) AS win_idx
+  FROM media
+  CROSS JOIN UNNEST(range(0, length(ptext) // {MM.AUDIO_WIN})) AS t(wi)
+  WHERE kind = 'audio'
+),
+samples AS (
+  SELECT media_id, win_idx,
+         CAST(ascii(substring(ptext, win_idx * {MM.AUDIO_WIN} + CAST(ci AS BIGINT) + 1, 1)) AS BIGINT) AS v
+  FROM wins CROSS JOIN UNNEST(range(0, {MM.AUDIO_WIN})) AS c(ci)
+)
+SELECT media_id, win_idx,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(SUM(v) AS BIGINT) AS amp_sum,
+       CAST(MAX(v) AS INTEGER) AS peak
+FROM samples
+GROUP BY media_id, win_idx
+"""
+
 QUERIES: dict[str, QueryEntry] = {
     "mm_media_catalog": QueryEntry(mm_media_catalog, _CATALOG_SQL),
     "mm_decode_features": QueryEntry(mm_decode_features, _FEATURES_SQL),
     "mm_resize_digest": QueryEntry(mm_resize_digest, _RESIZE_SQL),
     "mm_frame_sample": QueryEntry(mm_frame_sample, _FRAMES_SQL),
+    "mm_audio_features": QueryEntry(mm_audio_features, _AUDIO_SQL),
 }

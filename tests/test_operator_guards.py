@@ -55,6 +55,7 @@ def test_registry_window_holds_all_round3_queries():
         "sim_embedding_quantize",
         "sim_quantized_topk",
         "win_percent_rank",
+        "mm_audio_features",
     ]
     missing = [n for n in round3_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"

@@ -24,6 +24,7 @@ _PANDAS_OK = {
     "mm_decode_features",
     "mm_resize_digest",
     "mm_frame_sample",
+    "mm_audio_features",
     "scl_group_zscore",
     "fn_bson_roundtrip",
 }
