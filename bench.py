@@ -116,9 +116,24 @@ def cdc_pipeline_throughput(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — lets the bench report
+    how much CPU the hypervisor withheld during the run. Round 2's 1.9×
+    'regression' with zero code changes was exactly this: neighbor-VM
+    contention, invisible without measuring it."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    ticks0 = _cpu_ticks()
 
     from sql_cdc_spark.session import get_spark
 
@@ -153,18 +168,20 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cdc_pipeline": cdc,
-            }
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cdc_pipeline": cdc,
+    }
+    ticks1 = _cpu_ticks()
+    if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
+        out["cpu_steal_pct"] = round(
+            100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 1
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -96,6 +96,9 @@ def _registry() -> dict[str, QueryEntry]:
         "sim_embedding_quantize",        # NEW: int8 quantization checksums
         "sim_quantized_topk",            # NEW: int8-domain ANN ranking
         "mm_audio_features",             # NEW: windowed audio features
+        "evt_retention_cohorts",         # NEW: retention-cohort matrix
+        "evt_type_transitions",          # NEW: Markov transition census
+        "txt_pii_redact",                # NEW: PII scrub with salted matches
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -116,6 +119,19 @@ def _registry() -> dict[str, QueryEntry]:
         "win_moving_avg",
         "win_running_total",
         "rel_multi_hop_dims",
+        # make room for the late-round-3 additions (3 tpch + 1 win enter
+        # via their front modules; evt/txt enter via priority): each
+        # demoted row is an r1-green single whose plan shape stays
+        # represented in the window by a sibling (semi join → tpch_q4,
+        # row_number → fn_invoice_numbering, set op → rel_except, star
+        # join+top-k → tpch_q3, cube → rel_rollup_lineitem)
+        "rel_top_revenue_orders",
+        "rel_semi_join_big_spenders",
+        "rel_intersect_buyers",
+        "rel_cube_status_flag",
+        "win_latest_n_per_user",
+        "tpch_q10_returned_items",
+        "rel_customer_order_stats",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

@@ -498,6 +498,81 @@ SELECT * FROM (
 """
 
 
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users grouped by first-seen day, counted
+    on each subsequent active day as a day offset. Day floors are integer
+    microsecond arithmetic (no date_trunc — CLAUDE.md determinism rule);
+    every output is an exact integer. Plan: distinct (user, day) pairs
+    (one shuffle), min-day per user reuses the same user_id partitioning,
+    then one count shuffle on (cohort_day, offset) — three map-side-
+    combining exchanges, linear at any scale."""
+    ev = tables.load(spark, sf_dir, "events")
+    # `div` is exact integer division — a double `/` then cast could flip
+    # a value sitting on a day boundary by one ulp
+    day = F.expr(f"unix_micros(ts) div {_DAY_US}")
+    user_days = ev.select("user_id", day.alias("day")).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_RETENTION_SQL = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM user_days GROUP BY user_id
+)
+SELECT c.cohort_day, u.day - c.cohort_day AS day_offset, COUNT(*) AS n_users
+FROM user_days u JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def evt_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (first-order Markov census): for each
+    user's event stream in (ts, event_id) total order, count consecutive
+    (previous type → current type) pairs. The lag window is partitioned by
+    user_id — never a global window — so state per task is one user's
+    slice. Exact integer counts; the stream's first event per user (no
+    predecessor) is excluded."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("curr_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        pairs.groupBy("prev_type", "curr_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "curr_type")
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS curr_type
+  FROM events
+)
+SELECT prev_type, curr_type, COUNT(*) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
@@ -512,4 +587,6 @@ QUERIES: dict[str, QueryEntry] = {
     "evt_asof_last_purchase": QueryEntry(evt_asof_last_purchase, _ASOF_SQL),
     "evt_percentile_sketch": QueryEntry(evt_percentile_sketch, _PCT_SKETCH_SQL),
     "evt_funnel_conversion": QueryEntry(evt_funnel_conversion, _FUNNEL_SQL),
+    "evt_retention_cohorts": QueryEntry(evt_retention_cohorts, _RETENTION_SQL),
+    "evt_type_transitions": QueryEntry(evt_type_transitions, _TRANSITIONS_SQL),
 }

@@ -193,6 +193,64 @@ LIMIT {TOP_BIGRAMS}
 """
 
 
+# PII regexes — deliberately restricted to syntax Java regex and RE2
+# interpret identically (char classes, +/{m,}, escaped literals)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the redaction pass every training-data pipeline runs
+    before anything else. The synthetic corpus carries no PII, so each
+    document is first salted with a deterministic email + phone derived
+    from doc_id (making the gate exercise real matches, not
+    empty-vs-empty), then both patterns are counted and replaced
+    scan-side with built-in regexp functions. Emits the redacted text's
+    md5 so the oracle verifies the exact output bytes, not just counts."""
+    docs = tables.load(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(salted, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(salted, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(salted, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+        F.length(redacted).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+_PII_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS salted
+  FROM documents
+),
+r AS (
+  SELECT doc_id, salted,
+         regexp_replace(regexp_replace(salted, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(salted, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(salted, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       md5(redacted) AS redacted_fp,
+       CAST(length(redacted) AS INTEGER) AS redacted_len,
+FROM r
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "txt_token_stats": QueryEntry(txt_token_stats, _TOKEN_STATS_SQL),
     "txt_bpe_tokens": QueryEntry(txt_bpe_tokens, _BPE_SQL),
@@ -200,4 +258,5 @@ QUERIES: dict[str, QueryEntry] = {
     "txt_quality_score": QueryEntry(txt_quality_score, _QUALITY_SQL),
     "txt_language_id": QueryEntry(txt_language_id, _language_sql()),
     "txt_bigram_topk": QueryEntry(txt_bigram_topk, _BIGRAM_SQL),
+    "txt_pii_redact": QueryEntry(txt_pii_redact, _PII_SQL),
 }

@@ -201,9 +201,137 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
 LIMIT 100
 """
 
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: forecast-revenue delta — one filtered scan, no join, single
+    aggregate. All three predicates push into the parquet scan; the sum is
+    integer-cents-exact so both engines produce the identical double.
+    revenue = SUM(extendedprice * discount) over one shipdate year,
+    discount within ±0.01 of 0.06, small quantities."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_YEAR_HI).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+        "long"
+    )
+    return li.agg(
+        (F.sum(cents) / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q6_SQL = f"""
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_YEAR_LO}'
+  AND l_shipdate < TIMESTAMP '{_YEAR_HI}'
+  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < 24
+"""
+
+
+def tpch_q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape adapted to the available columns (the test schema carries
+    no l_commitdate/l_receiptdate): orders in one quarter that have at
+    least one line shipped after the order date, counted per priority.
+    The EXISTS becomes a left-semi join with a non-equi clause riding the
+    key condition — Catalyst keeps it a single shuffled semi join, exact
+    integer counts."""
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = f"""
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+  AND o.o_orderdate < TIMESTAMP '{_Q10_HI}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: monthly promo-revenue share — lineitem ⨝ broadcast(part) with
+    a conditional aggregate. Revenue is cents-exact on both branches; the
+    share is one double division of two exact bigints, identical
+    cross-engine. Grouped by calendar month (integer year/month columns —
+    no timestamp output, per the oracle determinism rules)."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_YEAR_HI).cast("timestamp"))
+    )
+    part = tables.load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo_cents = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .agg(
+            (F.sum(promo_cents) / 100.0).alias("promo_revenue"),
+            (F.sum(cents) / 100.0).alias("total_revenue"),
+            F.round(F.sum(promo_cents) / F.sum(cents), 6).alias("promo_share"),
+        )
+        .orderBy("ship_year", "ship_month")
+    )
+
+
+_Q14_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS ship_year,
+       CAST(EXTRACT(MONTH FROM l.l_shipdate) AS INTEGER) AS ship_month,
+       SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                ELSE 0 END) / 100.0 AS promo_revenue,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0 AS total_revenue,
+       ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+                      ELSE 0 END)
+             / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS DOUBLE),
+             6) AS promo_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{_YEAR_LO}'
+  AND l.l_shipdate < TIMESTAMP '{_YEAR_HI}'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "tpch_q3_shipping_priority": QueryEntry(tpch_q3_shipping_priority, _Q3_SQL),
     "tpch_q5_local_supplier_volume": QueryEntry(tpch_q5_local_supplier_volume, _Q5_SQL),
     "tpch_q10_returned_items": QueryEntry(tpch_q10_returned_items, _Q10_SQL),
     "tpch_q18_large_orders": QueryEntry(tpch_q18_large_orders, _Q18_SQL),
+    "tpch_q6_forecast_revenue": QueryEntry(tpch_q6_forecast_revenue, _Q6_SQL),
+    "tpch_q4_late_order_priority": QueryEntry(
+        tpch_q4_late_order_priority, _Q4_SQL
+    ),
+    "tpch_q14_promo_revenue": QueryEntry(tpch_q14_promo_revenue, _Q14_SQL),
 }

@@ -228,6 +228,44 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
 """
 
 
+_HOUR_US = 3_600_000_000
+
+
+def win_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event time: per user, the rolling one-hour
+    trailing count and value sum for every event — the time-based frame
+    (RANGE BETWEEN interval PRECEDING) that ROWS frames can't express
+    when events are irregularly spaced. Ordering is integer epoch-µs so
+    both engines frame identically; the sum is cents-exact bigint. The
+    window is partitioned by user_id (never global), and emitting ts_us
+    + event_id keeps every output row uniquely keyed."""
+    ev = tables.load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        (F.sum(cents).over(w) / 100.0).alias("value_1h"),
+    )
+
+
+_TIME_RANGE_SQL = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_events_1h,
+       SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w / 100.0 AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "win_latest_n_per_user": QueryEntry(win_latest_n_per_user, _LATEST_N_SQL),
     "win_order_ranks": QueryEntry(win_order_ranks, _ORDER_RANKS_SQL),
@@ -236,4 +274,5 @@ QUERIES: dict[str, QueryEntry] = {
     "win_moving_avg": QueryEntry(win_moving_avg, _MOVING_AVG_SQL),
     "win_ntile_quartiles": QueryEntry(win_ntile_quartiles, _NTILE_SQL),
     "win_percent_rank": QueryEntry(win_percent_rank, _PERCENT_RANK_SQL),
+    "win_time_range_sum": QueryEntry(win_time_range_sum, _TIME_RANGE_SQL),
 }

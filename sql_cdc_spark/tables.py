@@ -32,10 +32,17 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# TIMESTAMP(NANOS) columns per table: Spark reads them as long nanos
-# (spark.sql.legacy.parquet.nanosAsLong) and we convert to TimestampType.
-# The data is microsecond-precision so `nanos DIV 1000` is lossless.
-_NANO_TS_COLS = {
+# Timestamp columns per table, normalized to TimestampType (LTZ) whatever
+# physical form the generator used. Two forms seen across driver rounds:
+#   TIMESTAMP(NANOS)  -> read as long nanos (spark.sql.legacy.parquet.
+#                        nanosAsLong), converted via nanos DIV 1000
+#                        (data is µs-precision, so lossless);
+#   TIMESTAMP(MICROS, isAdjustedToUTC=false) -> read as TIMESTAMP_NTZ,
+#                        cast to LTZ — the session TZ is pinned UTC, so
+#                        the wall-clock value (and unix_micros) matches
+#                        DuckDB's naive epoch_us exactly.
+# Downstream code may then assume plain TIMESTAMP everywhere.
+_TS_COLS = {
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
     "events": ["ts"],
@@ -53,9 +60,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in _NANO_TS_COLS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+    for c in _TS_COLS.get(name, []):
+        if c not in df.columns:
+            continue
+        dt = dict(df.dtypes)[c]
+        if dt == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        elif dt == "timestamp_ntz":  # TIMESTAMP(MICROS) naive
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -56,6 +56,13 @@ def test_registry_window_holds_all_round3_queries():
         "sim_quantized_topk",
         "win_percent_rank",
         "mm_audio_features",
+        "tpch_q6_forecast_revenue",
+        "tpch_q4_late_order_priority",
+        "tpch_q14_promo_revenue",
+        "win_time_range_sum",
+        "evt_retention_cohorts",
+        "evt_type_transitions",
+        "txt_pii_redact",
     ]
     missing = [n for n in round3_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
