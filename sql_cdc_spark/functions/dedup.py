@@ -33,13 +33,6 @@ LSH_BAND_ROWS = 2                # 4 bands × 2 rows
 SIMHASH_BITS = 32
 
 
-def portable_hash_mod(col: Column, mod: int = MINHASH_MOD) -> Column:
-    """60-bit md5-prefix hash reduced mod a small prime — identical
-    integer result in Spark and DuckDB (see functions_q.portable_hash60)."""
-    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-    return h % mod
-
-
 def shingles(text_col: Column, k: int = 3) -> Column:
     """k-token shingles of the normalized text (array of strings).
     Documents shorter than k tokens yield their full token string."""
@@ -82,20 +75,30 @@ def balance_partitions(df: DataFrame) -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) exploded-distinct — the shared input of MinHash
-    and Jaccard verification."""
+    """(doc_id, sh64) exploded-distinct — the shared input of MinHash and
+    Jaccard verification. The shingle string is hashed to its 60-bit
+    md5-prefix int RIGHT HERE, before the distinct: every downstream
+    stage (signature mins, Jaccard joins, the distinct's own shuffle)
+    then moves and compares 8-byte ints instead of shingle strings, and
+    the expensive md5+base16 parse runs exactly once per shingle
+    occurrence rather than once per consuming branch (the round-3 bench
+    regression was exactly that recomputation). The DuckDB oracle dedups
+    on the same hashed domain, so parity is exact by construction —
+    60-bit collisions included."""
+    sh64 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
     return (
         balance_partitions(docs)
         .select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("shingle"))
+        .select(F.col(id_col), sh64.alias("sh64"))
         .distinct()
     )
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """k-permutation MinHash signature per document: h_i = min over
-    shingles of (a_i * H + b_i) mod P, H = portable hash of the shingle.
-    One groupBy with k min-aggregates — map-side combined."""
-    h = portable_hash_mod(F.col("shingle"))
+    shingles of (a_i * H + b_i) mod P, H = the pre-hashed shingle int
+    mod P. One groupBy with k min-aggregates — map-side combined."""
+    h = F.col("sh64") % MINHASH_MOD
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % MINHASH_MOD).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
@@ -176,14 +179,9 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for pairs. With ``candidates`` given,
     only verifies those (the LSH path — linear-ish work); without, blocks
     on shared shingles (still avoids the full cross join: pairs sharing
-    zero shingles are never generated)."""
-    # 60-bit md5-prefix hash of each shingle: every join/shuffle below
-    # moves 8-byte ints instead of shingle strings (~3× narrower, int
-    # compares). The oracle applies the SAME hash, so both engines see
-    # identical shingle sets — hash collisions included — and parity is
-    # exact by construction.
-    sh64 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    hashed = shingled.select(F.col(id_col), sh64.alias("sh64"))
+    zero shingles are never generated). Input is doc_shingles' hashed
+    (id, sh64) form — joins compare 8-byte ints, never shingle strings."""
+    hashed = shingled.select(F.col(id_col), "sh64")
     a = hashed.select(F.col(id_col).alias("id_a"), "sh64")
     b = hashed.select(F.col(id_col).alias("id_b"), "sh64")
     if candidates is not None:

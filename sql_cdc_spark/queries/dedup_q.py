@@ -27,29 +27,35 @@ LSH_MAX_BUCKET = 50
 
 # ---- shared DuckDB CTE fragments (generated from the shared constants) ----
 
+# shingle strings are hashed to their 60-bit md5-prefix int and the
+# distinct is taken over the HASHED domain — mirroring doc_shingles, so
+# both engines operate on byte-identical (doc_id, sh64) sets
 _SHINGLES_CTE = rf"""
 toks AS (
   SELECT doc_id, string_split_regex({_NORM_SQL}, '\s+') AS t FROM documents
 ),
-sh AS (
-  SELECT DISTINCT doc_id,
+sh_all AS (
+  SELECT doc_id,
     unnest(CASE WHEN len(t) >= 3
            THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
            ELSE [array_to_string(t, ' ')] END) AS shingle
   FROM toks
+),
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS sh64
+  FROM sh_all
 )
 """
 
-_HASH_SQL = "CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {mod}".format(
-    mod=DD.MINHASH_MOD
-)
+_HASH_SQL = f"(sh64 % {DD.MINHASH_MOD})"
 
 _SIG_COLS = ", ".join(
-    f"MIN(({a} * ({_HASH_SQL}) + {b}) % {DD.MINHASH_MOD}) AS mh{i}"
+    f"MIN(({a} * {_HASH_SQL} + {b}) % {DD.MINHASH_MOD}) AS mh{i}"
     for i, (a, b) in enumerate(DD.MINHASH_PARAMS)
 )
 
-_SIGS_CTE = f"sigs AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id)"
+_SIGS_CTE = f"sigs AS (SELECT doc_id, {_SIG_COLS} FROM shh GROUP BY doc_id)"
 
 _N_BANDS = DD.MINHASH_K // DD.LSH_BAND_ROWS
 _BANDED_CTE = "banded AS (\n  " + "\n  UNION ALL ".join(
@@ -78,11 +84,6 @@ cands AS (
 """
 
 _JACCARD_CTE = """
-shh AS (
-  SELECT doc_id,
-         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS sh64
-  FROM sh
-),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
   FROM shh a JOIN shh b ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
