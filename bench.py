@@ -39,6 +39,18 @@ HEADLINE = [
 ]
 
 
+# Round-3 additions, timed separately so headline_total stays comparable
+# across rounds (same 13-query list since round 1)
+EXTENDED = [
+    "evt_asof_last_purchase",   # as-of temporal join
+    "evt_funnel_conversion",    # ordered funnel
+    "dd_dup_clusters",          # connected-components dedup
+    "crp_corpus_clean",         # composite corpus clean
+    "txt_pii_redact",           # regex PII scrub
+    "sim_quantized_topk",       # int8-domain ANN
+]
+
+
 REFERENCE_INVOICES = 25_000  # the reference generator's own scale
 
 
@@ -150,14 +162,15 @@ def main() -> None:
     # comes in multi-second windows — consecutive repeats of one query
     # would all land inside one window, so each pass runs the whole list
     # before repeating, spreading every query's samples minutes apart
-    dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE}
-    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE + EXTENDED}
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE + EXTENDED}
     for _ in range(3):
-        for name in HEADLINE:
+        for name in HEADLINE + EXTENDED:
             t0 = time.perf_counter()
             dfs[name].write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {name: round(t, 3) for name, t in timings.items()}
+    ext_timings = {name: timings.pop(name) for name in EXTENDED}
 
     # pipeline throughput: best of 2 (same contention rationale; each run
     # writes 25k files so the pair is spread ~10s apart naturally)
@@ -173,6 +186,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended_queries": ext_timings,
         "sf": sf,
         "cdc_pipeline": cdc,
     }

@@ -43,12 +43,19 @@ def _registry() -> dict[str, QueryEntry]:
 
     reg: dict[str, QueryEntry] = {}
     # Registry ORDER is part of the driver contract: the driver's
-    # correctness harness checks the FIRST 50 entries only. Round-3
-    # rotation: the rel_/fn_/win_/tpch_ modules (green in r1, rotated OUT
-    # of the r2 window, stalest signal) come back first — they also hold
-    # most of this round's edits (de-trivialized predicates, two-phase
-    # ntile, the new view-rollup query). The r2-green dd_/sim_/txt_/mm_/
-    # scl_ families rotate to the back.
+    # correctness harness checks the FIRST 50 entries only. Rotation
+    # schedule (every round): (1) any query ADDED or CHANGED this round
+    # MUST be in the window (tests/test_operator_guards.py enforces the
+    # current round's list); (2) remaining slots go to the stalest greens
+    # — the families whose last driver check is oldest; (3) demoted
+    # long-greens stay covered every round by the local pytest oracle
+    # suite, which runs ALL queries vs DuckDB at sf0.01.
+    # Round-3 rotation: the rel_/fn_/win_/tpch_ modules (green in r1,
+    # rotated OUT of the r2 window, stalest signal) come back first —
+    # they also hold most of this round's edits (de-trivialized
+    # predicates, two-phase ntile, the new view-rollup query, three new
+    # TPC-H shapes, the time-RANGE frame). The r2-green dd_/sim_/txt_/
+    # mm_/scl_ families rotate to the back.
     for mod in (
         relational_q,
         functions_q,
