@@ -311,6 +311,62 @@ FROM binned GROUP BY lang, bin ORDER BY lang, bin
 """
 
 
+MIX_ALPHA = 0.7            # temperature exponent (UnifiedQA/Pile-style)
+MIX_BUDGET = 100_000       # documents in the planned training mixture
+
+
+def crp_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted source mixture plan: per-source document
+    counts raised to MIX_ALPHA and renormalized — the standard move that
+    up-samples small high-quality sources and damps the web crawl when
+    composing a training mix. Emits each source's raw share, tempered
+    weight, and document quota out of MIX_BUDGET. Plan: one count
+    groupBy (map-side combined), then a broadcast cross join of the
+    one-row normalizer — no window, no second scan. The per-source table
+    is |sources| rows (handfuls even at 100 TB), so everything after the
+    count is broadcast-sized."""
+    docs = tables.load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("__tot"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA))).alias(
+            "__pow_tot"
+        ),
+    )
+    tempered = F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__tot"), 6).alias("raw_share"),
+            F.round(tempered / F.col("__pow_tot"), 6).alias("tempered_weight"),
+            F.round(tempered / F.col("__pow_tot") * MIX_BUDGET)
+            .cast("long")
+            .alias("doc_quota"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+totals AS (
+  SELECT SUM(n_docs) AS tot,
+         SUM(POW(CAST(n_docs AS DOUBLE), {MIX_ALPHA})) AS pow_tot
+  FROM counts
+)
+SELECT c.source, c.n_docs,
+       ROUND(c.n_docs / t.tot, 6) AS raw_share,
+       ROUND(POW(CAST(c.n_docs AS DOUBLE), {MIX_ALPHA}) / t.pow_tot, 6) AS tempered_weight,
+       CAST(ROUND(POW(CAST(c.n_docs AS DOUBLE), {MIX_ALPHA}) / t.pow_tot * {MIX_BUDGET}, 0) AS BIGINT) AS doc_quota
+FROM counts c CROSS JOIN totals t
+ORDER BY c.source
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),
@@ -318,4 +374,5 @@ QUERIES: dict[str, QueryEntry] = {
     "crp_repetition_filter": QueryEntry(crp_repetition_filter, _repetition_sql()),
     "crp_contamination": QueryEntry(crp_contamination, _contamination_sql()),
     "crp_pack_sequences": QueryEntry(crp_pack_sequences, _PACK_SQL),
+    "crp_source_mixture": QueryEntry(crp_source_mixture, _MIXTURE_SQL),
 }
