@@ -107,6 +107,7 @@ def _registry() -> dict[str, QueryEntry]:
         "evt_type_transitions",          # NEW: Markov transition census
         "txt_pii_redact",                # NEW: PII scrub with salted matches
         "crp_source_mixture",            # NEW: tempered source mixture plan
+        "evt_interval_join_buckets",     # NEW: bucket-equi interval join
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -141,6 +142,7 @@ def _registry() -> dict[str, QueryEntry]:
         "tpch_q10_returned_items",
         "rel_customer_order_stats",
         "tpch_q18_large_orders",
+        "rel_pivot_status",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

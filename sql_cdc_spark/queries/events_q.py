@@ -573,6 +573,72 @@ ORDER BY 1, 2
 """
 
 
+_IVJ_W_US = 7_200_000_000  # interval width: errors within 2 h after a purchase
+
+
+def evt_interval_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join, bucket-equi form: every (purchase, error)
+    pair for the same user with the error inside the 2 h window after the
+    purchase. A naive non-equi join is a nested-loop at scale; instead
+    both sides are binned by the window width, the purchase side probes
+    its own bin and the next (an interval of length W starting in bin b
+    ends in b or b+1), and the range predicate is a residual filter on an
+    EQUI hash join keyed (user_id, bin) — shuffle-partitioned, linear,
+    no nested loop anywhere. The DuckDB oracle is the plain non-equi join
+    (its IEJoin), so two structurally different algorithms must agree
+    row-for-row."""
+    ev = tables.load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        us.alias("p_us"),
+        F.expr(f"unix_micros(ts) div {_IVJ_W_US}").alias("bin"),
+    )
+    probes = purchases.select(
+        "purchase_id",
+        "user_id",
+        "p_us",
+        F.explode(F.array(F.col("bin"), F.col("bin") + 1)).alias("probe_bin"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        us.alias("e_us"),
+        F.expr(f"unix_micros(ts) div {_IVJ_W_US}").alias("e_bin"),
+    )
+    return (
+        probes.join(
+            errors,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("probe_bin") == F.col("e_bin")),
+        )
+        .filter(
+            (F.col("e_us") > F.col("p_us"))
+            & (F.col("e_us") <= F.col("p_us") + _IVJ_W_US)
+        )
+        .select(
+            "purchase_id",
+            "error_id",
+            "user_id",
+            (F.col("e_us") - F.col("p_us")).alias("delay_us"),
+        )
+        .orderBy("purchase_id", "error_id")
+    )
+
+
+_IVJ_SQL = f"""
+SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+       p.user_id, epoch_us(e.ts) - epoch_us(p.ts) AS delay_us
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND epoch_us(e.ts) > epoch_us(p.ts)
+ AND epoch_us(e.ts) <= epoch_us(p.ts) + {_IVJ_W_US}
+ORDER BY purchase_id, error_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
@@ -589,4 +655,7 @@ QUERIES: dict[str, QueryEntry] = {
     "evt_funnel_conversion": QueryEntry(evt_funnel_conversion, _FUNNEL_SQL),
     "evt_retention_cohorts": QueryEntry(evt_retention_cohorts, _RETENTION_SQL),
     "evt_type_transitions": QueryEntry(evt_type_transitions, _TRANSITIONS_SQL),
+    "evt_interval_join_buckets": QueryEntry(
+        evt_interval_join_buckets, _IVJ_SQL
+    ),
 }

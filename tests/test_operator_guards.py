@@ -64,6 +64,7 @@ def test_registry_window_holds_all_round3_queries():
         "evt_type_transitions",
         "txt_pii_redact",
         "crp_source_mixture",
+        "evt_interval_join_buckets",
     ]
     missing = [n for n in round3_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
