@@ -108,6 +108,9 @@ def _registry() -> dict[str, QueryEntry]:
         "txt_pii_redact",                # NEW: PII scrub with salted matches
         "crp_source_mixture",            # NEW: tempered source mixture plan
         "evt_interval_join_buckets",     # NEW: bucket-equi interval join
+        "dd_cluster_canonical",          # NEW: per-cluster canonical election
+        "crp_mixture_sample",            # NEW: exact per-source quota draw
+        "txt_doc_frequency",             # NEW: DF/IDF vocabulary top-k
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -143,6 +146,19 @@ def _registry() -> dict[str, QueryEntry]:
         "rel_customer_order_stats",
         "tpch_q18_large_orders",
         "rel_pivot_status",
+        # make room for the 5 late-round-3 additions (q12/q19 enter via
+        # the tpch front module; dd_cluster_canonical / crp_mixture_sample
+        # / txt_doc_frequency via priority). Each demoted row is an
+        # r1/r2-green single with its plan shape still in-window:
+        # set-difference → cdc_union_distinct via pytest + rel family next
+        # round; rollup → rel_invoice_view_rollup; row_number generator →
+        # win_percent_rank; JSON extract → fn_bson_roundtrip + flagship
+        # JSON form; ranking window → win_ntile/percent_rank.
+        "rel_except_lost_customers",
+        "rel_rollup_lineitem",
+        "fn_invoice_numbering",
+        "fn_json_extract",
+        "win_order_ranks",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

@@ -367,6 +367,85 @@ ORDER BY c.source
 """
 
 
+MIX_SAMPLE_BUDGET = 200    # documents actually drawn by the sampler
+MIX_PREFILTER = 8.0        # oversample factor ahead of the exact rank
+
+
+def crp_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the tempered mixture plan: draw each source's exact quota
+    of documents, deterministically (the selection is a pure function of
+    doc_id, reproducible on any engine or cluster size). Docs are ranked
+    within their source by key-hash; the first ``quota`` win. Scale shape:
+    the per-source window never sees the corpus — candidates are
+    prefiltered to hash < PREFILTER·quota/n_docs first (both engines
+    apply the same bound, so they stay exact twins), leaving ~PREFILTER×
+    budget rows for the ranking, and quotas themselves are a broadcast
+    |sources|-row table."""
+    from pyspark.sql.window import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA))).alias(
+            "__pow_tot"
+        )
+    )
+    tempered = F.pow(F.col("n_docs").cast("double"), F.lit(MIX_ALPHA))
+    quotas = counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.round(tempered / F.col("__pow_tot") * MIX_SAMPLE_BUDGET)
+        .cast("long")
+        .alias("quota"),
+    )
+    u = SP.hash_unit(F.col("doc_id"), "mix")
+    cand = (
+        docs.select("doc_id", "source", u.alias("u"))
+        .join(F.broadcast(quotas), "source", "inner")
+        .filter(F.col("u") < MIX_PREFILTER * F.col("quota") / F.col("n_docs"))
+    )
+    w = Window.partitionBy("source").orderBy("u", "doc_id")
+    return (
+        cand.select(
+            "doc_id", "source", "quota", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+def _mixture_sample_sql() -> str:
+    u = SP.unit_sql("d.doc_id", "mix")
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(POW(CAST(n_docs AS DOUBLE), {MIX_ALPHA})) AS pow_tot FROM counts
+),
+quotas AS (
+  SELECT c.source, c.n_docs,
+         CAST(ROUND(POW(CAST(c.n_docs AS DOUBLE), {MIX_ALPHA}) / t.pow_tot
+                    * {MIX_SAMPLE_BUDGET}, 0) AS BIGINT) AS quota
+  FROM counts c CROSS JOIN tot t
+),
+cand AS (
+  SELECT d.doc_id, d.source, {u} AS u, q.quota
+  FROM documents d JOIN quotas q ON d.source = q.source
+  WHERE {u} < {MIX_PREFILTER} * q.quota / q.n_docs
+),
+ranked AS (
+  SELECT doc_id, source, quota,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rk
+  FROM cand
+)
+SELECT doc_id, source, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= quota
+ORDER BY source, rk
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),
@@ -375,4 +454,5 @@ QUERIES: dict[str, QueryEntry] = {
     "crp_contamination": QueryEntry(crp_contamination, _contamination_sql()),
     "crp_pack_sequences": QueryEntry(crp_pack_sequences, _PACK_SQL),
     "crp_source_mixture": QueryEntry(crp_source_mixture, _MIXTURE_SQL),
+    "crp_mixture_sample": QueryEntry(crp_mixture_sample, _mixture_sample_sql()),
 }

@@ -175,7 +175,9 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_clusters(pairs).orderBy("doc_id")
 
 
-_DUP_CLUSTERS_SQL = f"""
+# shared recursive-CTE prefix: verified near-dup pairs → undirected edges
+# → min-label reachability (the oracle twin of functions/dedup.dup_clusters)
+_CLUSTERS_PREFIX = f"""
 WITH RECURSIVE {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE},
 pairs AS (
   SELECT j.id_a, j.id_b
@@ -190,9 +192,69 @@ reach(id, lbl) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+members AS (
+  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
 )
-SELECT id AS doc_id, MIN(lbl) AS cluster_id
-FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+_DUP_CLUSTERS_SQL = f"""
+{_CLUSTERS_PREFIX}
+SELECT doc_id, cluster_id FROM members ORDER BY doc_id
+"""
+
+
+def dd_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election per duplicate cluster — the step that
+    turns cluster assignments into a dedup DECISION: keep the longest
+    member (most content), break ties on smallest doc_id. Emits the
+    per-cluster keep/drop census a dedup run reports. Two grouped passes
+    over the |members| table (tiny relative to the corpus: only docs in
+    some cluster), both map-side combined; no window over the corpus."""
+    docs = tables.load(spark, sf_dir, "documents")
+    shingled = DD.doc_shingles(docs).persist()
+    cands = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(shingled), max_bucket_size=LSH_MAX_BUCKET
+    )
+    pairs = DD.jaccard_pairs(shingled, cands, threshold=NEAR_DUP_THRESHOLD)
+    sized = DD.dup_clusters(pairs).join(
+        docs.select("doc_id", "n_chars"), "doc_id", "inner"
+    )
+    best = sized.groupBy("cluster_id").agg(
+        F.max("n_chars").alias("rep_chars"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        sized.join(best, "cluster_id", "inner")
+        .filter(F.col("n_chars") == F.col("rep_chars"))
+        .groupBy("cluster_id", "n_members", "rep_chars")
+        .agg(F.min("doc_id").alias("canonical_id"))
+        .select(
+            "cluster_id",
+            "canonical_id",
+            "n_members",
+            "rep_chars",
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_CLUSTER_CANONICAL_SQL = f"""
+{_CLUSTERS_PREFIX},
+sized AS (
+  SELECT m.cluster_id, m.doc_id, d.n_chars
+  FROM members m JOIN documents d ON m.doc_id = d.doc_id
+),
+best AS (
+  SELECT cluster_id, MAX(n_chars) AS rep_chars, COUNT(*) AS n_members
+  FROM sized GROUP BY cluster_id
+)
+SELECT s.cluster_id, MIN(s.doc_id) AS canonical_id, b.n_members, b.rep_chars,
+       b.n_members - 1 AS n_dropped
+FROM sized s JOIN best b ON s.cluster_id = b.cluster_id AND s.n_chars = b.rep_chars
+GROUP BY s.cluster_id, b.n_members, b.rep_chars
+ORDER BY s.cluster_id
 """
 
 
@@ -306,6 +368,9 @@ QUERIES: dict[str, QueryEntry] = {
     "dd_lsh_candidate_pairs": QueryEntry(dd_lsh_candidate_pairs, _LSH_SQL),
     "dd_near_dup_pairs": QueryEntry(dd_near_dup_pairs, _NEAR_DUP_SQL),
     "dd_dup_clusters": QueryEntry(dd_dup_clusters, _DUP_CLUSTERS_SQL),
+    "dd_cluster_canonical": QueryEntry(
+        dd_cluster_canonical, _CLUSTER_CANONICAL_SQL
+    ),
     "dd_jaccard_pairs": QueryEntry(dd_jaccard_pairs, _JACCARD_PAIRS_SQL),
     "dd_simhash": QueryEntry(dd_simhash, _SIMHASH_SQL),
     "dd_simhash_pairs": QueryEntry(dd_simhash_pairs, _SIMHASH_PAIRS_SQL),

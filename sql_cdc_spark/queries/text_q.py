@@ -193,6 +193,55 @@ LIMIT {TOP_BIGRAMS}
 """
 
 
+TOP_VOCAB = 50
+
+
+def txt_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary document-frequency table with IDF — the corpus statistic
+    behind TF-IDF weighting and stopword discovery. Distinct (doc, word)
+    pairs → per-word document counts → idf = ln(n_docs / df), where both
+    inputs are exact integers so the one double op is identical
+    cross-engine. Top-k by (df desc, word asc) is total-ordered and
+    compiles to TakeOrderedAndProject; the only full exchange is the
+    word groupBy, map-side combined."""
+    docs = tables.load(spark, sf_dir, "documents")
+    totals = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
+    pairs = docs.select(
+        "doc_id", F.explode(TX.normalize_words(F.col("text"))).alias("word")
+    ).distinct()
+    return (
+        pairs.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            "df",
+            F.round(
+                -F.log(F.col("df").cast("double"))
+                + F.log(F.col("__n_docs").cast("double")),
+                6,
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), "word")
+        .limit(TOP_VOCAB)
+    )
+
+
+_DOC_FREQ_SQL = rf"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS word
+  FROM documents
+),
+dfreq AS (SELECT word, COUNT(*) AS df FROM pairs GROUP BY word),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT d.word, d.df,
+       ROUND(-ln(CAST(d.df AS DOUBLE)) + ln(CAST(t.n_docs AS DOUBLE)), 6) AS idf
+FROM dfreq d CROSS JOIN tot t
+ORDER BY d.df DESC, d.word
+LIMIT {TOP_VOCAB}
+"""
+
+
 # PII regexes — deliberately restricted to syntax Java regex and RE2
 # interpret identically (char classes, +/{m,}, escaped literals)
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -258,5 +307,6 @@ QUERIES: dict[str, QueryEntry] = {
     "txt_quality_score": QueryEntry(txt_quality_score, _QUALITY_SQL),
     "txt_language_id": QueryEntry(txt_language_id, _language_sql()),
     "txt_bigram_topk": QueryEntry(txt_bigram_topk, _BIGRAM_SQL),
+    "txt_doc_frequency": QueryEntry(txt_doc_frequency, _DOC_FREQ_SQL),
     "txt_pii_redact": QueryEntry(txt_pii_redact, _PII_SQL),
 }

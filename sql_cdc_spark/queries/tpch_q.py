@@ -324,6 +324,101 @@ ORDER BY 1, 2
 """
 
 
+def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape adapted to the available columns (the test schema carries
+    no l_shipmode): per line-status counts of high- vs low-priority order
+    lines shipped in one year. The classic conditional aggregate — two
+    CASE branches folded into one grouped pass, orders joined once.
+    Exact integer counts; the year predicate pushes into the lineitem
+    scan and orders is the smaller probe side."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_YEAR_HI).cast("timestamp"))
+    )
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = f"""
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_lines,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{_YEAR_LO}'
+  AND l.l_shipdate < TIMESTAMP '{_YEAR_HI}'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+"""
+
+
+# Q19's three disjunctive (brand, size-range, quantity-range) branches
+_Q19_BRANCHES = [
+    ("Brand#3", 1, 10, 1, 11),
+    ("Brand#12", 5, 20, 10, 20),
+    ("Brand#21", 15, 35, 20, 30),
+]
+
+
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: revenue from an OR of three (brand, size-range, qty-range)
+    branches — the disjunctive-predicate query optimizers love to get
+    wrong. Expressed as one boolean OR so Catalyst keeps a single
+    broadcast-hash join over part with the common qty/size bounds pushed
+    into both scans; no UNION of three passes, no re-scan. Revenue is
+    cents-exact (order-insensitive bigint sum)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    part = tables.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    branch = None
+    for brand, size_lo, size_hi, qty_lo, qty_hi in _Q19_BRANCHES:
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= size_lo)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= qty_lo)
+            & (F.col("l_quantity") <= qty_hi)
+        )
+        branch = cond if branch is None else branch | cond
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branch)
+        .agg(
+            (F.sum(cents) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q19_WHERE = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+    f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in _Q19_BRANCHES
+)
+_Q19_SQL = f"""
+SELECT SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE {_Q19_WHERE}
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "tpch_q3_shipping_priority": QueryEntry(tpch_q3_shipping_priority, _Q3_SQL),
     "tpch_q5_local_supplier_volume": QueryEntry(tpch_q5_local_supplier_volume, _Q5_SQL),
@@ -334,4 +429,10 @@ QUERIES: dict[str, QueryEntry] = {
         tpch_q4_late_order_priority, _Q4_SQL
     ),
     "tpch_q14_promo_revenue": QueryEntry(tpch_q14_promo_revenue, _Q14_SQL),
+    "tpch_q12_priority_by_status": QueryEntry(
+        tpch_q12_priority_by_status, _Q12_SQL
+    ),
+    "tpch_q19_discounted_revenue": QueryEntry(
+        tpch_q19_discounted_revenue, _Q19_SQL
+    ),
 }

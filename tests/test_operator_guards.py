@@ -65,6 +65,11 @@ def test_registry_window_holds_all_round3_queries():
         "txt_pii_redact",
         "crp_source_mixture",
         "evt_interval_join_buckets",
+        "tpch_q12_priority_by_status",
+        "tpch_q19_discounted_revenue",
+        "dd_cluster_canonical",
+        "crp_mixture_sample",
+        "txt_doc_frequency",
     ]
     missing = [n for n in round3_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
