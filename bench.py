@@ -48,6 +48,9 @@ EXTENDED = [
     "crp_corpus_clean",         # composite corpus clean
     "txt_pii_redact",           # regex PII scrub
     "sim_quantized_topk",       # int8-domain ANN
+    "txt_doc_frequency",        # DF/IDF vocabulary top-k
+    "tpch_q19_discounted_revenue",  # disjunctive-predicate star join
+    "sim_centroid_assign",      # integer-exact nearest-centroid pass
 ]
 
 

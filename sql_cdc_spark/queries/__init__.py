@@ -111,6 +111,7 @@ def _registry() -> dict[str, QueryEntry]:
         "dd_cluster_canonical",          # NEW: per-cluster canonical election
         "crp_mixture_sample",            # NEW: exact per-source quota draw
         "txt_doc_frequency",             # NEW: DF/IDF vocabulary top-k
+        "sim_centroid_assign",           # NEW: int-exact nearest-centroid
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -159,6 +160,9 @@ def _registry() -> dict[str, QueryEntry]:
         "fn_invoice_numbering",
         "fn_json_extract",
         "win_order_ranks",
+        # r2-green single; its Q1-shape grouped agg stays bench-timed every
+        # round (HEADLINE) and pytest-gated — demoted for sim_centroid_assign
+        "rel_pricing_summary",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

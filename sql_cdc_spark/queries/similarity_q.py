@@ -225,6 +225,89 @@ GROUP BY label, p ORDER BY label, pos
 """
 
 
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step, and the eval pass
+    of a centroid classifier): every vector goes to the label centroid
+    with the smallest squared L2 distance. All arithmetic is exact —
+    vectors and centroids live in the integer-micro domain (element →
+    round(x·1e6), centroid element → floor(mean+0.5)), so dist² is a
+    bigint and the argmin is bit-identical cross-engine with no float
+    tolerance. Scale shape: centroids are a |labels|×dim aggregate
+    (broadcast both as input and output); the scan side is one pass, the
+    per-vector argmin folds |labels| candidate rows with a map-side
+    combinable min(struct) — no window, no corpus-wide sort."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pe = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    m = F.round(F.col("v").cast("double") * 1e6).cast("long")
+    cent = pe.groupBy("label", "pos").agg(
+        F.floor(F.sum(m) / F.count(F.lit(1)) + 0.5).cast("long").alias("c")
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("c_label"), "cv")
+    )
+    micro = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    base = emb.select("vec_id", "label", micro.alias("mv"))
+    dist2 = F.aggregate(
+        F.zip_with("mv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = (
+        base.crossJoin(F.broadcast(carr))
+        .select("vec_id", "label", "c_label", dist2.alias("dist2"))
+        .groupBy("vec_id", "label")
+        .agg(F.min(F.struct(F.col("dist2"), F.col("c_label"))).alias("b"))
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        F.col("b.c_label").alias("assigned_label"),
+        F.col("b.dist2").alias("dist2"),
+        (F.col("label") == F.col("b.c_label")).alias("is_own_label"),
+    ).orderBy("vec_id")
+
+
+_CENTROID_ASSIGN_SQL = f"""
+WITH pe AS (
+  SELECT label, p - 1 AS pos,
+         CAST(floor(SUM(CAST(round(CAST(embedding[p] AS DOUBLE) * 1000000) AS BIGINT))
+                    * 1.0 / COUNT(*) + 0.5) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, {DIM}) t(p)
+  GROUP BY label, p
+),
+carr AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM pe GROUP BY label
+),
+mv AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+  FROM embeddings
+),
+scored AS (
+  SELECT v.vec_id, v.label, c.c_label,
+         (SELECT CAST(SUM((v.m[i] - c.cv[i]) * (v.m[i] - c.cv[i])) AS BIGINT)
+          FROM UNNEST(generate_series(1, len(v.m))) AS t(i)) AS dist2
+  FROM mv v CROSS JOIN carr c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, c_label) AS rn
+  FROM scored
+)
+SELECT vec_id, label, c_label AS assigned_label, dist2,
+       label = c_label AS is_own_label
+FROM ranked WHERE rn = 1 ORDER BY vec_id
+"""
+
+
 def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization — the storage/bandwidth
     scale path for ANN at 100 TB (4 bytes/dim → 1). All arithmetic runs
@@ -382,6 +465,7 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_multiprobe_topk": QueryEntry(sim_multiprobe_topk, _multiprobe_sql()),
     "sim_ivf_topk": QueryEntry(sim_ivf_topk, _IVF_SQL),
     "sim_label_centroids": QueryEntry(sim_label_centroids, _CENTROIDS_SQL),
+    "sim_centroid_assign": QueryEntry(sim_centroid_assign, _CENTROID_ASSIGN_SQL),
     "sim_embedding_quantize": QueryEntry(sim_embedding_quantize, _QUANTIZE_SQL),
     "sim_quantized_topk": QueryEntry(sim_quantized_topk, _QTOPK_SQL),
 }

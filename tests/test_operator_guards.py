@@ -70,6 +70,7 @@ def test_registry_window_holds_all_round3_queries():
         "dd_cluster_canonical",
         "crp_mixture_sample",
         "txt_doc_frequency",
+        "sim_centroid_assign",
     ]
     missing = [n for n in round3_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
