@@ -94,15 +94,24 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures(
+    shingled: DataFrame, id_col: str = "doc_id", with_sizes: bool = False
+) -> DataFrame:
     """k-permutation MinHash signature per document: h_i = min over
     shingles of (a_i * H + b_i) mod P, H = the pre-hashed shingle int
-    mod P. One groupBy with k min-aggregates — map-side combined."""
+    mod P. One groupBy with k min-aggregates — map-side combined.
+
+    ``with_sizes`` adds the per-doc distinct-shingle count ``n_sh`` to the
+    same aggregate: callers that need set sizes later (Jaccard
+    verification) get them from this one pass over the exploded shingle
+    table instead of paying a second groupBy over it."""
     h = F.col("sh64") % MINHASH_MOD
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % MINHASH_MOD).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
     ]
+    if with_sizes:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
     return shingled.groupBy(id_col).agg(*aggs)
 
 
@@ -124,43 +133,39 @@ def lsh_candidate_pairs(
     cap — NOT silent truncation: both the Spark plan and the DuckDB oracle
     apply the same predicate)."""
     n_bands = MINHASH_K // LSH_BAND_ROWS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{bi * LSH_BAND_ROWS + r}").cast("string")
-                        for r in range(LSH_BAND_ROWS)
-                    ],
-                ).alias("bval"),
-            )
-            for bi in range(n_bands)
-        ]
-    )
+    # one bigint bucket key per band: fold (band_index, row values) with
+    # base MINHASH_MOD — a bijection, since every mh < MINHASH_MOD. The
+    # self-join and the skew cap then key on a single 8-byte int instead
+    # of a (int, concatenated-string) pair: cheaper to build, hash,
+    # shuffle, and compare, with identical bucket membership.
+    def band_key(bi: int) -> Column:
+        k: Column = F.lit(bi).cast("long")
+        for r in range(LSH_BAND_ROWS):
+            k = k * MINHASH_MOD + F.col(f"mh{bi * LSH_BAND_ROWS + r}")
+        return k
+
+    bands = F.array(*[band_key(bi) for bi in range(n_bands)])
     banded = signatures.select(
-        F.col(id_col), F.explode(bands).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bval").alias("bval"))
+        F.col(id_col), F.explode(bands).alias("bkey")
+    )
     if max_bucket_size is not None:
         # the oversized-bucket list is tiny (hot boilerplate buckets):
         # aggregate with map-side combine and anti-broadcast it — cheaper
         # than a window count, which would sort every partition of the
         # full banded set just to attach a per-bucket size
         big = (
-            banded.groupBy("band", "bval")
+            banded.groupBy("bkey")
             .agg(F.count(F.lit(1)).alias("__bsz"))
             .filter(F.col("__bsz") > max_bucket_size)
-            .select("band", "bval")
+            .select("bkey")
         )
-        banded = banded.join(F.broadcast(big), ["band", "bval"], "left_anti")
+        banded = banded.join(F.broadcast(big), ["bkey"], "left_anti")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
         left.join(
             right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bval") == F.col("r.bval"))
+            (F.col("l.bkey") == F.col("r.bkey"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
         .select(
@@ -175,12 +180,17 @@ def jaccard_pairs(
     candidates: DataFrame | None = None,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs. With ``candidates`` given,
     only verifies those (the LSH path — linear-ish work); without, blocks
     on shared shingles (still avoids the full cross join: pairs sharing
     zero shingles are never generated). Input is doc_shingles' hashed
-    (id, sh64) form — joins compare 8-byte ints, never shingle strings."""
+    (id, sh64) form — joins compare 8-byte ints, never shingle strings.
+
+    ``sizes`` (id_col, n_sh) lets callers reuse a count already produced
+    elsewhere (minhash_signatures with_sizes=True) and skip this
+    function's own groupBy over the exploded shingle table."""
     hashed = shingled.select(F.col(id_col), "sh64")
     a = hashed.select(F.col(id_col).alias("id_a"), "sh64")
     b = hashed.select(F.col(id_col).alias("id_b"), "sh64")
@@ -201,7 +211,8 @@ def jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-    sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if sizes is None:
+        sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -145,10 +145,18 @@ def dd_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides): persist so it is computed once per execution — the local
     # analog of materializing the shingle table at corpus scale
     shingled = DD.doc_shingles(docs).persist()
+    # one aggregate produces signatures AND set sizes: the Jaccard stage
+    # reuses n_sh instead of a second groupBy over the shingle table
+    sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
     cands = DD.lsh_candidate_pairs(
-        DD.minhash_signatures(shingled), max_bucket_size=LSH_MAX_BUCKET
+        sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
     )
-    return DD.jaccard_pairs(shingled, cands, threshold=NEAR_DUP_THRESHOLD)
+    return DD.jaccard_pairs(
+        shingled,
+        cands,
+        threshold=NEAR_DUP_THRESHOLD,
+        sizes=sigs.select("doc_id", "n_sh"),
+    )
 
 
 _NEAR_DUP_SQL = f"""
@@ -168,10 +176,16 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-set of a dedup run is ``doc_id == cluster_id``."""
     docs = tables.load(spark, sf_dir, "documents")
     shingled = DD.doc_shingles(docs).persist()
+    sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
     cands = DD.lsh_candidate_pairs(
-        DD.minhash_signatures(shingled), max_bucket_size=LSH_MAX_BUCKET
+        sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
     )
-    pairs = DD.jaccard_pairs(shingled, cands, threshold=NEAR_DUP_THRESHOLD)
+    pairs = DD.jaccard_pairs(
+        shingled,
+        cands,
+        threshold=NEAR_DUP_THRESHOLD,
+        sizes=sigs.select("doc_id", "n_sh"),
+    )
     return DD.dup_clusters(pairs).orderBy("doc_id")
 
 
@@ -213,10 +227,16 @@ def dd_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     some cluster), both map-side combined; no window over the corpus."""
     docs = tables.load(spark, sf_dir, "documents")
     shingled = DD.doc_shingles(docs).persist()
+    sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
     cands = DD.lsh_candidate_pairs(
-        DD.minhash_signatures(shingled), max_bucket_size=LSH_MAX_BUCKET
+        sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
     )
-    pairs = DD.jaccard_pairs(shingled, cands, threshold=NEAR_DUP_THRESHOLD)
+    pairs = DD.jaccard_pairs(
+        shingled,
+        cands,
+        threshold=NEAR_DUP_THRESHOLD,
+        sizes=sigs.select("doc_id", "n_sh"),
+    )
     sized = DD.dup_clusters(pairs).join(
         docs.select("doc_id", "n_chars"), "doc_id", "inner"
     )
