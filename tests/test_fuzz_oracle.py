@@ -227,3 +227,128 @@ def test_random_query_matches_duckdb(spark, oracle, seed):
     rng = random.Random(1000 + seed)
     q = _gen(rng)
     assert_matches_oracle(_to_spark(spark, q), oracle, _to_sql(q))
+
+
+# ---- family 2: conditional aggregates, COUNT(DISTINCT), ROLLUP, scalar
+# expressions — kept in a separate generator so family-1 seeds keep
+# producing the exact same queries round over round ----
+
+
+def _gen2(rng: random.Random) -> dict:
+    col = rng.choice(NUM_COLS)
+    op = rng.choice(OPS)
+    val = rng.randint(0, 5000)
+    filters = [(col, op, val)] if rng.random() < 0.5 else []
+    shape = rng.random()
+    if shape < 0.3:
+        # conditional aggregate: CASE-gated cents-exact revenue per flag
+        return {
+            "filters": filters,
+            "cond_agg": {
+                "key": rng.choice(STR_COLS),
+                "qty_pivot": rng.randint(5, 45),
+            },
+        }
+    if shape < 0.55:
+        # COUNT(DISTINCT x) + plain count per group
+        return {
+            "filters": filters,
+            "count_distinct": {
+                "key": rng.choice(STR_COLS),
+                "col": rng.choice(NUM_COLS),
+            },
+        }
+    if shape < 0.8:
+        # ROLLUP over two keys: exercises null grouping keys + subtotals.
+        # Filter is pinned to a never-empty predicate: on an EMPTY input
+        # DuckDB follows the standard and still emits the () grand-total
+        # row while Spark's rollup emits nothing — a real engine
+        # divergence this fuzzer family documents rather than trips on.
+        nonempty = [("l_orderkey", (">=", "__ge__"), rng.randint(0, 5000))]
+        keys = rng.sample(STR_COLS + ["l_linenumber"], 2)
+        return {"filters": nonempty, "rollup": keys}
+    # scalar-expression projection: string concat/substr + int arithmetic
+    return {"filters": filters, "scalar": {"mod": rng.randint(2, 9)}}
+
+
+def _to_spark2(spark, q: dict):
+    df = tables.load(spark, SF_DIR, "lineitem")
+    for col, (_, pyop), val in q["filters"]:
+        df = df.filter(getattr(F.col(col), pyop)(F.lit(val)))
+    if "cond_agg" in q:
+        key, pivot = q["cond_agg"]["key"], q["cond_agg"]["qty_pivot"]
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        return df.groupBy(key).agg(
+            F.sum(F.when(F.col("l_quantity") > pivot, cents).otherwise(0)).alias(
+                "big_cents"
+            ),
+            F.sum(F.when(F.col("l_quantity") > pivot, 1).otherwise(0)).alias(
+                "n_big"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    if "count_distinct" in q:
+        key, col = q["count_distinct"]["key"], q["count_distinct"]["col"]
+        return df.groupBy(key).agg(
+            F.countDistinct(col).alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    if "rollup" in q:
+        keys = q["rollup"]
+        return df.rollup(*keys).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("qty_sum"),
+        )
+    m = q["scalar"]["mod"]
+    return df.select(
+        F.concat(F.upper("l_returnflag"), F.lit("-"), F.col("l_linestatus")).alias(
+            "tag"
+        ),
+        F.substring(F.col("l_returnflag"), 1, 1).alias("flag1"),
+        (F.col("l_orderkey") % m).alias("key_mod"),
+        (F.col("l_linenumber") * 10 + F.col("l_suppkey") % 10).alias("mix"),
+    )
+
+
+def _to_sql2(q: dict) -> str:
+    where = " AND ".join(
+        f"{col} {sqlop} {val}" for col, (sqlop, _), val in q["filters"]
+    )
+    where = f"WHERE {where}" if where else ""
+    if "cond_agg" in q:
+        key, pivot = q["cond_agg"]["key"], q["cond_agg"]["qty_pivot"]
+        return (
+            f"SELECT {key}, "
+            f"SUM(CASE WHEN l_quantity > {pivot} "
+            f"THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END) AS big_cents, "
+            f"SUM(CASE WHEN l_quantity > {pivot} THEN 1 ELSE 0 END) AS n_big, "
+            f"COUNT(*) AS n_rows "
+            f"FROM lineitem {where} GROUP BY {key}"
+        )
+    if "count_distinct" in q:
+        key, col = q["count_distinct"]["key"], q["count_distinct"]["col"]
+        return (
+            f"SELECT {key}, COUNT(DISTINCT {col}) AS n_distinct, "
+            f"COUNT(*) AS n_rows FROM lineitem {where} GROUP BY {key}"
+        )
+    if "rollup" in q:
+        keys = ", ".join(q["rollup"])
+        return (
+            f"SELECT {keys}, COUNT(*) AS n_rows, SUM(l_quantity) AS qty_sum "
+            f"FROM lineitem {where} GROUP BY ROLLUP ({keys})"
+        )
+    m = q["scalar"]["mod"]
+    return (
+        f"SELECT upper(l_returnflag) || '-' || l_linestatus AS tag, "
+        f"substring(l_returnflag, 1, 1) AS flag1, "
+        f"l_orderkey % {m} AS key_mod, "
+        f"l_linenumber * 10 + l_suppkey % 10 AS mix "
+        f"FROM lineitem {where}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_random_query2_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(7000 + seed)
+    q = _gen2(rng)
+    assert_matches_oracle(_to_spark2(spark, q), oracle, _to_sql2(q))
