@@ -530,3 +530,90 @@ def test_streaming_bson_sink_parity(spark, base, tmp_path):
             spark, w.log_dir, "px", header, lines, MODEL, out_b,
             str(tmp_path / "cx"), doc_format="xml",
         )
+
+
+def test_streaming_replica_maintenance_with_deletes(spark, base, tmp_path):
+    """Streaming replica of the header table (T3+T5 composed with the
+    delete-aware merge): readStream over the change log → foreachBatch
+    (latest-per-key → apply_changes_to_replica → snapshot overwrite)
+    keeps a parquet replica in lockstep with the base through inserts,
+    updates, deletes, and a re-insert after delete, across two
+    incremental availableNow drains — the Spark twin of a downstream
+    consumer maintaining its own copy from the reference's key-only CT
+    feed (sqls/storedprocedure.sql:17,24)."""
+    from sql_cdc_spark.operators.cdc import (
+        apply_changes_to_replica,
+        latest_row_per_key,
+    )
+
+    header, _ = base
+    base_small = header.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base_keys = {r.o_orderkey for r in base_small.collect()}
+    rep_dir = str(tmp_path / "replica")
+    chk = str(tmp_path / "chk")
+    init_keys = {k for k in base_keys if k < 100}
+    base_small.filter(F.col("o_orderkey") < 100).write.parquet(rep_dir)
+
+    w = cl.ChangeLogWriter(spark, str(tmp_path / "log"))
+
+    def merge(batch_df, _batch_id):
+        hc = batch_df.filter(F.col("table_name") == cl.HEADER_TABLE).select(
+            F.col("key_id").alias("o_orderkey"), "change_version", "op"
+        )
+        latest = latest_row_per_key(hc, ["o_orderkey"], ["change_version", "op"])
+        replica = spark.read.parquet(rep_dir)
+        merged = apply_changes_to_replica(
+            replica, base_small, latest, "o_orderkey"
+        ).localCheckpoint()  # materialize before overwriting the source dir
+        merged.write.mode("overwrite").parquet(rep_dir)
+
+    def drain():
+        q = (
+            cl.read_changelog_stream(spark, w.log_dir)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def replica_keys():
+        return {r.o_orderkey for r in spark.read.parquet(rep_dir).collect()}
+
+    # round 1: updates on both sides of the replica boundary + deletes
+    ups1 = [k for k in sorted(base_keys) if 50 <= k < 150][:20]
+    dels1 = [k for k in sorted(init_keys)][:5]
+    w.append([(cl.HEADER_TABLE, k, "U") for k in ups1])
+    w.append([(cl.HEADER_TABLE, k, "D") for k in dels1])
+    drain()
+    expect = (init_keys - set(dels1)) | (set(ups1) & base_keys)
+    assert replica_keys() == expect
+
+    # round 2 (incremental: checkpoint replays nothing): re-insert one
+    # deleted key, delete one round-1 upsert, touch a fresh key
+    reins, del2 = dels1[0], ups1[-1]
+    fresh = max(base_keys)
+    w.append(
+        [
+            (cl.HEADER_TABLE, reins, "I"),
+            (cl.HEADER_TABLE, del2, "D"),
+            (cl.HEADER_TABLE, fresh, "U"),
+        ]
+    )
+    drain()
+    expect = (expect - {del2}) | {reins, fresh}
+    assert replica_keys() == expect
+
+    # replica rows carry base payloads (not just keys)
+    got = {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in spark.read.parquet(rep_dir).collect()
+    }
+    want = {
+        (r.o_orderkey, r.o_custkey, r.o_totalprice)
+        for r in base_small.collect()
+        if r.o_orderkey in expect
+    }
+    assert got == want
