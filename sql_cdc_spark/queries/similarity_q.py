@@ -232,25 +232,30 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors and centroids live in the integer-micro domain (element →
     round(x·1e6), centroid element → floor(mean+0.5)), so dist² is a
     bigint and the argmin is bit-identical cross-engine with no float
-    tolerance. Scale shape: centroids are a |labels|×dim aggregate
-    (broadcast both as input and output); the scan side is one pass, the
-    per-vector argmin folds |labels| candidate rows with a map-side
-    combinable min(struct) — no window, no corpus-wide sort."""
+    tolerance. Scale shape: centroids come from ONE groupBy carrying dim
+    per-dimension sum columns (map-side combined; the shuffle is |labels|
+    rows × dim ints — posexplode would instead shuffle |corpus|×dim rows);
+    the scan side is one pass, the per-vector argmin folds |labels|
+    candidate rows with a map-side combinable min(struct) — no window, no
+    corpus-wide sort."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    pe = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-    m = F.round(F.col("v").cast("double") * 1e6).cast("long")
-    cent = pe.groupBy("label", "pos").agg(
-        F.floor(F.sum(m) / F.count(F.lit(1)) + 0.5).cast("long").alias("c")
-    )
-    carr = (
-        cent.groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("c_label"), "cv")
+    dim_sum = [
+        F.sum(
+            F.round(F.element_at("embedding", d + 1).cast("double") * 1e6).cast(
+                "long"
+            )
+        ).alias(f"s{d}")
+        for d in range(DIM)
+    ]
+    sums = emb.groupBy("label").agg(*dim_sum, F.count(F.lit(1)).alias("n"))
+    carr = sums.select(
+        F.col("label").alias("c_label"),
+        F.array(
+            *[
+                F.floor(F.col(f"s{d}") / F.col("n") + 0.5).cast("long")
+                for d in range(DIM)
+            ]
+        ).alias("cv"),
     )
     micro = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
