@@ -1,0 +1,87 @@
+"""The full training-corpus preparation flow, composed from the operator
+library: quality/length gates → exact dedup → MinHash-LSH near-dup
+cluster removal → deterministic train/val/test split.
+
+Every stage is individually driver-gated as a query (queries/corpus_q.py,
+queries/dedup_q.py); this module packages them in execution order with
+one shared shingle/signature pass, the way a real corpus run composes
+them. No reference analog (the reference has no corpus surface) — this is
+the north-star extension suite acting as one product.
+
+Scale shape (100 TB): gates are scan-local; exact dedup is one digest
+groupBy; near-dup work is LSH-bucketed with the hot-band cap (never
+all-pairs); the split is a pure key-hash expression. The only iterative
+piece is connected components over the (tiny) verified near-dup pair
+graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_cdc_spark.functions import dedup as DD
+from sql_cdc_spark.functions import sampling as SP
+from sql_cdc_spark.functions import text as TX
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    *,
+    min_tokens: int = 5,
+    min_quality: float = 0.5,
+    near_dup_threshold: float = 0.5,
+    lsh_max_bucket: int = 50,
+    test_frac: float = 0.1,
+    val_frac: float = 0.05,
+) -> DataFrame:
+    """Return the training manifest: one row per surviving document with
+    its scores, content digest, dedup cluster, and split assignment.
+
+    Stages, in order:
+      1. length gate   — ≥ ``min_tokens`` whitespace tokens
+      2. quality gate  — heuristic score ≥ ``min_quality``
+      3. exact dedup   — one survivor (smallest doc_id) per content digest
+      4. near-dup      — MinHash→LSH(cap)→Jaccard ≥ threshold pairs,
+                         connected components, keep each cluster's
+                         smallest doc_id
+      5. split         — deterministic key-hash train/val/test
+
+    Survival is a pure function of (text, doc_id), so the same manifest
+    comes out on any engine, cluster size, or run."""
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.fingerprint(F.col("text")).alias("digest"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
+    )
+    canonical = scored.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = scored.join(canonical, ["digest", "doc_id"], "inner")
+
+    # near-dup clusters over the exact-dedup survivors; one shared
+    # shingle explode + one signature aggregate feed every stage
+    shingled = DD.doc_shingles(exact_kept).persist()
+    sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
+    cands = DD.lsh_candidate_pairs(
+        sigs.drop("n_sh"), max_bucket_size=lsh_max_bucket
+    )
+    pairs = DD.jaccard_pairs(
+        shingled,
+        cands,
+        threshold=near_dup_threshold,
+        sizes=sigs.select("doc_id", "n_sh"),
+    )
+    clusters = DD.dup_clusters(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    kept = exact_kept.join(dropped, "doc_id", "left_anti").drop("text")
+
+    return SP.with_split(kept, "doc_id", test_frac, val_frac).select(
+        "doc_id", "lang", "source", "n_tokens", "quality", "digest", "split"
+    )

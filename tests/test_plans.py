@@ -116,6 +116,15 @@ def test_quantize_is_scan_side_only(spark):
     assert "Join" not in plan and "Generate" not in plan
 
 
+def test_centroid_assign_never_explodes_the_corpus(spark):
+    """Nearest-centroid assignment must derive centroids from per-dim
+    aggregate columns, not a posexplode: a Generate node here would mean
+    the shuffle carries |corpus|×dim rows instead of |labels|."""
+    plan = _plan(spark, "sim_centroid_assign")
+    assert "Generate" not in plan
+    assert "BroadcastExchange" in plan, "centroid side must broadcast"
+
+
 def test_partition_pruning_on_partitioned_changelog(spark, tmp_path):
     """A change log laid out as version-range partitions gets partition
     pruning for version predicates — the layout SURVEY.md prescribes for
