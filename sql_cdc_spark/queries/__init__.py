@@ -112,6 +112,7 @@ def _registry() -> dict[str, QueryEntry]:
         "crp_mixture_sample",            # NEW: exact per-source quota draw
         "txt_doc_frequency",             # NEW: DF/IDF vocabulary top-k
         "sim_centroid_assign",           # NEW: int-exact nearest-centroid
+        "crp_manifest",                  # NEW: composed corpus pipeline
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -163,6 +164,9 @@ def _registry() -> dict[str, QueryEntry]:
         # r2-green single; its Q1-shape grouped agg stays bench-timed every
         # round (HEADLINE) and pytest-gated — demoted for sim_centroid_assign
         "rel_pricing_summary",
+        # r1-green headline single; its join shape stays in-window via
+        # rel_invoice_view_rollup — demoted for crp_manifest
+        "rel_header_line_view",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

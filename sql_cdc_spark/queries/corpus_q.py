@@ -446,6 +446,66 @@ ORDER BY source, rk
 """
 
 
+def crp_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED corpus-preparation pipeline as one driver-gated query:
+    quality/length gates → exact dedup → MinHash-LSH near-dup cluster
+    removal → deterministic split (pipelines/corpus.py). The oracle
+    re-derives the entire flow — including the recursive-CTE connected
+    components over the gated subset — from the same constants, so the
+    driver hash pins the end-to-end manifest, not just each stage."""
+    from sql_cdc_spark.pipelines.corpus import prepare_training_corpus
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return prepare_training_corpus(
+        docs,
+        min_tokens=MIN_TOKENS,
+        min_quality=MIN_QUALITY,
+        test_frac=TEST_FRAC,
+        val_frac=VAL_FRAC,
+    ).orderBy("doc_id")
+
+
+def _manifest_sql() -> str:
+    from sql_cdc_spark.queries.dedup_q import (
+        _BANDED_CTE,
+        _CANDIDATES_CTE,
+        _JACCARD_CTE,
+        _SIGS_CTE,
+        CLUSTER_TAIL_CTE,
+        shingles_cte,
+    )
+
+    split_case = SP.split_sql("k.doc_id", TEST_FRAC, VAL_FRAC)
+    return f"""
+WITH RECURSIVE
+scored AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         {_QUALITY_EXPR_SQL} AS quality,
+         md5({_NORM_SQL}) AS digest
+  FROM documents
+),
+gated AS (
+  SELECT * FROM scored WHERE n_tokens >= {MIN_TOKENS} AND quality >= {MIN_QUALITY}
+),
+canonical AS (
+  SELECT digest, MIN(doc_id) AS doc_id FROM gated GROUP BY digest
+),
+kept0 AS (
+  SELECT g.doc_id, g.lang, g.source, g.text, g.n_tokens, g.quality, g.digest
+  FROM gated g JOIN canonical c ON g.digest = c.digest AND g.doc_id = c.doc_id
+),
+{shingles_cte("kept0")}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE},
+{CLUSTER_TAIL_CTE},
+dropped AS (SELECT doc_id FROM members WHERE doc_id <> cluster_id)
+SELECT k.doc_id, k.lang, k.source, k.n_tokens, k.quality, k.digest,
+       {split_case} AS split
+FROM kept0 k
+WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY k.doc_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),
@@ -455,4 +515,5 @@ QUERIES: dict[str, QueryEntry] = {
     "crp_pack_sequences": QueryEntry(crp_pack_sequences, _PACK_SQL),
     "crp_source_mixture": QueryEntry(crp_source_mixture, _MIXTURE_SQL),
     "crp_mixture_sample": QueryEntry(crp_mixture_sample, _mixture_sample_sql()),
+    "crp_manifest": QueryEntry(crp_manifest, _manifest_sql()),
 }

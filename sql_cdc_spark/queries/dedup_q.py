@@ -30,9 +30,15 @@ LSH_MAX_BUCKET = 50
 # shingle strings are hashed to their 60-bit md5-prefix int and the
 # distinct is taken over the HASHED domain — mirroring doc_shingles, so
 # both engines operate on byte-identical (doc_id, sh64) sets
-_SHINGLES_CTE = rf"""
+
+
+def shingles_cte(src: str = "documents") -> str:
+    """The toks→sh_all→shh CTE chain over any (doc_id, text) source —
+    corpus_q's composed-manifest oracle shingles a gated SUBSET, not the
+    raw table, so the source relation is a parameter."""
+    return rf"""
 toks AS (
-  SELECT doc_id, string_split_regex({_NORM_SQL}, '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\s+') AS t FROM {src}
 ),
 sh_all AS (
   SELECT doc_id,
@@ -47,6 +53,9 @@ shh AS (
   FROM sh_all
 )
 """
+
+
+_SHINGLES_CTE = shingles_cte()
 
 _HASH_SQL = f"(sh64 % {DD.MINHASH_MOD})"
 
@@ -189,10 +198,11 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.dup_clusters(pairs).orderBy("doc_id")
 
 
-# shared recursive-CTE prefix: verified near-dup pairs → undirected edges
-# → min-label reachability (the oracle twin of functions/dedup.dup_clusters)
-_CLUSTERS_PREFIX = f"""
-WITH RECURSIVE {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE},
+# verified near-dup pairs → undirected edges → min-label reachability
+# (the oracle twin of functions/dedup.dup_clusters); appended after the
+# shingle/sig/band/candidate/jaccard chain. Exported so corpus_q's
+# composed-manifest oracle can run the same machinery over a gated subset.
+CLUSTER_TAIL_CTE = f"""
 pairs AS (
   SELECT j.id_a, j.id_b
   FROM jac j JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
@@ -210,6 +220,12 @@ reach(id, lbl) AS (
 members AS (
   SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
 )
+"""
+
+# shared recursive-CTE prefix over the full documents table
+_CLUSTERS_PREFIX = f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE},
+{CLUSTER_TAIL_CTE}
 """
 
 _DUP_CLUSTERS_SQL = f"""

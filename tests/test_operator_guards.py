@@ -71,6 +71,7 @@ def test_registry_window_holds_all_round3_queries():
         "crp_mixture_sample",
         "txt_doc_frequency",
         "sim_centroid_assign",
+        "crp_manifest",
     ]
     missing = [n for n in round3_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
