@@ -60,8 +60,18 @@ def prepare_training_corpus(
     ).filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("quality") >= min_quality)
     )
-    canonical = scored.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
-    exact_kept = scored.join(canonical, ["digest", "doc_id"], "inner")
+    # one map-side-combined shuffle, no join-back (which would recompute
+    # the scan-side text metrics on the probe side)
+    exact_kept = (
+        scored.groupBy("digest")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source", "text", "n_tokens", "quality"),
+                F.col("doc_id"),
+            ).alias("r")
+        )
+        .select("r.*", "digest")
+    )
 
     # near-dup clusters over the exact-dedup survivors; one shared
     # shingle explode + one signature aggregate feed every stage

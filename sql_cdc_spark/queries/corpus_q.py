@@ -80,7 +80,10 @@ def crp_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (heuristic score ≥ MIN_QUALITY, functions/text.py), (3) exact dedup
     on the normalized-text digest keeping the smallest doc_id. Emits the
     surviving docs with their scores — the input manifest of a training
-    run. One shuffle total (the dedup groupBy); gates are scan-local."""
+    run. One shuffle total (the dedup groupBy, map-side combined via
+    min_by); gates are scan-local, and the text metrics are computed
+    exactly once — a canonical-set join-back would re-derive them on the
+    probe side."""
     docs = tables.load(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -91,10 +94,14 @@ def crp_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         (F.col("n_tokens") >= MIN_TOKENS) & (F.col("quality") >= MIN_QUALITY)
     )
-    canonical = scored.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
     return (
-        scored.join(canonical, ["digest", "doc_id"], "inner")
-        .select("doc_id", "lang", "n_tokens", "quality")
+        scored.groupBy("digest")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "n_tokens", "quality"), F.col("doc_id")
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.lang", "r.n_tokens", "r.quality")
     )
 
 
