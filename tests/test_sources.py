@@ -140,3 +140,81 @@ def test_invoice_view_pushes_filters_into_scan(spark):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "GreaterThan(o_totalprice" in pushed
+
+
+# ---- Kafka source (sources/kafka.py) ----
+
+
+def test_kafka_options_contract():
+    from sql_cdc_spark.sources import kafka as kf
+
+    opts = kf.kafka_options(
+        "b1:9092,b2:9092", "invoice-changes",
+        starting_offsets="latest", max_offsets_per_trigger=1000,
+        extra={"kafka.security.protocol": "SSL"},
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "invoice-changes"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "1000"
+    assert opts["failOnDataLoss"] == "true"
+    assert opts["kafka.security.protocol"] == "SSL"
+    with pytest.raises(ValueError):
+        kf.kafka_options("", "t")
+    with pytest.raises(ValueError):
+        kf.kafka_options("b:9092", "t", max_offsets_per_trigger=0)
+
+
+def test_read_kafka_fails_clearly_without_connector(spark):
+    from sql_cdc_spark.sources import kafka as kf
+
+    for fn in (kf.read_kafka, kf.read_kafka_stream):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            fn(spark, bootstrap_servers="localhost:9092", topic="t")
+
+
+def test_kafka_to_changelog_normalizes_and_drops_poison(spark):
+    """Payload parse produces the changelog convention; undecodable and
+    field-missing messages are dropped, not fatal."""
+    import datetime as dt
+
+    from sql_cdc_spark.sources import kafka as kf
+
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (kf.encode_change_event("invoice_header", 7, 101, "U"), ts),
+        (kf.encode_change_event("invoice_line", 7 * 8 + 1, 102, "I"), ts),
+        (b"not json at all", ts),
+        (b'{"table_name": "x"}', ts),  # missing key/version
+    ]
+    records = spark.createDataFrame(rows, "value binary, timestamp timestamp")
+    out = kf.kafka_to_changelog(records).orderBy("change_version").collect()
+    assert [
+        (r.table_name, r.key_id, r.change_version, r.op) for r in out
+    ] == [
+        ("invoice_header", 7, 101, "U"),
+        ("invoice_line", 57, 102, "I"),
+    ]
+    assert all(r.ts == ts for r in out)
+
+
+def test_kafka_changelog_feeds_the_batch_pipeline(spark, tmp_path):
+    """The normalized Kafka frame IS the changelog convention: the
+    collapse → enrich path consumes it unchanged."""
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.operators.cdc import latest_per_key
+    from sql_cdc_spark.sources import kafka as kf
+    from tests.conftest import SF_DIR_SMALL
+
+    import datetime as dt
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        (kf.encode_change_event("invoice_header", k, v, "U"), ts)
+        for v, k in enumerate([3, 5, 3, 7, 5, 3], start=1)
+    ]
+    records = spark.createDataFrame(rows, "value binary, timestamp timestamp")
+    changes = kf.kafka_to_changelog(records)
+    latest = latest_per_key(changes, ["key_id"])
+    got = {(r.key_id, r.change_version) for r in latest.collect()}
+    assert got == {(3, 6), (5, 5), (7, 4)}
