@@ -51,6 +51,7 @@ EXTENDED = [
     "txt_doc_frequency",        # DF/IDF vocabulary top-k
     "tpch_q19_discounted_revenue",  # disjunctive-predicate star join
     "sim_centroid_assign",      # integer-exact nearest-centroid pass
+    "crp_manifest",             # composed corpus-prep pipeline
 ]
 
 

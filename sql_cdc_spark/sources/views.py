@@ -40,3 +40,30 @@ def register_invoice_views(spark: SparkSession, sf_dir: str) -> list[str]:
     )
     view.createOrReplaceTempView(INVOICE_VIEW)
     return [INVOICE_VIEW]
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_star_schema(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every base table under its own name plus the invoice view
+    — after this, the full engine surface is reachable from plain
+    ``spark.sql`` (or a Thrift/Connect client): the same catalog layout
+    the DuckDB oracle gate uses, so any oracle SQL string in
+    queries/*.py also runs verbatim-ish against Spark SQL. Views are lazy
+    plans over the parquet scans — registration costs nothing and
+    predicates still push down."""
+    for t in TABLES:
+        tables.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return list(TABLES) + register_invoice_views(spark, sf_dir)

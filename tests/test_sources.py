@@ -218,3 +218,34 @@ def test_kafka_changelog_feeds_the_batch_pipeline(spark, tmp_path):
     latest = latest_per_key(changes, ["key_id"])
     got = {(r.key_id, r.change_version) for r in latest.collect()}
     assert got == {(3, 6), (5, 5), (7, 4)}
+
+
+def test_register_star_schema_enables_spark_sql(spark):
+    """After registration the whole schema answers plain spark.sql, and a
+    SQL aggregate matches the DataFrame form of the same query."""
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.sources.views import register_star_schema
+    from tests.conftest import SF_DIR_SMALL
+
+    names = register_star_schema(spark, SF_DIR_SMALL)
+    assert set(names) >= {"lineitem", "orders", "documents", "vw_invoice_header_line"}
+    got = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        "SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cents "
+        "FROM lineitem GROUP BY l_returnflag"
+    ).collect()
+    li = tables.load(spark, SF_DIR_SMALL, "lineitem")
+    want = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert spark.sql("SELECT COUNT(*) FROM vw_invoice_header_line").first()[0] > 0
