@@ -188,3 +188,42 @@ def apply_changes_to_replica(
     upsert_keys = latest_changes.filter(F.col(op_col) != "D").select(key_col)
     upserts = base.join(F.broadcast(upsert_keys), key_col, "left_semi")
     return survivors.unionByName(upserts)
+
+
+def refresh_aggregate_groups(
+    agg_replica: DataFrame,
+    base: DataFrame,
+    affected_groups: DataFrame,
+    group_cols: list[str],
+    agg_exprs: list[Column],
+) -> DataFrame:
+    """Incremental maintenance of a grouped-aggregate view from a change
+    feed — the rollup analog of ``apply_changes_to_replica``: instead of
+    re-aggregating the whole base (what a naive dashboard refresh over
+    the reference's vw_invoice_header_line does), recompute ONLY the
+    groups a CDC batch touched and keep every other group's row as-is:
+
+      view' = (view ANTI affected-groups)                    -- untouched
+            ∪ (base SEMI affected-groups → groupBy → agg)    -- recomputed
+
+    Groups whose members were all deleted disappear (the semi join feeds
+    the aggregate nothing for them); brand-new groups appear. The
+    affected-group set is derived from one CDC batch (small → broadcast),
+    so at any view size the cost is one broadcast-pruned scan of the
+    affected slice of the base plus its aggregation — not a full-table
+    re-aggregation. Aggregates must be self-contained per group (SUM,
+    COUNT, MIN/MAX, avg — anything a plain groupBy computes); the exprs
+    must be the SAME list used to build the view initially, or drift is
+    silent.
+
+    ``affected_groups`` carries the group-key columns — typically the
+    changed keys joined through the fact table to their group keys
+    (e.g. changed invoices → their customers)."""
+    keys = affected_groups.select(*group_cols).distinct()
+    untouched = agg_replica.join(F.broadcast(keys), group_cols, "left_anti")
+    recomputed = (
+        base.join(F.broadcast(keys), group_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(*agg_exprs)
+    )
+    return untouched.unionByName(recomputed)

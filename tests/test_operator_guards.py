@@ -75,3 +75,43 @@ def test_registry_window_holds_all_round3_queries():
     ]
     missing = [n for n in round3_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
+
+
+def test_refresh_aggregate_groups_matches_full_recompute(spark):
+    """Incremental rollup maintenance == full re-aggregation through a
+    CDC round containing an update, a delete (incl. a fully-emptied
+    group), an insert into an existing group, and a brand-new group."""
+    from sql_cdc_spark.operators.cdc import refresh_aggregate_groups
+
+    rows = [  # (invoice, customer, total)
+        (1, 10, 100.0), (2, 10, 50.0), (3, 20, 70.0), (4, 30, 10.0),
+    ]
+    base = spark.createDataFrame(rows, "inv long, cust long, total double")
+    exprs = [
+        F.count(F.lit(1)).alias("n_inv"),
+        F.sum(F.round(F.col("total") * 100).cast("long")).alias("cents"),
+    ]
+    view = base.groupBy("cust").agg(*exprs)
+
+    # CDC round: inv2 price update, inv4 deleted (empties cust 30),
+    # inv5 inserted for existing cust 20, inv6 opens new cust 40
+    new_rows = [
+        (1, 10, 100.0), (2, 10, 75.0), (3, 20, 70.0),
+        (5, 20, 5.0), (6, 40, 9.0),
+    ]
+    new_base = spark.createDataFrame(new_rows, "inv long, cust long, total double")
+    changed_invoices = {2, 4, 5, 6}
+    # affected groups: the changed invoices' customers in old ∪ new state
+    affected = (
+        base.filter(F.col("inv").isin(changed_invoices))
+        .select("cust")
+        .union(
+            new_base.filter(F.col("inv").isin(changed_invoices)).select("cust")
+        )
+    )
+    got = refresh_aggregate_groups(view, new_base, affected, ["cust"], exprs)
+    want = new_base.groupBy("cust").agg(*exprs)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # cust 30's group is gone, cust 40's appeared
+    custs = {r.cust for r in got.collect()}
+    assert 30 not in custs and 40 in custs
