@@ -617,3 +617,59 @@ def test_streaming_replica_maintenance_with_deletes(spark, base, tmp_path):
         if r.o_orderkey in expect
     }
     assert got == want
+
+
+def test_streaming_rollup_maintenance(spark, base, tmp_path):
+    """Live per-customer rollup maintained from the change stream:
+    foreachBatch derives the affected customers from each CDC batch and
+    refreshes only their groups; after two incremental drains the view
+    equals a full re-aggregation of the final base state."""
+    from sql_cdc_spark.operators.cdc import refresh_aggregate_groups
+
+    header, _ = base
+    base_small = header.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    exprs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    ]
+    view_dir = str(tmp_path / "rollup")
+    base_small.groupBy("o_custkey").agg(*exprs).write.parquet(view_dir)
+
+    w = cl.ChangeLogWriter(spark, str(tmp_path / "log"))
+
+    def refresh(batch_df, _batch_id):
+        changed = batch_df.filter(
+            F.col("table_name") == cl.HEADER_TABLE
+        ).select(F.col("key_id").alias("o_orderkey"))
+        affected = base_small.join(
+            F.broadcast(changed), "o_orderkey", "left_semi"
+        ).select("o_custkey")
+        view = spark.read.parquet(view_dir)
+        out = refresh_aggregate_groups(
+            view, base_small, affected, ["o_custkey"], exprs
+        ).localCheckpoint()
+        out.write.mode("overwrite").parquet(view_dir)
+
+    def drain():
+        q = (
+            cl.read_changelog_stream(spark, w.log_dir)
+            .writeStream.foreachBatch(refresh)
+            .option("checkpointLocation", str(tmp_path / "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    keys = [r.o_orderkey for r in base_small.limit(60).collect()]
+    w.append([(cl.HEADER_TABLE, k, "U") for k in keys[:30]])
+    drain()
+    w.append([(cl.HEADER_TABLE, k, "U") for k in keys[30:]])
+    drain()
+
+    got = sorted(map(tuple, spark.read.parquet(view_dir).collect()))
+    want = sorted(
+        map(tuple, base_small.groupBy("o_custkey").agg(*exprs).collect())
+    )
+    assert got == want
