@@ -161,6 +161,14 @@ def flagship_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lineitem = tables.load(spark, sf_dir, "lineitem")
     header = orders.join(F.broadcast(latest), "invoice_id", "inner")
+    # the bounded batch applies BEFORE assembly — the sproc takes
+    # TOP(@Limit) after the header join and only then builds documents
+    # (sqls/storedprocedure.sql:35-52), so nesting work is limit-bounded:
+    # the line semi-join prunes against ≤limit invoices and the nested
+    # side stays broadcast-sized at ANY corpus scale
+    header = cdc.bounded_ordered_batch(
+        header, BATCH_LIMIT, "change_version", "invoice_id"
+    )
     docs = assemble_documents(
         header,
         lineitem,
@@ -170,14 +178,9 @@ def flagship_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_order_col="l_linenumber",
         line_key_col="l_orderkey",
     )
-    return cdc.bounded_ordered_batch(
-        docs.select(
-            "invoice_id", "change_version", "o_custkey", "o_totalprice", "lines"
-        ),
-        BATCH_LIMIT,
-        "change_version",
-        "invoice_id",
-    )
+    return docs.select(
+        "invoice_id", "change_version", "o_custkey", "o_totalprice", "lines"
+    ).orderBy(F.col("change_version").asc(), F.col("invoice_id").asc())
 
 
 def flagship_documents_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,6 +217,11 @@ def flagship_documents_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_discount") * 100).cast("long").alias("discount_pct"),
     )
     header = orders.join(F.broadcast(latest), "invoice_id", "inner")
+    # limit before assembly (sproc order: TOP after the header join, then
+    # FOR JSON per selected invoice) — see flagship_documents
+    header = cdc.bounded_ordered_batch(
+        header, BATCH_LIMIT, "change_version", "invoice_id"
+    )
     docs = assemble_documents(
         header,
         lineitem,
@@ -224,7 +232,7 @@ def flagship_documents_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_key_col="l_orderkey",
     )
     docs = docs.withColumn("lines_json", F.to_json(F.col("lines"))).drop("lines")
-    return cdc.bounded_ordered_batch(docs, BATCH_LIMIT, "change_version", "invoice_id")
+    return docs.orderBy(F.col("change_version").asc(), F.col("invoice_id").asc())
 
 
 _FLAGSHIP_DOCS_SQL = f"""
