@@ -102,16 +102,35 @@ def flagship_changed_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = cdc.latest_per_key(changes, ["invoice_id"])
     orders = tables.load(spark, sf_dir, "orders")
     lineitem = tables.load(spark, sf_dir, "lineitem")
-    line_stats = lineitem.groupBy(F.col("l_orderkey").alias("invoice_id")).agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "invoice_total"
+    # limit-first, like the sproc (TOP after the header join, stats per
+    # selected invoice): the batch is taken on the slim header side, then
+    # line stats aggregate only the ≤limit selected invoices' lines —
+    # never a full-table pre-aggregation that the limit then discards
+    header = cdc.bounded_ordered_batch(
+        orders.withColumnRenamed("o_orderkey", "invoice_id").join(
+            F.broadcast(latest), "invoice_id", "inner"
         ),
+        BATCH_LIMIT,
+        "change_version",
+        "invoice_id",
     )
-    enriched = (
-        orders.withColumnRenamed("o_orderkey", "invoice_id")
-        .join(F.broadcast(latest), "invoice_id", "inner")
-        .join(line_stats, "invoice_id", "left")
+    line_stats = (
+        lineitem.select(
+            F.col("l_orderkey").alias("invoice_id"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .join(F.broadcast(header.select("invoice_id")), "invoice_id", "left_semi")
+        .groupBy("invoice_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("invoice_total"),
+        )
+    )
+    return (
+        header.join(line_stats, "invoice_id", "left")
         .select(
             "invoice_id",
             "change_version",
@@ -121,8 +140,8 @@ def flagship_changed_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
             F.coalesce("invoice_total", F.lit(0.0)).alias("invoice_total"),
         )
+        .orderBy(F.col("change_version").asc(), F.col("invoice_id").asc())
     )
-    return cdc.bounded_ordered_batch(enriched, BATCH_LIMIT, "change_version", "invoice_id")
 
 
 _FLAGSHIP_SQL = f"""
