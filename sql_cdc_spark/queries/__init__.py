@@ -113,6 +113,8 @@ def _registry() -> dict[str, QueryEntry]:
         "txt_doc_frequency",             # NEW: DF/IDF vocabulary top-k
         "sim_centroid_assign",           # NEW: int-exact nearest-centroid
         "crp_manifest",                  # NEW: composed corpus pipeline
+        "evt_histogram",                 # NEW: integer-bin value histogram
+        "sim_norm_stats",                # NEW: embedding-norm QA census
     ]
     # demoted to the back to keep the window ≤50: single-op long-greens
     # (r1-verified, untouched since) — they rotate back in next round
@@ -167,6 +169,11 @@ def _registry() -> dict[str, QueryEntry]:
         # r1-green headline single; its join shape stays in-window via
         # rel_invoice_view_rollup — demoted for crp_manifest
         "rel_header_line_view",
+        # r1-green headline singles (bench-timed every round); star-join
+        # shapes stay in-window via tpch_q14/q19 — demoted for
+        # evt_histogram + sim_norm_stats
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

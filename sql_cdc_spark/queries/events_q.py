@@ -639,7 +639,47 @@ ORDER BY purchase_id, error_id
 """
 
 
+HIST_BIN_CENTS = 2500  # 25.00-wide value bins
+
+
+def evt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value histogram — the distribution-profiling pass a
+    feature pipeline runs before normalization decisions. Values are
+    binned in exact integer cents (bin = cents // HIST_BIN_CENTS), so bin
+    membership is bit-identical cross-engine — no float bin-edge knife
+    edges; the in-bin sum is cents-exact per the CLAUDE.md rule. One
+    map-side-combined groupBy; linear at any scale."""
+    ev = tables.load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("event_type", cents.alias("__c"))
+        .groupBy(
+            "event_type",
+            (F.col("__c") - (F.col("__c") % HIST_BIN_CENTS)).alias("bin_lo_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("__c") / 100.0).alias("value_sum"),
+        )
+        .orderBy("event_type", "bin_lo_cents")
+    )
+
+
+_HISTOGRAM_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events
+)
+SELECT event_type,
+       cents - (cents % {HIST_BIN_CENTS}) AS bin_lo_cents,
+       COUNT(*) AS n_events,
+       SUM(cents) / 100.0 AS value_sum
+FROM c GROUP BY event_type, bin_lo_cents
+ORDER BY event_type, bin_lo_cents
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
+    "evt_histogram": QueryEntry(evt_histogram, _HISTOGRAM_SQL),
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
     "evt_user_cardinality_sketch": QueryEntry(

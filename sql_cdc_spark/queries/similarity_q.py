@@ -463,6 +463,47 @@ LIMIT {TOP_K}
 """
 
 
+def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm QA census per label — the sanity pass before any
+    cosine/IVF work: unnormalized or degenerate vectors show up as
+    outlier squared-L2 norms. Norms are exact bigints in the integer-micro
+    domain (Σ micro², ≪ 2^63 at any realistic dim), so min/max/sum are
+    bit-identical cross-engine. Pure scan + one map-side-combined groupBy."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    norm2 = F.aggregate(
+        micro, F.lit(0).cast("long"), lambda acc, m: acc + m * m
+    )
+    return (
+        emb.select("label", norm2.alias("__n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("__n2").alias("min_norm2_micro2"),
+            F.max("__n2").alias("max_norm2_micro2"),
+            F.sum("__n2").alias("sum_norm2_micro2"),
+        )
+        .orderBy("label")
+    )
+
+
+_NORM_STATS_SQL = """
+WITH n AS (
+  SELECT label,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS n2
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       MIN(n2) AS min_norm2_micro2, MAX(n2) AS max_norm2_micro2,
+       CAST(SUM(n2) AS BIGINT) AS sum_norm2_micro2
+FROM n GROUP BY label ORDER BY label
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),
@@ -471,6 +512,7 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_ivf_topk": QueryEntry(sim_ivf_topk, _IVF_SQL),
     "sim_label_centroids": QueryEntry(sim_label_centroids, _CENTROIDS_SQL),
     "sim_centroid_assign": QueryEntry(sim_centroid_assign, _CENTROID_ASSIGN_SQL),
+    "sim_norm_stats": QueryEntry(sim_norm_stats, _NORM_STATS_SQL),
     "sim_embedding_quantize": QueryEntry(sim_embedding_quantize, _QUANTIZE_SQL),
     "sim_quantized_topk": QueryEntry(sim_quantized_topk, _QTOPK_SQL),
 }

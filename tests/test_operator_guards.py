@@ -72,6 +72,8 @@ def test_registry_window_holds_all_round3_queries():
         "txt_doc_frequency",
         "sim_centroid_assign",
         "crp_manifest",
+        "evt_histogram",
+        "sim_norm_stats",
     ]
     missing = [n for n in round3_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
