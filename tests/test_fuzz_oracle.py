@@ -352,3 +352,95 @@ def test_random_query2_matches_duckdb(spark, oracle, seed):
     rng = random.Random(7000 + seed)
     q = _gen2(rng)
     assert_matches_oracle(_to_spark2(spark, q), oracle, _to_sql2(q))
+
+
+# ---- family 3: documents string functions + random-width event-time
+# buckets — the string-dialect and window-alignment risk areas ----
+
+WORDS = ["table", "scan", "merge", "vector", "customer", "stream"]
+
+
+def _gen3(rng: random.Random) -> dict:
+    shape = rng.random()
+    if shape < 0.4:
+        # scalar string functions over documents (patterns are literal
+        # words: identical semantics in Java regex and DuckDB RE2)
+        return {
+            "doc_scalar": {
+                "needle": rng.choice(WORDS),
+                "lo": rng.randint(1, 20),
+                "ln": rng.randint(3, 12),
+            }
+        }
+    if shape < 0.65:
+        # grouped doc stats with a length predicate
+        return {"doc_group": {"min_chars": rng.randint(100, 400)}}
+    # random-width tumbling buckets in exact integer microseconds:
+    # catches any off-by-one in epoch alignment math
+    minutes = rng.choice([7, 11, 45, 90, 180])
+    return {"evt_bucket": {"width_us": minutes * 60_000_000}}
+
+
+def _to_spark3(spark, q: dict):
+    if "doc_scalar" in q:
+        p = q["doc_scalar"]
+        docs = tables.load(spark, SF_DIR, "documents")
+        return docs.select(
+            "doc_id",
+            F.length("text").cast("int").alias("n"),
+            F.regexp_count(F.col("text"), F.lit(p["needle"])).alias("hits"),
+            F.substring(F.col("text"), p["lo"], p["ln"]).alias("frag"),
+            F.upper(F.substring(F.col("lang"), 1, 1)).alias("l1"),
+        )
+    if "doc_group" in q:
+        p = q["doc_group"]
+        docs = tables.load(spark, SF_DIR, "documents").filter(
+            F.col("n_chars") >= p["min_chars"]
+        )
+        return docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    w = q["evt_bucket"]["width_us"]
+    ev = tables.load(spark, SF_DIR, "events")
+    bucket = (F.unix_micros(F.col("ts")) / w).cast("long") * w
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy(bucket.alias("bucket_us"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("cents"),
+    )
+
+
+def _to_sql3(q: dict) -> str:
+    if "doc_scalar" in q:
+        p = q["doc_scalar"]
+        return (
+            f"SELECT doc_id, CAST(length(text) AS INTEGER) AS n, "
+            f"CAST(len(regexp_extract_all(text, '{p['needle']}')) AS INTEGER) AS hits, "
+            f"substring(text, {p['lo']}, {p['ln']}) AS frag, "
+            f"upper(substring(lang, 1, 1)) AS l1 FROM documents"
+        )
+    if "doc_group" in q:
+        p = q["doc_group"]
+        return (
+            f"SELECT lang, source, COUNT(*) AS n_docs, "
+            f"CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            f"MIN(doc_id) AS first_doc "
+            f"FROM documents WHERE n_chars >= {p['min_chars']} "
+            f"GROUP BY lang, source"
+        )
+    w = q["evt_bucket"]["width_us"]
+    return (
+        f"SELECT epoch_us(ts) // {w} * {w} AS bucket_us, event_type, "
+        f"COUNT(*) AS n, "
+        f"CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents "
+        f"FROM events GROUP BY bucket_us, event_type"
+    )
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_query3_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(9000 + seed)
+    q = _gen3(rng)
+    assert_matches_oracle(_to_spark3(spark, q), oracle, _to_sql3(q))
