@@ -19,6 +19,8 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -115,14 +117,39 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def band_keys(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, bkey): one bigint bucket key per LSH band — fold (band_index,
+    row values) with base MINHASH_MOD, a bijection since every mh <
+    MINHASH_MOD. Self-joins and the skew cap then key on a single 8-byte
+    int instead of a (int, concatenated-string) pair: cheaper to build,
+    hash, shuffle, and compare, with identical bucket membership."""
+    n_bands = MINHASH_K // LSH_BAND_ROWS
+    # the base-MINHASH_MOD fold below is only a bijection while every
+    # folded key fits a signed 64-bit int; 2 rows at MOD≈2^31 is fine,
+    # 4 rows would overflow silently — guard against constant drift
+    assert n_bands * MINHASH_MOD**LSH_BAND_ROWS < 2**63, (
+        "band-key fold overflows int64 — shrink LSH_BAND_ROWS/MINHASH_MOD"
+    )
+
+    def band_key(bi: int) -> Column:
+        k: Column = F.lit(bi).cast("long")
+        for r in range(LSH_BAND_ROWS):
+            k = k * MINHASH_MOD + F.col(f"mh{bi * LSH_BAND_ROWS + r}")
+        return k
+
+    bands = F.array(*[band_key(bi) for bi in range(n_bands)])
+    return signatures.select(F.col(id_col), F.explode(bands).alias("bkey"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (bands of LSH_BAND_ROWS rows) and emit distinct
-    candidate pairs (a < b) sharing any band. The join key is
-    (band_index, band_value-string): only same-bucket docs ever meet.
+    candidate pairs (a < b) sharing any band. The join key is a single
+    folded bigint per band (``bkey`` below): only same-bucket docs ever
+    meet.
 
     ``max_bucket_size`` drops band buckets holding more than that many
     documents BEFORE the self-join: one boilerplate-heavy bucket of m docs
@@ -132,22 +159,7 @@ def lsh_candidate_pairs(
     the recall cost is the documented trade (a deliberate, deterministic
     cap — NOT silent truncation: both the Spark plan and the DuckDB oracle
     apply the same predicate)."""
-    n_bands = MINHASH_K // LSH_BAND_ROWS
-    # one bigint bucket key per band: fold (band_index, row values) with
-    # base MINHASH_MOD — a bijection, since every mh < MINHASH_MOD. The
-    # self-join and the skew cap then key on a single 8-byte int instead
-    # of a (int, concatenated-string) pair: cheaper to build, hash,
-    # shuffle, and compare, with identical bucket membership.
-    def band_key(bi: int) -> Column:
-        k: Column = F.lit(bi).cast("long")
-        for r in range(LSH_BAND_ROWS):
-            k = k * MINHASH_MOD + F.col(f"mh{bi * LSH_BAND_ROWS + r}")
-        return k
-
-    bands = F.array(*[band_key(bi) for bi in range(n_bands)])
-    banded = signatures.select(
-        F.col(id_col), F.explode(bands).alias("bkey")
-    )
+    banded = band_keys(signatures, id_col)
     if max_bucket_size is not None:
         # the oversized-bucket list is tiny (hot boilerplate buckets):
         # aggregate with map-side combine and anti-broadcast it — cheaper
@@ -229,6 +241,222 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+class NearDupState(NamedTuple):
+    """Materialized incremental near-dup state — the local analog of the
+    parquet state tables a 100 TB corpus pipeline maintains between daily
+    CDC batches. All five frames are lineage-cut (localCheckpoint) when
+    built with ``checkpoint=True``, so repeated ``apply_near_dup_changes``
+    rounds never replan the whole history (at cluster scale these are
+    state tables written to storage between batches)."""
+
+    shingles: DataFrame      # (doc_id, sh64) distinct hashed shingles
+    sigs: DataFrame          # (doc_id, mh0..mh{k-1}, n_sh)
+    banded: DataFrame        # (doc_id, bkey) LSH band membership
+    bucket_sizes: DataFrame  # (bkey, bsz) — members per band bucket
+    pairs: DataFrame         # (id_a, id_b, jaccard) verified near-dups
+
+
+def _ckpt(df: DataFrame, enabled: bool) -> DataFrame:
+    return df.localCheckpoint(eager=True) if enabled else df
+
+
+def build_near_dup_state(
+    docs: DataFrame,
+    max_bucket_size: int | None = None,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> NearDupState:
+    """Full near-dup computation that ALSO materializes the intermediate
+    tables ``apply_near_dup_changes`` maintains incrementally. Same
+    semantics as the dd_near_dup_pairs pipeline (LSH candidates capped at
+    ``max_bucket_size``, exact-Jaccard verification at ``threshold``)."""
+    shingled = _ckpt(doc_shingles(docs, text_col, id_col), checkpoint)
+    sigs = _ckpt(
+        minhash_signatures(shingled, id_col, with_sizes=True), checkpoint
+    )
+    banded = _ckpt(band_keys(sigs, id_col), checkpoint)
+    bucket_sizes = _ckpt(
+        banded.groupBy("bkey").agg(F.count(F.lit(1)).alias("bsz")), checkpoint
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, max_bucket_size)
+    pairs = _ckpt(
+        jaccard_pairs(
+            shingled,
+            cands,
+            id_col,
+            threshold,
+            sizes=sigs.select(id_col, "n_sh"),
+        ),
+        checkpoint,
+    )
+    return NearDupState(shingled, sigs, banded, bucket_sizes, pairs)
+
+
+def _bucket_pairs(
+    banded: DataFrame, ok_bkeys: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct candidate pairs among members of the given (small,
+    broadcastable) bucket-key set."""
+    members = banded.join(F.broadcast(ok_bkeys), ["bkey"])
+    left, right = members.alias("l"), members.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def apply_near_dup_changes(
+    state: NearDupState,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    max_bucket_size: int | None = None,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> NearDupState:
+    """Incremental near-dup maintenance through a CDC batch — the dedup
+    analog of refresh_aggregate_groups (operators/cdc.py): re-shingle
+    ONLY the touched documents, recompute candidate pairs ONLY in the
+    affected band buckets, and keep everything else from the prior state.
+    Result is guaranteed equal to a full recompute over the post-change
+    corpus (tests/test_llm_ops.py proves it through insert / update /
+    delete, including hot-band-cap flips).
+
+    ``upserts`` is (id, text) — inserts and updates; ``deletes`` is a
+    one-column id frame. A doc appearing in both ends up present with the
+    upserted text.
+
+    Work per batch (the 100 TB story): shingling is O(|batch|); the
+    affected-bucket set is ≤ |touched| × n_bands keys (broadcastable by
+    construction); candidate regeneration and Jaccard verification touch
+    only those buckets' members; the untouched-pair carry-over is one
+    anti-join of the prior (small) pair set. The corpus-sized state
+    tables are each touched by exactly one anti-join + union — a linear
+    rewrite, which at cluster scale is an incremental parquet/Delta
+    write, never a re-shingle.
+
+    Cap-flip exactness: the hot-band cap makes pair survival
+    non-monotonic — an affected bucket crossing ``max_bucket_size`` in
+    either direction can create or destroy candidacy for pairs of
+    UNtouched docs. Pairs whose only generating buckets are affected are
+    therefore re-derived from the new bucket state; pairs with at least
+    one UNaffected under-cap witness bucket are kept (their membership,
+    sizes, and Jaccard are provably unchanged)."""
+    touched = (
+        upserts.select(id_col).union(deletes.select(id_col)).distinct()
+    )
+    tb = F.broadcast(touched)
+    # batch-only work: shingle/sign/band the upserted docs
+    sh_u = doc_shingles(upserts, text_col, id_col)
+    sig_u = minhash_signatures(sh_u, id_col, with_sizes=True)
+    b_u = band_keys(sig_u, id_col)
+    # affected buckets: every bucket holding a touched doc in old OR new
+    # banding — small (≤ |touched| × n_bands), lineage-cut for reuse
+    b_old_t = state.banded.join(tb, [id_col])
+    aff = _ckpt(
+        b_old_t.select("bkey").union(b_u.select("bkey")).distinct(), True
+    )
+    # new state membership: one anti-join + union per table
+    sh_new = _ckpt(
+        state.shingles.join(tb, [id_col], "left_anti").unionByName(sh_u),
+        checkpoint,
+    )
+    sig_new = _ckpt(
+        state.sigs.join(tb, [id_col], "left_anti").unionByName(sig_u),
+        checkpoint,
+    )
+    b_new = _ckpt(
+        state.banded.join(tb, [id_col], "left_anti").unionByName(b_u),
+        checkpoint,
+    )
+    # incremental bucket sizes: only affected keys change. Old sizes of
+    # affected buckets (small: inner-broadcast) full-outer the ±delta.
+    rem = b_old_t.groupBy("bkey").agg(F.count(F.lit(1)).alias("n_rem"))
+    add = b_u.groupBy("bkey").agg(F.count(F.lit(1)).alias("n_add"))
+    aff_sizes_old = _ckpt(
+        state.bucket_sizes.join(F.broadcast(aff), ["bkey"]), True
+    )
+    upd_sizes = _ckpt(
+        aff_sizes_old.join(rem, ["bkey"], "full")
+        .join(add, ["bkey"], "full")
+        .select(
+            "bkey",
+            (
+                F.coalesce(F.col("bsz"), F.lit(0))
+                - F.coalesce(F.col("n_rem"), F.lit(0))
+                + F.coalesce(F.col("n_add"), F.lit(0))
+            ).alias("bsz"),
+        )
+        .filter(F.col("bsz") > 0),
+        True,
+    )
+    sizes_new = _ckpt(
+        state.bucket_sizes.join(F.broadcast(aff), ["bkey"], "left_anti")
+        .unionByName(upd_sizes),
+        checkpoint,
+    )
+    # candidate pairs of affected buckets, old and new state, under the
+    # cap as evaluated against that state's bucket sizes
+    cap = F.lit(max_bucket_size) if max_bucket_size is not None else None
+    ok_new = (
+        upd_sizes.filter(F.col("bsz") <= cap) if cap is not None else upd_sizes
+    ).select("bkey")
+    ok_old = (
+        aff_sizes_old.filter(F.col("bsz") <= cap)
+        if cap is not None
+        else aff_sizes_old
+    ).select("bkey")
+    cand_new_aff = _bucket_pairs(b_new, ok_new, id_col)
+    cand_old_aff = _ckpt(_bucket_pairs(state.banded, ok_old, id_col), True)
+    # prior pairs split: untouched by any affected bucket → carry over
+    p_keep = state.pairs.join(cand_old_aff, ["id_a", "id_b"], "left_anti")
+    p_aff = state.pairs.join(cand_old_aff, ["id_a", "id_b"], "left_semi")
+    # resurrect: affected-bucket pairs that ALSO share an unaffected,
+    # under-cap bucket — membership/size/Jaccard provably unchanged, so
+    # the old verified row stands. (Buckets holding a touched doc are all
+    # affected, so any pair involving a touched doc finds no witness.)
+    ba = b_new.select(F.col(id_col).alias("id_a"), "bkey")
+    bb = b_new.select(F.col(id_col).alias("id_b"), "bkey")
+    wit = (
+        p_aff.join(ba, ["id_a"])
+        .join(bb, ["id_b", "bkey"])
+        .join(F.broadcast(aff), ["bkey"], "left_anti")
+    )
+    if max_bucket_size is not None:
+        # unaffected over-cap buckets can't witness; the hot-bucket list
+        # is small by nature (≤ rows/cap) — same broadcast anti-join as
+        # lsh_candidate_pairs' cap
+        over = state.bucket_sizes.filter(
+            F.col("bsz") > max_bucket_size
+        ).select("bkey")
+        wit = wit.join(F.broadcast(over), ["bkey"], "left_anti")
+    resurrected = wit.select("id_a", "id_b", "jaccard").distinct()
+    # fresh verification only for the affected buckets' new candidates
+    verified_new = jaccard_pairs(
+        sh_new,
+        cand_new_aff,
+        id_col,
+        threshold,
+        sizes=sig_new.select(id_col, "n_sh"),
+    )
+    pairs_new = _ckpt(
+        p_keep.unionByName(resurrected).unionByName(verified_new).distinct(),
+        checkpoint,
+    )
+    return NearDupState(sh_new, sig_new, b_new, sizes_new, pairs_new)
 
 
 def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:

@@ -50,12 +50,26 @@ def _registry() -> dict[str, QueryEntry]:
     # — the families whose last driver check is oldest; (3) demoted
     # long-greens stay covered every round by the local pytest oracle
     # suite, which runs ALL queries vs DuckDB at sf0.01.
-    # Round-3 rotation: the rel_/fn_/win_/tpch_ modules (green in r1,
-    # rotated OUT of the r2 window, stalest signal) come back first —
-    # they also hold most of this round's edits (de-trivialized
-    # predicates, two-phase ntile, the new view-rollup query, three new
-    # TPC-H shapes, the time-RANGE frame). The r2-green dd_/sim_/txt_/
-    # mm_/scl_ families rotate to the back.
+    # Round-4 rotation: pay the rotation debt. The ~31 r1-green singles
+    # demoted in r3 (rel_/fn_/win_ singles, tpch q3/q5/q10/q18) are the
+    # stalest signal — the full front modules come back IN; the freshly
+    # r3-green rows (view rollup, string ops, ntile/percent_rank/range
+    # frame, tpch q4/q6/q14/q19) rotate OUT to make room. Changed/new
+    # this round and therefore pinned in-window: tpch_q12 (oracle cast
+    # fix), evt_histogram (floor-div binning), dd_lsh_candidate_pairs
+    # (fold-overflow guard), the three new TPC-H shapes (q7/q8/q21) and
+    # the incremental near-dup maintenance query. Remaining slots go to
+    # the stalest r2-greens (evt/cdc/dd/sim/txt/mm/scl singles).
+    # Round-5 plan (publish per VERDICT r3 #2): the rest of the r2-green
+    # singles (cdc_keyset_resume, cdc_latest_event_per_user,
+    # cdc_union_distinct_keys, cdc_bounded_batch, cdc_version_watermark,
+    # dd_jaccard_pairs, dd_simhash, dd_simhash_pairs,
+    # dd_embedding_dup_pairs, sim_lsh_buckets, sim_bucketed_topk,
+    # sim_multiprobe_topk, txt_bpe_tokens, txt_rolling_fingerprint,
+    # txt_quality_score, txt_language_id, mm_decode_features,
+    # mm_resize_digest, mm_frame_sample, scl_salted_join_segments,
+    # scl_group_zscore) rotate in, the then-stale r3-greens fill the
+    # remainder.
     for mod in (
         relational_q,
         functions_q,
@@ -75,105 +89,44 @@ def _registry() -> dict[str, QueryEntry]:
             raise ValueError(f"duplicate query names: {overlap}")
         reg.update(mod.QUERIES)
     # Pull the queries CHANGED this round that live in back modules into
-    # the window right after the four front modules (position 37+): every
-    # touched query must be driver-checked the round it changes.
+    # the window right after the four front modules, then fill remaining
+    # slots with the stalest r2-green singles: every touched query must
+    # be driver-checked the round it changes.
     priority = [
-        "evt_tumbling_hourly",           # cents-exact sum
-        "evt_session_windows",           # cents-exact sum
-        "evt_daily_user_activity",       # cents-exact sum
-        "evt_user_cardinality_sketch",   # new within_bound oracle
-        "cdc_net_changes_enriched",      # cents-exact sum
-        "cdc_flagship_documents",        # qty round-then-cast
-        "sim_ivf_topk",                  # new recall_ok oracle
-        "dd_lsh_candidate_pairs",        # hot-band cap
-        "dd_near_dup_pairs",             # hot-band cap
-        "crp_train_test_split",          # NEW: deterministic hash split
-        "crp_stratified_sample",         # NEW: per-stratum hash sampling
-        "crp_corpus_clean",              # NEW: composite clean step
-        "crp_repetition_filter",         # NEW: Gopher-style repetition gate
-        "crp_contamination",             # NEW: train/test n-gram overlap
-        "dd_dup_clusters",               # NEW: connected-components dedup
-        "cdc_replica_sync",              # NEW: delete-aware replica merge
-        "evt_asof_last_purchase",        # NEW: as-of temporal join
-        "evt_percentile_sketch",         # NEW: GK quantile sketch gate
-        "crp_pack_sequences",            # NEW: token-budget packing
-        "sim_label_centroids",           # NEW: per-label centroid vectors
-        "evt_funnel_conversion",         # NEW: ordered funnel analysis
-        "txt_bigram_topk",               # NEW: n-gram vocabulary top-k
-        "sim_embedding_quantize",        # NEW: int8 quantization checksums
-        "sim_quantized_topk",            # NEW: int8-domain ANN ranking
-        "mm_audio_features",             # NEW: windowed audio features
-        "evt_retention_cohorts",         # NEW: retention-cohort matrix
-        "evt_type_transitions",          # NEW: Markov transition census
-        "txt_pii_redact",                # NEW: PII scrub with salted matches
-        "crp_source_mixture",            # NEW: tempered source mixture plan
-        "evt_interval_join_buckets",     # NEW: bucket-equi interval join
-        "dd_cluster_canonical",          # NEW: per-cluster canonical election
-        "crp_mixture_sample",            # NEW: exact per-source quota draw
-        "txt_doc_frequency",             # NEW: DF/IDF vocabulary top-k
-        "sim_centroid_assign",           # NEW: int-exact nearest-centroid
-        "crp_manifest",                  # NEW: composed corpus pipeline
-        "evt_histogram",                 # NEW: integer-bin value histogram
-        "sim_norm_stats",                # NEW: embedding-norm QA census
+        "evt_histogram",                 # CHANGED r4: floor-div binning
+        "dd_lsh_candidate_pairs",        # CHANGED r4: fold-overflow guard
+        "dd_incremental_near_dup",       # NEW r4: CDC-driven dedup maintenance
+        # stalest r2-green singles (last driver check: round 2)
+        "evt_value_percentiles",
+        "evt_sliding_windows",
+        "evt_late_data_filter",
+        "evt_top_users_per_day",
+        "cdc_flagship_changed_invoices",
+        "cdc_changes_scan",
+        "dd_exact",
+        "dd_minhash_signatures",
+        "sim_topk_cosine",
+        "txt_token_stats",
+        "mm_media_catalog",
+        "scl_salted_pricing",
     ]
-    # demoted to the back to keep the window ≤50: single-op long-greens
-    # (r1-verified, untouched since) — they rotate back in next round
+    # demoted to the back to keep the window ≤50: rows freshly green in
+    # the ROUND-3 driver run (CORRECTNESS_r03, all hash_match) and
+    # untouched this round — they rotate back in round 5. Every demoted
+    # row stays covered every round by the local pytest oracle suite.
     demote = [
-        "rel_sample_avg",
-        "rel_cross_join_small",
-        "rel_distinct_flags",
-        "rel_derived_columns",
-        "fn_date_arithmetic",
-        "fn_timestamp_format",
-        "fn_hash_bucket",
-        # r1-green singles, untouched since — make room for the three
-        # queries added late in round 3 (every touched query must be
-        # inside the 50-entry driver window the round it changes)
-        "rel_filter_composite",
-        "rel_union_all_segments",
-        "win_lag_delta",
-        "win_moving_avg",
-        "win_running_total",
-        "rel_multi_hop_dims",
-        # make room for the late-round-3 additions (3 tpch + 1 win enter
-        # via their front modules; evt/txt enter via priority): each
-        # demoted row is an r1-green single whose plan shape stays
-        # represented in the window by a sibling (semi join → tpch_q4,
-        # row_number → fn_invoice_numbering, set op → rel_except, star
-        # join+top-k → tpch_q3, cube → rel_rollup_lineitem)
-        "rel_top_revenue_orders",
-        "rel_semi_join_big_spenders",
-        "rel_intersect_buyers",
-        "rel_cube_status_flag",
-        "win_latest_n_per_user",
-        "tpch_q10_returned_items",
-        "rel_customer_order_stats",
-        "tpch_q18_large_orders",
-        "rel_pivot_status",
-        # make room for the 5 late-round-3 additions (q12/q19 enter via
-        # the tpch front module; dd_cluster_canonical / crp_mixture_sample
-        # / txt_doc_frequency via priority). Each demoted row is an
-        # r1/r2-green single with its plan shape still in-window:
-        # set-difference → cdc_union_distinct via pytest + rel family next
-        # round; rollup → rel_invoice_view_rollup; row_number generator →
-        # win_percent_rank; JSON extract → fn_bson_roundtrip + flagship
-        # JSON form; ranking window → win_ntile/percent_rank.
-        "rel_except_lost_customers",
-        "rel_rollup_lineitem",
-        "fn_invoice_numbering",
-        "fn_json_extract",
-        "win_order_ranks",
-        # r2-green single; its Q1-shape grouped agg stays bench-timed every
-        # round (HEADLINE) and pytest-gated — demoted for sim_centroid_assign
-        "rel_pricing_summary",
-        # r1-green headline single; its join shape stays in-window via
-        # rel_invoice_view_rollup — demoted for crp_manifest
-        "rel_header_line_view",
-        # r1-green headline singles (bench-timed every round); star-join
-        # shapes stay in-window via tpch_q14/q19 — demoted for
-        # evt_histogram + sim_norm_stats
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume",
+        "rel_invoice_view_rollup",
+        "rel_anti_join_no_orders",
+        "rel_above_avg_orders",
+        "fn_string_ops",
+        "fn_bson_roundtrip",
+        "win_ntile_quartiles",
+        "win_percent_rank",
+        "win_time_range_sum",
+        "tpch_q6_forecast_revenue",
+        "tpch_q4_late_order_priority",
+        "tpch_q14_promo_revenue",
+        "tpch_q19_discounted_revenue",
     ]
     front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
              for n in m.QUERIES if n not in demote}

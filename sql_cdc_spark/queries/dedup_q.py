@@ -367,6 +367,75 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
 """
 
 
+# Deterministic synthetic CDC batch for the incremental-maintenance
+# query: residue-class deletes/updates/inserts derived from doc_id, so
+# the Spark incremental path and the DuckDB full-recompute oracle build
+# the same post-change corpus from the same constants.
+INC_DEL = (13, 5)       # delete docs with doc_id % 13 == 5
+INC_UPD = (11, 3)       # update docs with doc_id % 11 == 3 (delete wins)
+INC_INS = (19, 7)       # insert a copy of docs with doc_id % 19 == 7 ...
+INC_ID_OFFSET = 1_000_000  # ... under doc_id + offset (disjoint id space)
+INC_SUFFIX = " revised edition"
+
+
+def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance through a CDC batch — build the
+    materialized near-dup state, apply deletes/updates/inserts via
+    apply_near_dup_changes (only touched docs re-shingled, only affected
+    band buckets re-paired), and emit the maintained pair set. The DuckDB
+    oracle is a FULL RECOMPUTE over the post-change corpus, so a green
+    row proves incremental == from-scratch on real data — the operator a
+    100 TB corpus pipeline runs daily instead of re-deduping the world.
+    The inserted docs are verbatim copies under fresh ids, so the batch
+    genuinely creates new near-dup pairs; deletes retire old ones."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_del = (F.col("doc_id") % INC_DEL[0]) == INC_DEL[1]
+    is_upd = ((F.col("doc_id") % INC_UPD[0]) == INC_UPD[1]) & ~is_del
+    is_ins = (F.col("doc_id") % INC_INS[0]) == INC_INS[1]
+    deletes = docs.filter(is_del).select("doc_id")
+    updates = docs.filter(is_upd).select(
+        "doc_id", F.concat(F.col("text"), F.lit(INC_SUFFIX)).alias("text")
+    )
+    inserts = docs.filter(is_ins).select(
+        (F.col("doc_id") + INC_ID_OFFSET).alias("doc_id"), "text"
+    )
+    state = DD.build_near_dup_state(
+        docs, max_bucket_size=LSH_MAX_BUCKET, threshold=NEAR_DUP_THRESHOLD
+    )
+    new_state = DD.apply_near_dup_changes(
+        state,
+        updates.unionByName(inserts),
+        deletes,
+        max_bucket_size=LSH_MAX_BUCKET,
+        threshold=NEAR_DUP_THRESHOLD,
+    )
+    return new_state.pairs.orderBy("id_a", "id_b")
+
+
+_INC_NEW_DOCS_CTE = f"""
+new_docs AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % {INC_DEL[0]} <> {INC_DEL[1]}
+    AND doc_id % {INC_UPD[0]} <> {INC_UPD[1]}
+  UNION ALL
+  SELECT doc_id, text || '{INC_SUFFIX}' FROM documents
+  WHERE doc_id % {INC_UPD[0]} = {INC_UPD[1]}
+    AND doc_id % {INC_DEL[0]} <> {INC_DEL[1]}
+  UNION ALL
+  SELECT doc_id + {INC_ID_OFFSET}, text FROM documents
+  WHERE doc_id % {INC_INS[0]} = {INC_INS[1]}
+)
+"""
+
+_INC_NEAR_DUP_SQL = f"""
+WITH {_INC_NEW_DOCS_CTE}, {shingles_cte("new_docs")}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE}
+SELECT j.id_a, j.id_b, j.jaccard
+FROM jac j JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= {NEAR_DUP_THRESHOLD}
+ORDER BY j.id_a, j.id_b
+"""
+
+
 def dd_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.4. Demonstrates the exact
     all-pairs verification; at corpus scale the LSH-bucketed variant
@@ -411,4 +480,7 @@ QUERIES: dict[str, QueryEntry] = {
     "dd_simhash": QueryEntry(dd_simhash, _SIMHASH_SQL),
     "dd_simhash_pairs": QueryEntry(dd_simhash_pairs, _SIMHASH_PAIRS_SQL),
     "dd_embedding_dup_pairs": QueryEntry(dd_embedding_dup_pairs, _EMB_DUP_SQL),
+    "dd_incremental_near_dup": QueryEntry(
+        dd_incremental_near_dup, _INC_NEAR_DUP_SQL
+    ),
 }

@@ -645,8 +645,9 @@ HIST_BIN_CENTS = 2500  # 25.00-wide value bins
 def evt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value histogram — the distribution-profiling pass a
     feature pipeline runs before normalization decisions. Values are
-    binned in exact integer cents (bin = cents // HIST_BIN_CENTS), so bin
-    membership is bit-identical cross-engine — no float bin-edge knife
+    binned in exact integer cents (floor division, so bin_lo_cents is the
+    true LOWER edge even for negative values), so bin membership is
+    bit-identical cross-engine — no float bin-edge knife
     edges; the in-bin sum is cents-exact per the CLAUDE.md rule. One
     map-side-combined groupBy; linear at any scale."""
     ev = tables.load(spark, sf_dir, "events")
@@ -655,7 +656,11 @@ def evt_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_type", cents.alias("__c"))
         .groupBy(
             "event_type",
-            (F.col("__c") - (F.col("__c") % HIST_BIN_CENTS)).alias("bin_lo_cents"),
+            # floor-division binning via positive modulo: c - pmod(c, B)
+            # equals floor(c/B)*B for negative cents too, all in int64
+            (F.col("__c") - F.pmod(F.col("__c"), F.lit(HIST_BIN_CENTS))).alias(
+                "bin_lo_cents"
+            ),
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -670,7 +675,7 @@ WITH c AS (
   SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events
 )
 SELECT event_type,
-       cents - (cents % {HIST_BIN_CENTS}) AS bin_lo_cents,
+       cents - ((cents % {HIST_BIN_CENTS} + {HIST_BIN_CENTS}) % {HIST_BIN_CENTS}) AS bin_lo_cents,
        COUNT(*) AS n_events,
        SUM(cents) / 100.0 AS value_sum
 FROM c GROUP BY event_type, bin_lo_cents

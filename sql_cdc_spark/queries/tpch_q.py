@@ -352,14 +352,260 @@ def tpch_q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = f"""
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_lines,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_priority_lines
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '{_YEAR_LO}'
   AND l.l_shipdate < TIMESTAMP '{_YEAR_HI}'
 GROUP BY l.l_linestatus
 ORDER BY l.l_linestatus
+"""
+
+
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+_Q7_LO = "1996-01-01"
+_Q7_HI = "1998-01-01"
+
+
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: shipping volume between a nation pair (both directions) per
+    ship year — the dual-role dimension query: nation joins TWICE, once
+    through supplier and once through customer. Both nation sides are
+    pre-filtered to the two pair members BEFORE the join, so the
+    broadcast dims prune suppliers/customers to ~2/25 of the corpus at
+    the scan edge; the cross-pair condition (A→B or B→A) is one boolean
+    on the already-joined names. Revenue is cents-exact."""
+    pair = [_Q7_NATION_A, _Q7_NATION_B]
+    nation = tables.load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(pair)
+    )
+    supp = (
+        tables.load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        tables.load(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q7_HI).cast("timestamp"))
+    )
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == _Q7_NATION_A)
+                & (F.col("cust_nation") == _Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == _Q7_NATION_B)
+                & (F.col("cust_nation") == _Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(_revenue_sum().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS ship_year,
+       {_REV_SQL} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+    OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}'))
+  AND l.l_shipdate >= TIMESTAMP '{_Q7_LO}'
+  AND l.l_shipdate < TIMESTAMP '{_Q7_HI}'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+_Q8_NATION = "NATION_7"  # in ASIA (regionkey 2)
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "STANDARD"
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: one nation's market share of a part type sold into a region,
+    per order year — the two-level conditional aggregate over an 8-table
+    star. All four dims (part, supplier-nation, customer-nation-region)
+    broadcast; lineitem is the only big side and is touched once. The
+    share is a single double division of two cents-exact bigints, so it
+    is bit-identical cross-engine."""
+    part = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_type") == _Q8_TYPE
+    ).select("p_partkey")
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q8_REGION
+    )
+    supp = (
+        tables.load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    # customers restricted to the target region (nation ⨝ region first —
+    # both tiny, the filtered nation set broadcasts into customer)
+    region_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        tables.load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(region_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q7_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q7_HI).cast("timestamp"))
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    nation_cents = F.when(
+        F.col("supp_nation") == _Q8_NATION, cents
+    ).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nation_cents) / 100.0).alias("nation_revenue"),
+            (F.sum(cents) / 100.0).alias("total_revenue"),
+            F.round(F.sum(nation_cents) / F.sum(cents), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_CENTS = "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)"
+_Q8_NAT_CENTS = f"CASE WHEN n2.n_name = '{_Q8_NATION}' THEN {_Q8_CENTS} ELSE 0 END"
+_Q8_SQL = f"""
+SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+       SUM({_Q8_NAT_CENTS}) / 100.0 AS nation_revenue,
+       SUM({_Q8_CENTS}) / 100.0 AS total_revenue,
+       ROUND(SUM({_Q8_NAT_CENTS}) / CAST(SUM({_Q8_CENTS}) AS DOUBLE), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q8_REGION}' AND p.p_type = '{_Q8_TYPE}'
+  AND o.o_orderdate >= TIMESTAMP '{_Q7_LO}'
+  AND o.o_orderdate < TIMESTAMP '{_Q7_HI}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+_Q21_LATE_DAYS = 90
+
+
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape adapted to the available columns (no l_receiptdate /
+    l_commitdate — "late" is a line shipped more than _Q21_LATE_DAYS
+    after its order date, the same adaptation Q4 uses): suppliers who
+    were the SOLE late supplier on a multi-supplier finished order,
+    counted by waiting order. The classic EXISTS / NOT-EXISTS chain is
+    decorrelated into two grouped passes — per-(order, supplier) late
+    flags, then per-order supplier/late counts via a window over the
+    order key — instead of two correlated self-joins of lineitem; the
+    count per supplier is of distinct waiting ORDERS, matching the
+    grouped form. Scale shape: one shuffle on l_orderkey (the groupBy;
+    the window reuses that partitioning with per-order partitions of
+    ≤|suppliers-per-order| rows), one on l_suppkey; supplier is a
+    broadcast dim. No self-join of the fact table at all.
+
+    Reference parity: the sole-blocker diagnostic the reference's
+    invoice pipeline answers with correlated T-SQL subqueries over the
+    header/line views (sqls/vw_Invoicedetails.sql builds the same
+    header⨝line shape)."""
+    from pyspark.sql.window import Window
+
+    orders = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS"),
+        1,
+    ).otherwise(0)
+    per_supp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        per_supp.withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supps") >= 2) & (F.col("n_late") == 1)
+        )
+    )
+    supp = tables.load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+_Q21_SQL = f"""
+SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 100
 """
 
 
@@ -434,5 +680,10 @@ QUERIES: dict[str, QueryEntry] = {
     ),
     "tpch_q19_discounted_revenue": QueryEntry(
         tpch_q19_discounted_revenue, _Q19_SQL
+    ),
+    "tpch_q7_nation_volume": QueryEntry(tpch_q7_nation_volume, _Q7_SQL),
+    "tpch_q8_market_share": QueryEntry(tpch_q8_market_share, _Q8_SQL),
+    "tpch_q21_waiting_suppliers": QueryEntry(
+        tpch_q21_waiting_suppliers, _Q21_SQL
     ),
 }

@@ -120,6 +120,11 @@ def kafka_to_changelog(records: DataFrame) -> DataFrame:
             F.col("p").isNotNull()
             & F.col("p.key_id").isNotNull()
             & F.col("p.change_version").isNotNull()
+            # op/table_name are mandatory too: a null op would later make
+            # apply_changes_to_replica's `op != 'D'` evaluate NULL and the
+            # row be treated as a delete; a null table_name can never route
+            & F.col("p.op").isNotNull()
+            & F.col("p.table_name").isNotNull()
         )
         .select(
             F.col("p.table_name").alias("table_name"),

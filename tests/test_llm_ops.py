@@ -242,3 +242,123 @@ def test_dup_clusters_connected_components(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == {2: 2, 7: 2, 9: 2, 11: 11, 12: 11, 3: 3, 40: 3, 41: 3}
+
+
+def _pairs_set(df):
+    return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
+
+
+def test_incremental_near_dup_equals_full_recompute(spark, docs):
+    """apply_near_dup_changes == build_near_dup_state on the post-change
+    corpus, through a batch containing inserts (verbatim copies → new
+    pairs), updates (text rewritten → pairs retired/changed), and deletes
+    (pairs retired). Run at the registry's cap and threshold."""
+    base = docs.select("doc_id", "text")
+    deletes = base.filter((F.col("doc_id") % 7) == 2).select("doc_id")
+    updates = base.filter((F.col("doc_id") % 7) == 3).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" incremental rewrite")).alias("text")
+    )
+    inserts = base.filter((F.col("doc_id") % 7) == 4).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    upserts = updates.unionByName(inserts)
+
+    state = DD.build_near_dup_state(base, max_bucket_size=50, threshold=0.5)
+    got = DD.apply_near_dup_changes(
+        state, upserts, deletes, max_bucket_size=50, threshold=0.5
+    )
+
+    new_corpus = (
+        base.join(deletes, "doc_id", "left_anti")
+        .join(updates.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(upserts)
+    )
+    want = DD.build_near_dup_state(
+        new_corpus, max_bucket_size=50, threshold=0.5
+    )
+    assert _pairs_set(got.pairs) == _pairs_set(want.pairs)
+    # the maintained state TABLES must match a fresh build too — they are
+    # the inputs of the NEXT batch
+    assert _pairs_set(
+        got.banded.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("bkey").alias("id_b"),
+            F.lit(0.0).alias("jaccard"),
+        )
+    ) == _pairs_set(
+        want.banded.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("bkey").alias("id_b"),
+            F.lit(0.0).alias("jaccard"),
+        )
+    )
+    got_sizes = {(r.bkey, r.bsz) for r in got.bucket_sizes.collect()}
+    want_sizes = {(r.bkey, r.bsz) for r in want.bucket_sizes.collect()}
+    assert got_sizes == want_sizes
+
+
+def test_incremental_near_dup_cap_flip_exact(spark):
+    """The hot-band-cap edge: an affected bucket crossing the cap must
+    retire pairs of UNTOUCHED docs (bucket newly over cap) and create
+    them (bucket newly under cap), exactly as a full recompute would.
+    Identical texts collide in every band bucket, so inserting/deleting
+    copies moves shared buckets across a tiny cap."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine"
+    base = mk([(1, text), (2, text), (3, other), (4, other), (5, other)])
+
+    # cap=2: {1,2} under cap → pair (1,2); {3,4,5} over cap → no pairs
+    st = DD.build_near_dup_state(base, max_bucket_size=2, threshold=0.5)
+    assert {(a, b) for a, b, _ in _pairs_set(st.pairs)} == {(1, 2)}
+
+    # batch: insert doc 6 = text (bucket {1,2,6} now OVER cap → pair
+    # (1,2) of two untouched docs must retire), delete doc 5 (bucket
+    # {3,4} now UNDER cap → pair (3,4) of two untouched docs must appear)
+    got = DD.apply_near_dup_changes(
+        st,
+        mk([(6, text)]),
+        spark.createDataFrame([(5,)], "doc_id long"),
+        max_bucket_size=2,
+        threshold=0.5,
+    )
+    new_corpus = mk(
+        [(1, text), (2, text), (3, other), (4, other), (6, text)]
+    )
+    want = DD.build_near_dup_state(
+        new_corpus, max_bucket_size=2, threshold=0.5
+    )
+    assert _pairs_set(got.pairs) == _pairs_set(want.pairs)
+    assert {(a, b) for a, b, _ in _pairs_set(got.pairs)} == {(3, 4)}
+
+
+def test_incremental_near_dup_chained_batches(spark, docs):
+    """State survives repeated application: two consecutive batches end
+    at the same pair set as one full recompute of the final corpus."""
+    base = docs.select("doc_id", "text").orderBy("doc_id").limit(200)
+    st = DD.build_near_dup_state(base, max_bucket_size=50, threshold=0.5)
+    # batch 1: clone 10 docs
+    ins1 = base.orderBy("doc_id").limit(10).withColumn(
+        "doc_id", F.col("doc_id") + 700_000
+    )
+    st1 = DD.apply_near_dup_changes(
+        st, ins1, ins1.select("doc_id").limit(0),
+        max_bucket_size=50, threshold=0.5,
+    )
+    # batch 2: delete the originals of 5 clones, update 5 others
+    dels = base.orderBy("doc_id").limit(5).select("doc_id")
+    upd = (
+        base.orderBy(F.desc("doc_id")).limit(5)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"))
+    )
+    st2 = DD.apply_near_dup_changes(
+        st1, upd, dels, max_bucket_size=50, threshold=0.5
+    )
+    final = (
+        base.join(dels, "doc_id", "left_anti")
+        .join(upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(upd)
+        .unionByName(ins1)
+    )
+    want = DD.build_near_dup_state(final, max_bucket_size=50, threshold=0.5)
+    assert _pairs_set(st2.pairs) == _pairs_set(want.pairs)

@@ -26,7 +26,7 @@ def test_salted_join_matches_unsalted_inner_and_left(spark):
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_registry_window_holds_all_round3_queries():
+def test_registry_window_holds_all_round4_queries():
     """Driver contract: only the first 50 registry entries are
     hash-checked per round, so every query added or changed this round
     must sit inside that window — silently rotating one out would skip
@@ -34,49 +34,36 @@ def test_registry_window_holds_all_round3_queries():
     from sql_cdc_spark.queries import _registry
 
     window = list(_registry())[:50]
-    round3_new = [
-        "fn_bson_roundtrip",
-        "crp_train_test_split",
-        "crp_stratified_sample",
-        "crp_corpus_clean",
-        "crp_repetition_filter",
-        "crp_contamination",
-        "crp_pack_sequences",
-        "dd_dup_clusters",
-        "cdc_replica_sync",
-        "evt_asof_last_purchase",
-        "evt_percentile_sketch",
-        "sim_label_centroids",
-        "dd_near_dup_pairs",   # hashed-shingle + band-cap changes
-        "dd_lsh_candidate_pairs",
-        "cdc_flagship_documents",
-        "evt_funnel_conversion",
-        "txt_bigram_topk",
-        "sim_embedding_quantize",
-        "sim_quantized_topk",
-        "win_percent_rank",
-        "mm_audio_features",
-        "tpch_q6_forecast_revenue",
-        "tpch_q4_late_order_priority",
-        "tpch_q14_promo_revenue",
-        "win_time_range_sum",
-        "evt_retention_cohorts",
-        "evt_type_transitions",
-        "txt_pii_redact",
-        "crp_source_mixture",
-        "evt_interval_join_buckets",
-        "tpch_q12_priority_by_status",
-        "tpch_q19_discounted_revenue",
-        "dd_cluster_canonical",
-        "crp_mixture_sample",
-        "txt_doc_frequency",
-        "sim_centroid_assign",
-        "crp_manifest",
-        "evt_histogram",
-        "sim_norm_stats",
+    round4_new = [
+        "tpch_q12_priority_by_status",   # oracle HUGEINT→BIGINT cast fix
+        "evt_histogram",                 # floor-division binning fix
+        "dd_lsh_candidate_pairs",        # band-key fold overflow guard
+        "tpch_q7_nation_volume",         # NEW: nation-pair volume
+        "tpch_q8_market_share",          # NEW: two-level market share
+        "tpch_q21_waiting_suppliers",    # NEW: decorrelated EXISTS chain
+        "dd_incremental_near_dup",       # NEW: CDC-driven dedup maintenance
     ]
-    missing = [n for n in round3_new if n not in window]
+    missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
+    # rotation-debt payoff (VERDICT r3 #2): the r1-green singles demoted
+    # for two rounds must be back inside the window this round
+    stale_r1 = [
+        "rel_sample_avg", "rel_cross_join_small", "rel_distinct_flags",
+        "rel_derived_columns", "fn_date_arithmetic", "fn_timestamp_format",
+        "fn_hash_bucket", "rel_filter_composite", "rel_union_all_segments",
+        "win_lag_delta", "win_moving_avg", "win_running_total",
+        "rel_multi_hop_dims", "rel_top_revenue_orders",
+        "rel_semi_join_big_spenders", "rel_intersect_buyers",
+        "rel_cube_status_flag", "win_latest_n_per_user",
+        "tpch_q10_returned_items", "rel_customer_order_stats",
+        "tpch_q18_large_orders", "rel_pivot_status",
+        "rel_except_lost_customers", "rel_rollup_lineitem",
+        "fn_invoice_numbering", "fn_json_extract", "win_order_ranks",
+        "rel_pricing_summary", "rel_header_line_view",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    ]
+    stale_missing = [n for n in stale_r1 if n not in window]
+    assert not stale_missing, f"rotation debt unpaid: {stale_missing}"
 
 
 def test_refresh_aggregate_groups_matches_full_recompute(spark):
