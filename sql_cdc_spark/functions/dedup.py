@@ -243,6 +243,27 @@ def jaccard_pairs(
     )
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks behind a localCheckpoint-ed DataFrame.
+
+    ``DataFrame.unpersist()`` cannot do this — localCheckpoint data lives
+    as a persisted RDD inside the plan's LogicalRDD node, not in the SQL
+    cache manager — so without this, every checkpoint in a long-lived
+    session (dup_clusters label rounds, superseded NearDupStates)
+    accumulates until JVM GC happens to collect the RDD reference.
+    ONLY call on snapshots nothing will read again: the lineage is
+    truncated, so a released checkpoint cannot recompute. No-op when the
+    frame isn't checkpoint-backed or the py4j plan shape changes."""
+    try:
+        rid = int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return
+    try:
+        df.sparkSession.sparkContext._jsc.sc().unpersistRDD(rid, False)
+    except Exception:
+        pass
+
+
 class NearDupState(NamedTuple):
     """Materialized incremental near-dup state — the local analog of the
     parquet state tables a 100 TB corpus pipeline maintains between daily
@@ -256,6 +277,16 @@ class NearDupState(NamedTuple):
     banded: DataFrame        # (doc_id, bkey) LSH band membership
     bucket_sizes: DataFrame  # (bkey, bsz) — members per band bucket
     pairs: DataFrame         # (id_a, id_b, jaccard) verified near-dups
+
+    def release(self, keep_pairs: bool = False) -> None:
+        """Free this state's checkpoint blocks — for a state superseded
+        by a newer one, or (``keep_pairs=True``) for the four non-result
+        tables once only the pair set is still needed."""
+        frames = [self.shingles, self.sigs, self.banded, self.bucket_sizes]
+        if not keep_pairs:
+            frames.append(self.pairs)
+        for df in frames:
+            release_local_checkpoint(df)
 
 
 def _ckpt(df: DataFrame, enabled: bool) -> DataFrame:
@@ -456,6 +487,11 @@ def apply_near_dup_changes(
         p_keep.unionByName(resurrected).unionByName(verified_new).distinct(),
         checkpoint,
     )
+    if checkpoint:
+        # every consumer of the internal snapshots is now materialized —
+        # free them so chained batches don't accumulate scratch blocks
+        for scratch in (aff, aff_sizes_old, upd_sizes, cand_old_aff):
+            release_local_checkpoint(scratch)
     return NearDupState(sh_new, sig_new, b_new, sizes_new, pairs_new)
 
 
@@ -486,12 +522,13 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges = edges_one.union(
         edges_one.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = (
+    snap = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("lbl"))
         .localCheckpoint()
     )
+    labels = snap
     for _ in range(max_iters):
         neigh_min = (
             edges.join(labels, edges.src == labels.id)
@@ -509,6 +546,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             )
             .localCheckpoint()
         )
+        # the new snapshot is materialized (localCheckpoint is eager), so
+        # the previous round's blocks can never be read again — free them
+        # now instead of letting up to max_iters snapshots pile up until
+        # JVM GC (the returned frame keeps exactly ONE snapshot alive)
+        release_local_checkpoint(snap)
+        snap = updated
         changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
         labels = updated.select("id", F.col("new_lbl").alias("lbl"))
         if changed == 0:

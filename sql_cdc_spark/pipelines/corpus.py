@@ -87,6 +87,12 @@ def prepare_training_corpus(
         sizes=sigs.select("doc_id", "n_sh"),
     )
     clusters = DD.dup_clusters(pairs)
+    # dup_clusters returns lineage-cut labels (localCheckpoint inside),
+    # so nothing downstream references the shingle/signature caches —
+    # release them HERE, not at session end: a long-lived session running
+    # repeated manifests must not accumulate cached partitions
+    shingled.unpersist()
+    sigs.unpersist()
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )

@@ -409,6 +409,11 @@ def dd_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=LSH_MAX_BUCKET,
         threshold=NEAR_DUP_THRESHOLD,
     )
+    # the new state is materialized; free the superseded base state and
+    # the non-result tables so back-to-back driver queries don't stack
+    # checkpoint blocks — only the returned pair snapshot stays alive
+    state.release()
+    new_state.release(keep_pairs=True)
     return new_state.pairs.orderBy("id_a", "id_b")
 
 

@@ -123,34 +123,96 @@ def _assemble(header: DataFrame, lines: DataFrame, latest: DataFrame, model: Inv
     )
 
 
-def write_documents(docs: DataFrame, out_dir: str) -> int:
-    """Per-record document sink, partition-parallel over Arrow batches
-    (mapInPandas — no pickled-Row traffic, ~15% faster than the RDD path
-    at 25k docs). Deterministic filenames make re-writes idempotent
-    (at-least-once delivery upgraded to effectively-exactly-once,
-    SURVEY.md §7 hard-part 1). Each task reports its write count back so
-    the advance-only-on-success guard sees the true delivered total.
-    Returns the number of documents written."""
+def _atomic_write(path: str, data, mode: str = "w") -> None:
+    """Write-then-rename with tmp cleanup on ANY failure — a poison
+    record must not leave a stray ``.tmp`` behind in the sink dir."""
+    tmp = os.path.join(
+        os.path.dirname(path), f".{os.path.basename(path)}.tmp"
+    )
+    try:
+        with open(tmp, mode) as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _segregate_error(error_dir: str, fname: str, payload, exc: Exception) -> None:
+    """Failed-document segregation (invoice-api/server.js:33-42's error
+    directory, 183-203's per-record loop): the poison record lands in
+    ``error_dir`` as ``<fname>.error`` with the failure reason and raw
+    payload, and the batch continues — one bad record must not wedge the
+    feed. Atomic rename like the main sink."""
+    os.makedirs(error_dir, exist_ok=True)
+    _atomic_write(
+        os.path.join(error_dir, f"{fname}.error"),
+        json.dumps(
+            {
+                "doc_filename": fname,
+                "error": f"{type(exc).__name__}: {exc}",
+                "payload": payload if isinstance(payload, str) else None,
+            }
+        ),
+    )
+
+
+def _per_record_sink(
+    docs: DataFrame, out_dir: str, error_dir: str | None, write_one
+) -> int:
+    """Shared partition-parallel per-record sink core (Arrow batches via
+    mapInPandas — no pickled-Row traffic). ``write_one(fname, payload)``
+    does the format-specific write. With ``error_dir`` set, a record
+    whose write raises is segregated there and the batch CONTINUES;
+    without it, the exception propagates and fails the batch (the
+    pre-round-4 behavior). Each task reports delivered/errored counts so
+    the advance-only-on-success guard sees true totals."""
     os.makedirs(out_dir, exist_ok=True)
     payload = docs.select("doc_filename", "doc_json")
 
     def _write_batches(batches):
         import pandas as pd
 
-        n = 0
+        n, n_err = 0, 0
         for pdf in batches:
             for fname, js in zip(pdf["doc_filename"], pdf["doc_json"]):
-                tmp = os.path.join(out_dir, f".{fname}.tmp")
-                with open(tmp, "w") as f:
-                    f.write(js)
-                os.replace(tmp, os.path.join(out_dir, fname))
-                n += 1
-        yield pd.DataFrame({"n": [n]})
+                try:
+                    write_one(fname, js)
+                    n += 1
+                except Exception as exc:  # noqa: BLE001 — segregation path
+                    if error_dir is None:
+                        raise
+                    _segregate_error(error_dir, fname, js, exc)
+                    n_err += 1
+        yield pd.DataFrame({"n": [n], "n_err": [n_err]})
 
-    written = (
-        payload.mapInPandas(_write_batches, "n long").agg(F.sum("n")).first()[0]
+    counts = (
+        payload.mapInPandas(_write_batches, "n long, n_err long")
+        .agg(F.sum("n").alias("n"), F.sum("n_err").alias("n_err"))
+        .first()
     )
-    return int(written or 0)
+    return int(counts.n or 0)
+
+
+def write_documents(
+    docs: DataFrame, out_dir: str, error_dir: str | None = None
+) -> int:
+    """Per-record document sink, partition-parallel over Arrow batches.
+    Deterministic filenames make re-writes idempotent (at-least-once
+    delivery upgraded to effectively-exactly-once, SURVEY.md §7 hard-part
+    1). With ``error_dir``, per-record failures are segregated there and
+    the batch continues (server.js:33-42); the cursor still advances over
+    the full batch — an errored record is consumed, its evidence parked
+    for operator replay. Returns the number of documents DELIVERED
+    (excluding segregated errors)."""
+
+    def _write_one(fname: str, js) -> None:
+        _atomic_write(os.path.join(out_dir, fname), js)
+
+    return _per_record_sink(docs, out_dir, error_dir, _write_one)
 
 
 def write_documents_partitioned(docs: DataFrame, out_dir: str, batch_id: int) -> int:
@@ -177,6 +239,7 @@ def pull_batch(
     out_dir: str,
     limit: int = 1000,
     fail_sink: bool = False,
+    error_dir: str | None = None,
 ) -> BatchResult:
     """One checkpointed incremental pull (invoice-api/server.js:83-365):
 
@@ -247,7 +310,7 @@ def pull_batch(
     if fail_sink:
         batch.unpersist()
         raise OSError("injected sink failure")
-    written = write_documents(docs, out_dir)
+    written = write_documents(docs, out_dir, error_dir)
     stage_ms["sink"] = (time.time() - t2) * 1000
 
     # advance to the LAST row of the version-ordered pre-join batch
@@ -310,6 +373,7 @@ def run_available_now(
     max_files_per_trigger: int | None = None,
     timeout_s: int = 300,
     doc_format: str = "json",
+    error_dir: str | None = None,
 ) -> dict:
     """Structured Streaming form: readStream over the change log →
     foreachBatch(collapse → enrich → nest → idempotent per-doc sink) with
@@ -333,7 +397,7 @@ def run_available_now(
         changed = _changed_invoices(batch_df, lines, model)
         latest = _latest_with_op(changed)
         docs = _assemble(header, lines, latest, model)
-        n = sink(docs, out_dir)
+        n = sink(docs, out_dir, error_dir)
         metrics["batches"] += 1
         metrics["documents"] += n
         if registry is not None and n > 0:
@@ -376,10 +440,15 @@ def compact_documents(spark: SparkSession, out_dir: str, parquet_dir: str) -> in
     small-files answer at scale (T9-adjacent): the per-record sink is the
     reference-parity delivery format; long-term storage re-compacts to a
     columnar table (one file per partition instead of one per invoice).
-    Returns the number of compacted documents."""
-    docs = spark.read.json(out_dir)
+    Returns the number of compacted documents, counted by an Observation
+    riding the write job itself — ONE pass over the data, no second scan
+    of the freshly written output."""
+    from pyspark.sql import Observation
+
+    obs = Observation("compact_count")
+    docs = spark.read.json(out_dir).observe(obs, F.count(F.lit(1)).alias("n"))
     docs.write.mode("overwrite").parquet(parquet_dir)
-    return spark.read.parquet(parquet_dir).count()
+    return int(obs.get["n"])
 
 
 def expire_changelog(
@@ -450,35 +519,22 @@ def read_document(out_dir: str, filename: str) -> dict:
         return json.load(f)
 
 
-def write_documents_bson(docs: DataFrame, out_dir: str) -> int:
+def write_documents_bson(
+    docs: DataFrame, out_dir: str, error_dir: str | None = None
+) -> int:
     """Per-record BSON document sink — strict byte-parity mode with the
     reference's saveInvoiceAsBSON (invoice-api/server.js:62-80): each
     document becomes one ``.bson`` file whose bytes are what js-bson's
     BSON.serialize would produce for the same JSON. Same idempotent
-    deterministic-filename contract as write_documents; the encode runs
-    inside the Arrow batch loop, so it is partition-parallel and never
-    touches the driver."""
+    deterministic-filename and error-segregation contract as
+    write_documents (a record whose JSON parse or BSON encode fails is a
+    poison record too); the encode runs inside the Arrow batch loop, so
+    it is partition-parallel and never touches the driver."""
     from sql_cdc_spark.functions import bsoncodec
 
-    os.makedirs(out_dir, exist_ok=True)
-    payload = docs.select("doc_filename", "doc_json")
+    def _write_one(fname: str, js) -> None:
+        fname = fname.removesuffix(".json") + ".bson"
+        data = bsoncodec.encode_document(json.loads(js))
+        _atomic_write(os.path.join(out_dir, fname), data, mode="wb")
 
-    def _write_batches(batches):
-        import pandas as pd
-
-        n = 0
-        for pdf in batches:
-            for fname, js in zip(pdf["doc_filename"], pdf["doc_json"]):
-                fname = fname.removesuffix(".json") + ".bson"
-                data = bsoncodec.encode_document(json.loads(js))
-                tmp = os.path.join(out_dir, f".{fname}.tmp")
-                with open(tmp, "wb") as f:
-                    f.write(data)
-                os.replace(tmp, os.path.join(out_dir, fname))
-                n += 1
-        yield pd.DataFrame({"n": [n]})
-
-    written = (
-        payload.mapInPandas(_write_batches, "n long").agg(F.sum("n")).first()[0]
-    )
-    return int(written or 0)
+    return _per_record_sink(docs, out_dir, error_dir, _write_one)

@@ -53,3 +53,30 @@ def test_manifest_is_deterministic(spark, manifest):
     docs = tables.load(spark, SF_DIR, "documents")
     again = prepare_training_corpus(docs).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, manifest))
+
+
+def test_prepare_corpus_releases_caches(spark):
+    """VERDICT r3 #6: repeated manifest runs in a long-lived session must
+    not accumulate cached partitions. The shingle/signature persists are
+    unpersisted inside prepare_training_corpus, and dup_clusters frees
+    every superseded label snapshot — per run, at most the final label
+    snapshot (owned by the returned frame) may remain."""
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    before = persistent_ids()
+    m1 = prepare_training_corpus(docs)
+    n1 = m1.count()
+    after1 = persistent_ids()
+    assert len(after1 - before) <= 1, (
+        f"first run leaked {len(after1 - before)} persisted RDDs"
+    )
+    m2 = prepare_training_corpus(docs)
+    assert m2.count() == n1
+    after2 = persistent_ids()
+    assert len(after2 - before) <= 2, (
+        f"two runs leaked {len(after2 - before)} persisted RDDs"
+    )

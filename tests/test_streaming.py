@@ -673,3 +673,76 @@ def test_streaming_rollup_maintenance(spark, base, tmp_path):
         map(tuple, base_small.groupBy("o_custkey").agg(*exprs).collect())
     )
     assert got == want
+
+
+def test_poison_record_segregated_batch_continues(spark, base, tmp_path, monkeypatch):
+    """Failed-document segregation (invoice-api/server.js:33-42,183-203):
+    with error_dir set, a poison record lands in the error directory, the
+    other N−1 documents are delivered, the cursor advances over the FULL
+    batch, and the next pull is empty (clean resume)."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, n_rounds=1, keys=range(0, 10), seed=5)
+    reg = SyncStateRegistry(str(tmp_path / "state"))
+    out_dir = str(tmp_path / "docs")
+    err_dir = str(tmp_path / "errors")
+
+    oracle = _oracle_latest(spark, w.log_dir, lines)
+    present = {r.o_orderkey for r in header.select("o_orderkey").collect()}
+    keys = sorted(k for k in oracle if k in present)
+    poison_id, expected_n = keys[0], len(keys)
+    assert expected_n >= 2
+
+    real_assemble = pl._assemble
+
+    def poisoned(h, l, latest, model):
+        docs = real_assemble(h, l, latest, model)
+        return docs.withColumn(
+            "doc_json",
+            F.when(F.col("invoice_id") == poison_id, F.lit(None).cast("string"))
+            .otherwise(F.col("doc_json")),
+        )
+
+    monkeypatch.setattr(pl, "_assemble", poisoned)
+    res = pl.pull_batch(
+        spark, w.log_dir, "c", reg, header, lines, MODEL, out_dir,
+        limit=1000, error_dir=err_dir,
+    )
+    assert res.processed == expected_n - 1
+    delivered = [f for f in os.listdir(out_dir) if f.endswith(".json")]
+    assert len(delivered) == expected_n - 1
+    assert not any(f.startswith(f"{poison_id}_v") for f in delivered)
+    errs = os.listdir(err_dir)
+    assert len(errs) == 1
+    assert errs[0].startswith(f"{poison_id}_v") and errs[0].endswith(".error")
+    with open(os.path.join(err_dir, errs[0])) as f:
+        err_doc = json.load(f)
+    assert err_doc["doc_filename"].startswith(f"{poison_id}_v")
+    assert "TypeError" in err_doc["error"] or "Error" in err_doc["error"]
+    # cursor advanced over the whole batch — the poison record is consumed
+    after = reg.read("c")
+    assert (after.last_sync_version, after.last_processed_id) == (
+        res.last_version, res.last_id,
+    )
+    # clean resume: nothing left to pull
+    monkeypatch.setattr(pl, "_assemble", real_assemble)
+    res2 = pl.pull_batch(
+        spark, w.log_dir, "c", reg, header, lines, MODEL, out_dir,
+        limit=1000, error_dir=err_dir,
+    )
+    assert res2.processed == 0 and res2.has_more is False
+
+
+def test_poison_record_without_error_dir_fails_batch(spark, tmp_path):
+    """Without error_dir the pre-round-4 contract holds: a poison record
+    fails the whole batch (so advance-on-success never fires)."""
+    docs = spark.createDataFrame(
+        [("a.json", "{}"), ("b.json", None)],
+        "doc_filename string, doc_json string",
+    )
+    with pytest.raises(Exception):
+        pl.write_documents(docs, str(tmp_path / "o1"))
+    # with error_dir: one delivered, one segregated
+    n = pl.write_documents(docs, str(tmp_path / "o2"), str(tmp_path / "e2"))
+    assert n == 1
+    assert sorted(os.listdir(tmp_path / "o2")) == ["a.json"]
+    assert sorted(os.listdir(tmp_path / "e2")) == ["b.json.error"]
