@@ -132,6 +132,55 @@ def cdc_pipeline_throughput(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def dedup_10x_stress(spark, sf_dir: str) -> dict:
+    """Measured 10× scale point for the near-dup path (VERDICT r3 #8):
+    synthesize a 10×-row documents corpus IN MEMORY — each copy k gets a
+    distinct character-rotation (vowels, then consonants for k≥5) so the
+    ten variants of a doc have genuinely different shingle sets and the
+    pair space grows ~linearly, not quadratically-in-copies — then run
+    the full shingle → MinHash → LSH(cap) → Jaccard pipeline and report
+    docs/sec. This is the hot-band cap's behavior under 10× bucket
+    pressure as a NUMBER, not an argument."""
+    from time import perf_counter
+
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import dedup as DD
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    tenx = None
+    for k in range(10):
+        t = F.col("text")
+        vr = k % 5
+        if vr:
+            t = F.translate(t, "aeiou", "aeiou"[vr:] + "aeiou"[:vr])
+        if k >= 5:
+            t = F.translate(t, "nrst", "rstn")
+        v = docs.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"), t.alias("text")
+        )
+        tenx = v if tenx is None else tenx.unionByName(v)
+    n_docs = tenx.count()
+    t0 = perf_counter()
+    shingled = DD.doc_shingles(tenx).persist()
+    sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
+    cands = DD.lsh_candidate_pairs(sigs.drop("n_sh"), max_bucket_size=50)
+    pairs = DD.jaccard_pairs(
+        shingled, cands, threshold=0.5, sizes=sigs.select("doc_id", "n_sh")
+    )
+    n_pairs = pairs.count()
+    dt = perf_counter() - t0
+    shingled.unpersist()
+    sigs.unpersist()
+    return {
+        "input_docs": n_docs,
+        "near_dup_pairs": n_pairs,
+        "seconds": round(dt, 3),
+        "docs_per_second": round(n_docs / dt, 1),
+    }
+
+
 def _cpu_ticks() -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from /proc/stat — lets the bench report
     how much CPU the hypervisor withheld during the run. Round 2's 1.9×
@@ -193,6 +242,7 @@ def main() -> None:
         "extended_queries": ext_timings,
         "sf": sf,
         "cdc_pipeline": cdc,
+        "dd_near_dup_pairs_10x": dedup_10x_stress(spark, sf_dir),
     }
     ticks1 = _cpu_ticks()
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
