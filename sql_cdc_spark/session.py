@@ -65,6 +65,10 @@ def get_spark(
         # rejects; read as long and convert in tables.load (lossless — the
         # data is microsecond-precision)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # BI endpoint (sources/biserver.py): Thrift-server connections
+        # share THIS session so JDBC clients see the registered temp
+        # views; inert unless start_bi_endpoint is called
+        .config("spark.sql.hive.thriftServer.singleSession", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
