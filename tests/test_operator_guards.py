@@ -104,3 +104,32 @@ def test_refresh_aggregate_groups_matches_full_recompute(spark):
     # cust 30's group is gone, cust 40's appeared
     custs = {r.cust for r in got.collect()}
     assert 30 not in custs and 40 in custs
+
+
+def test_histogram_bins_are_true_lower_edges_for_negatives(spark):
+    """ADVICE r3: c - (c % B) made bin_lo the UPPER edge for negative
+    cents. The floor-division form (c - pmod(c, B)) must yield the true
+    lower edge on both engines for the same inputs."""
+    import duckdb
+
+    from sql_cdc_spark.queries.events_q import HIST_BIN_CENTS as B
+
+    cents = [-5000, -2501, -2500, -1, 0, 1, 2499, 2500, 5001]
+    want = [(c // B) * B for c in cents]  # python // is floor division
+    df = spark.createDataFrame([(c,) for c in cents], "c long")
+    got = [
+        r.b
+        for r in df.select(
+            (F.col("c") - F.pmod(F.col("c"), F.lit(B))).alias("b")
+        ).collect()
+    ]
+    assert got == want
+    # the DuckDB oracle twin expression agrees bit-for-bit
+    con = duckdb.connect()
+    oracle = [
+        con.execute(
+            f"SELECT CAST({c} AS BIGINT) - ((CAST({c} AS BIGINT) % {B} + {B}) % {B})"
+        ).fetchone()[0]
+        for c in cents
+    ]
+    assert oracle == want

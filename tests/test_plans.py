@@ -191,3 +191,27 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_new_tpch_star_joins_are_broadcast(spark):
+    """Q7/Q8 are dim-star shapes: every dimension side must broadcast —
+    a SortMergeJoin appearing here means a dim stopped broadcasting and
+    the plan would shuffle the fact table per dimension at scale."""
+    for name, min_bhj in (
+        ("tpch_q7_nation_volume", 4),
+        ("tpch_q8_market_share", 6),
+    ):
+        plan = _plan(spark, name)
+        phys = plan.split("== Physical Plan ==")[1]
+        assert phys.count("BroadcastHashJoin") >= min_bhj, name
+        assert "SortMergeJoin" not in phys, name
+
+
+def test_q21_decorrelation_scans_fact_once(spark):
+    """The classic Q21 EXISTS / NOT-EXISTS chain would self-join lineitem
+    twice; the decorrelated grouped form must scan the fact table exactly
+    once and keep the per-order window partitioned."""
+    plan = _plan(spark, "tpch_q21_waiting_suppliers")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert phys.count("lineitem.parquet") == 1, "fact table scanned more than once"
+    assert "SortMergeJoin" not in phys
