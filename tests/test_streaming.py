@@ -746,3 +746,89 @@ def test_poison_record_without_error_dir_fails_batch(spark, tmp_path):
     assert n == 1
     assert sorted(os.listdir(tmp_path / "o2")) == ["a.json"]
     assert sorted(os.listdir(tmp_path / "e2")) == ["b.json.error"]
+
+
+def test_streaming_dedup_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the dedup state: draining a document
+    change feed through run_dedup_maintenance (foreachBatch →
+    apply_near_dup_changes per micro-batch) ends at exactly the pair set
+    a full recompute of the final corpus produces — including an
+    in-batch multi-change collapse and a delete. Re-applying the last
+    batch to the final state is a no-op (idempotent replay)."""
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import dedup as DD
+    from sql_cdc_spark.streaming import dedup_maintenance as DM
+
+    base = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(150)
+    )
+    initial = DD.build_near_dup_state(base, max_bucket_size=50, threshold=0.5)
+
+    feed = str(tmp_path / "feed")
+    # batch 1: clone 8 docs under new ids (creates near-dup pairs)
+    b1 = (
+        base.orderBy("doc_id").limit(8)
+        .select(
+            (F.col("doc_id") + 900_000).alias("doc_id"),
+            "text",
+            F.lit("I").alias("op"),
+            F.lit(1).cast("long").alias("change_version"),
+        )
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    # batch 2: delete 4 originals, update 2 others — one of them TWICE in
+    # the same batch (v2 then v3; the v3 text must win)
+    dels = base.orderBy("doc_id").limit(4).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_ids = base.orderBy(F.desc("doc_id")).limit(2).select("doc_id", "text")
+    upd_v2 = upd_ids.select(
+        "doc_id", F.concat("text", F.lit(" draft")).alias("text"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_v3 = upd_ids.limit(1).select(
+        "doc_id", F.concat("text", F.lit(" final")).alias("text"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    dels.unionByName(upd_v2).unionByName(upd_v3).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    final, n_batches = DM.run_dedup_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+        max_bucket_size=50, threshold=0.5,
+    )
+    assert n_batches >= 1
+
+    # final corpus = base − deleted − updated ∪ winning updates ∪ clones
+    del_ids = base.orderBy("doc_id").limit(4).select("doc_id")
+    win_upd = upd_v3.select("doc_id", "text").unionByName(
+        upd_v2.join(upd_v3.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    clones = b1.select("doc_id", "text")
+    final_corpus = (
+        base.join(del_ids, "doc_id", "left_anti")
+        .join(win_upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(win_upd)
+        .unionByName(clones)
+    )
+    want = DD.build_near_dup_state(final_corpus, max_bucket_size=50, threshold=0.5)
+    got_pairs = {(r.id_a, r.id_b, r.jaccard) for r in final.pairs.collect()}
+    want_pairs = {(r.id_a, r.id_b, r.jaccard) for r in want.pairs.collect()}
+    assert got_pairs == want_pairs
+
+    # idempotent replay: re-apply batch 2 to the final state → unchanged
+    b2 = spark.createDataFrame([], DM.CHANGE_SCHEMA).unionByName(
+        dels.unionByName(upd_v2).unionByName(upd_v3)
+    )
+    ups2, dels2 = DM.collapse_batch(b2)
+    replay = DD.apply_near_dup_changes(
+        final, ups2, dels2, max_bucket_size=50, threshold=0.5
+    )
+    replay_pairs = {(r.id_a, r.id_b, r.jaccard) for r in replay.pairs.collect()}
+    assert replay_pairs == got_pairs
