@@ -60,7 +60,9 @@ def _registry() -> dict[str, QueryEntry]:
     # (fold-overflow guard), the three new TPC-H shapes (q7/q8/q21) and
     # the incremental near-dup maintenance query. Remaining slots go to
     # the stalest r2-greens (evt/cdc/dd/sim/txt/mm/scl singles).
-    # Round-5 plan (publish per VERDICT r3 #2): the rest of the r2-green
+    # Round-5 plan (publish per VERDICT r3 #2): first txt_token_stats,
+    # mm_media_catalog, scl_salted_pricing (bumped from the r4 window by
+    # the late tpch additions), then the rest of the r2-green
     # singles (cdc_keyset_resume, cdc_latest_event_per_user,
     # cdc_union_distinct_keys, cdc_bounded_batch, cdc_version_watermark,
     # dd_jaccard_pairs, dd_simhash, dd_simhash_pairs,
@@ -106,9 +108,11 @@ def _registry() -> dict[str, QueryEntry]:
         "dd_exact",
         "dd_minhash_signatures",
         "sim_topk_cosine",
-        "txt_token_stats",
-        "mm_media_catalog",
-        "scl_salted_pricing",
+        # txt_token_stats / mm_media_catalog / scl_salted_pricing were
+        # budgeted here but ceded their slots to the three late-round
+        # TPC-H additions (q13/q17/q22 enter via the front tpch module;
+        # new queries MUST be window-checked the round they land) — they
+        # move to the head of the round-5 stale list
     ]
     # demoted to the back to keep the window ≤50: rows freshly green in
     # the ROUND-3 driver run (CORRECTNESS_r03, all hash_match) and

@@ -609,6 +609,156 @@ LIMIT 100
 """
 
 
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of customers by order count, with a predicate
+    riding the OUTER join's ON clause (orders of one priority excluded
+    WITHOUT dropping order-less customers — the classic outer-join
+    pushdown trap; the test schema has no o_comment, so the priority
+    filter stands in for the NOT LIKE). Plan shape: the order count is
+    aggregated BELOW the outer join, so the join input is |customer| +
+    |customers-with-orders| rows, never |orders| — the plan you want at
+    100 TB where the classic join-then-count form shuffles the fact
+    table."""
+    cust = tables.load(spark, sf_dir, "customer").select("c_custkey")
+    cnt = (
+        tables.load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_cust = cust.join(cnt, cust.c_custkey == cnt.o_custkey, "left").select(
+        "c_custkey", F.coalesce(F.col("__n"), F.lit(0)).alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+_Q17_BRAND = "Brand#3"
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: average yearly revenue lost if small-quantity orders (below
+    20% of the part's average order quantity) were not filled — the
+    correlated-average-subquery query. Decorrelated as one per-part
+    (sum, count) aggregate broadcast back onto the brand-filtered lines;
+    the 20%-of-average comparison is the EXACT integer form
+    5·qty·n < Σqty (quantities are integral), so no float threshold
+    knife-edge exists cross-engine. The brand filter makes the per-part
+    aggregate a small broadcast side."""
+    part = (
+        tables.load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    sel = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity").cast("long")
+    per_part = sel.groupBy("p_partkey").agg(
+        F.sum(qty).alias("__s"), F.count(F.lit(1)).alias("__n")
+    ).withColumnRenamed("p_partkey", "__pk")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        sel.join(F.broadcast(per_part), sel.l_partkey == F.col("__pk"))
+        .filter(F.lit(5) * qty * F.col("__n") < F.col("__s"))
+        .agg(
+            (F.sum(cents) / 100.0 / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q17_SQL = f"""
+WITH pp AS (
+  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS s, COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pp ON pp.l_partkey = l.l_partkey
+WHERE p.p_brand = '{_Q17_BRAND}'
+  AND 5 * CAST(l.l_quantity AS BIGINT) * pp.n < pp.s
+"""
+
+
+_Q22_CUTOFF = "2000-07-01"  # dormancy window: no orders on/after this date
+_Q22_CODES = [f"{i:02d}" for i in range(25)]
+
+
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: dormant high-balance customers per country code — scalar
+    subquery (average positive balance) + anti join (no RECENT orders;
+    every customer in this dataset has some order, so the classic
+    no-orders-ever predicate is adapted to a dormancy window) + group by
+    a substring code (last two digits of the zero-padded customer name —
+    the schema has no phone column). The above-average comparison is the
+    exact integer form bal·n > Σbal over cents, so the threshold has no
+    float knife-edge; the scalar aggregate broadcasts."""
+    code = F.expr("right(c_name, 2)")
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    pool = (
+        tables.load(spark, sf_dir, "customer")
+        .select(code.alias("cntrycode"), "c_custkey", bal_c.alias("bal_c"))
+        .filter(F.col("cntrycode").isin(_Q22_CODES))
+    )
+    stats = pool.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    recent = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_c") * F.col("__n") > F.col("__s"))
+        .join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_IN = ", ".join(f"'{c}'" for c in _Q22_CODES)
+_Q22_SQL = f"""
+WITH pool AS (
+  SELECT right(c_name, 2) AS cntrycode, c_custkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer WHERE right(c_name, 2) IN ({_Q22_IN})
+),
+stats AS (SELECT SUM(bal_c) AS s, COUNT(*) AS n FROM pool WHERE bal_c > 0)
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       SUM(bal_c) / 100.0 AS totacctbal
+FROM pool, stats
+WHERE bal_c * n > s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = pool.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}'
+  )
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 # Q19's three disjunctive (brand, size-range, quantity-range) branches
 _Q19_BRANCHES = [
     ("Brand#3", 1, 10, 1, 11),
@@ -685,5 +835,14 @@ QUERIES: dict[str, QueryEntry] = {
     "tpch_q8_market_share": QueryEntry(tpch_q8_market_share, _Q8_SQL),
     "tpch_q21_waiting_suppliers": QueryEntry(
         tpch_q21_waiting_suppliers, _Q21_SQL
+    ),
+    "tpch_q13_customer_distribution": QueryEntry(
+        tpch_q13_customer_distribution, _Q13_SQL
+    ),
+    "tpch_q17_small_quantity_revenue": QueryEntry(
+        tpch_q17_small_quantity_revenue, _Q17_SQL
+    ),
+    "tpch_q22_global_sales_opportunity": QueryEntry(
+        tpch_q22_global_sales_opportunity, _Q22_SQL
     ),
 }
