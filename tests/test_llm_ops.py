@@ -362,3 +362,55 @@ def test_incremental_near_dup_chained_batches(spark, docs):
     )
     want = DD.build_near_dup_state(final, max_bucket_size=50, threshold=0.5)
     assert _pairs_set(st2.pairs) == _pairs_set(want.pairs)
+
+
+def test_incremental_near_dup_random_rounds_property(spark, docs):
+    """Property: through R random CDC rounds (random deletes, updates,
+    clone-inserts drawn per round from the LIVE corpus), chained
+    apply_near_dup_changes equals a full rebuild of the resulting corpus.
+    Seeded, so failures reproduce."""
+    import random
+
+    rng = random.Random(20260814)
+    base = docs.select("doc_id", "text").orderBy("doc_id").limit(80)
+    live = {r.doc_id: r.text for r in base.collect()}
+    state = DD.build_near_dup_state(base, max_bucket_size=10, threshold=0.5)
+
+    next_id = 10_000_000
+    for _ in range(3):
+        ids = sorted(live)
+        dels = rng.sample(ids, k=min(6, len(ids) // 4))
+        upd_pool = [i for i in ids if i not in dels]
+        upds = rng.sample(upd_pool, k=min(5, len(upd_pool)))
+        srcs = rng.sample(ids, k=4)  # clone sources (may include deleted)
+        up_rows = [
+            (i, live[i] + f" rev{rng.randint(0, 9)}") for i in upds
+        ]
+        ins_rows = []
+        for s in srcs:
+            ins_rows.append((next_id, live[s]))
+            next_id += 1
+        upserts = spark.createDataFrame(
+            up_rows + ins_rows, "doc_id long, text string"
+        )
+        deletes = spark.createDataFrame([(i,) for i in dels], "doc_id long")
+        prev = state
+        state = DD.apply_near_dup_changes(
+            prev, upserts, deletes, max_bucket_size=10, threshold=0.5
+        )
+        prev.release()
+        for i in dels:
+            live.pop(i)
+        for i, t in up_rows + ins_rows:
+            live[i] = t
+
+    final_corpus = spark.createDataFrame(
+        sorted(live.items()), "doc_id long, text string"
+    )
+    want = DD.build_near_dup_state(
+        final_corpus, max_bucket_size=10, threshold=0.5
+    )
+    assert _pairs_set(state.pairs) == _pairs_set(want.pairs)
+    got_sizes = {(r.bkey, r.bsz) for r in state.bucket_sizes.collect()}
+    want_sizes = {(r.bkey, r.bsz) for r in want.bucket_sizes.collect()}
+    assert got_sizes == want_sizes
