@@ -52,6 +52,11 @@ EXTENDED = [
     "tpch_q19_discounted_revenue",  # disjunctive-predicate star join
     "sim_centroid_assign",      # integer-exact nearest-centroid pass
     "crp_manifest",             # composed corpus-prep pipeline
+    # round-4 additions
+    "tpch_q1_pricing_summary",  # full 8-agg scan-bound report
+    "tpch_q9_product_type_profit",  # 5-way profit join, fact⨝fact shuffle
+    "tpch_q21_waiting_suppliers",   # decorrelated EXISTS chain, 1 fact scan
+    "dd_incremental_near_dup",  # CDC-driven dedup maintenance
 ]
 
 

@@ -815,6 +815,466 @@ WHERE {_Q19_WHERE}
 """
 
 
+_Q1_CUTOFF = "2000-09-02"
+
+
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: the full pricing-summary report — one pass over lineitem with
+    eight aggregates per (returnflag, linestatus). Complements
+    rel_pricing_summary (the reduced Q1 shape) with the canonical column
+    set incl. tax charge. All money sums are cents-exact bigint sums
+    (order-insensitive); averages divide exact integer sums so the double
+    result is identical cross-engine. Single scan, map-side partial agg,
+    4-row output — scan-bound at any scale."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("long")
+    base_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    charge_c = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100
+    ).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            (F.sum(base_c) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_c) / 100.0).alias("sum_disc_price"),
+            (F.sum(charge_c) / 100.0).alias("sum_charge"),
+            F.round(F.sum(qty) / n, 4).alias("avg_qty"),
+            F.round(F.sum(base_c) / 100.0 / n, 4).alias("avg_price"),
+            F.round(F.sum(disc_bp) / 100.0 / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) / 100.0 AS sum_charge,
+       ROUND(SUM(CAST(l_quantity AS BIGINT)) / COUNT(*), 4) AS avg_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
+       ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+_Q2_TYPE = "STANDARD"
+_Q2_MAX_SIZE = 10
+_Q2_REGION = "EUROPE"
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: minimum-cost supplier — the correlated-MIN-subquery query.
+    The schema has no partsupp, so the supply relation is derived from
+    sales history: cost(part, supplier) = MIN observed sale price in
+    cents. The correlated `cost = (SELECT MIN ... WHERE same part, same
+    region)` is decorrelated into one per-part MIN over the
+    region-filtered supply, joined back by equality on exact integer
+    cents — no float knife-edge. supplier(100)/nation/region broadcast;
+    the only fact-sized shuffle is the (part, supplier) aggregate."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents).alias("cost_c")
+    )
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q2_REGION
+    )
+    supp = (
+        tables.load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sup_reg = supply.join(
+        F.broadcast(supp), supply.l_suppkey == supp.s_suppkey
+    )
+    min_c = sup_reg.groupBy("l_partkey").agg(F.min("cost_c").alias("__min_c"))
+    part = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") <= _Q2_MAX_SIZE)
+    )
+    return (
+        sup_reg.join(F.broadcast(min_c), "l_partkey")
+        .filter(F.col("cost_c") == F.col("__min_c"))
+        .join(F.broadcast(part), sup_reg.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("cost_c") / 100.0).alias("supplycost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+_Q2_SQL = f"""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cost_c
+  FROM lineitem GROUP BY 1, 2
+),
+sup_reg AS (
+  SELECT sp.l_partkey, sp.cost_c, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supply sp
+  JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{_Q2_REGION}'
+)
+SELECT sr.s_acctbal, sr.s_name, sr.n_name, p.p_partkey, p.p_name,
+       sr.cost_c / 100.0 AS supplycost
+FROM sup_reg sr
+JOIN part p ON sr.l_partkey = p.p_partkey
+WHERE p.p_type = '{_Q2_TYPE}' AND p.p_size <= {_Q2_MAX_SIZE}
+  AND sr.cost_c = (SELECT MIN(sr2.cost_c) FROM sup_reg sr2
+                   WHERE sr2.l_partkey = sr.l_partkey)
+ORDER BY sr.s_acctbal DESC, sr.n_name ASC, sr.s_name ASC, p.p_partkey ASC
+LIMIT 100
+"""
+
+
+_Q9_NAME_FRAG = "bolt"
+
+
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: profit by supplier nation and order year for parts matching a
+    name fragment. The schema has no ps_supplycost, so cost is the
+    part's list price × quantity (p_retailprice carries exact cents);
+    profit = sale cents − cost cents, both exact bigints, so the per-row
+    amount and every group sum are bit-identical cross-engine. part is
+    the filtered broadcast dim; supplier/nation broadcast; the single
+    big shuffle is lineitem⨝orders on orderkey then the group-by."""
+    part = (
+        tables.load(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(_Q9_NAME_FRAG))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = tables.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = tables.load(spark, sf_dir, "nation")
+    sale_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    cost_c = (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(sale_c - cost_c) / 100.0).alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_Q9_SQL = f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)
+           - CAST(ROUND(p.p_retailprice * 100, 0) AS BIGINT)
+             * CAST(l.l_quantity AS BIGINT)) / 100.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%{_Q9_NAME_FRAG}%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+_Q11_NATION = "NATION_3"
+_Q11_FRAC_BP = 20  # keep parts holding > 20 basis points of total value
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts representing a significant share of one nation's stock
+    value — the two-level aggregate with a scalar-subquery threshold.
+    Stock value is derived from sales (no partsupp in the schema):
+    value(part) = Σ sale cents over the nation's suppliers. The HAVING
+    `value > frac · Σ value` comparison is the exact integer cross-
+    multiplication value_c·10000 > total_c·frac_bp, so no float
+    threshold knife-edge. The scalar total broadcasts; one fact shuffle
+    (group by part)."""
+    nation = tables.load(spark, sf_dir, "nation").filter(
+        F.col("n_name") == _Q11_NATION
+    )
+    supp = (
+        tables.load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    value = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents).alias("value_c"))
+        # materialize the per-part aggregate (|parts| rows) so the scalar
+        # total and the HAVING filter both read it — without this the
+        # scalar branch re-scans and re-aggregates the fact table
+        # (verified: no ReusedExchange in the AQE final plan)
+        .localCheckpoint()
+    )
+    total = value.agg(F.sum("value_c").alias("__total_c"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_c") * F.lit(10000)
+            > F.col("__total_c") * F.lit(_Q11_FRAC_BP)
+        )
+        .select("p_partkey", (F.col("value_c") / 100.0).alias("value"))
+        .orderBy(F.desc("value"), F.asc("p_partkey"))
+    )
+
+
+_Q11_SQL = f"""
+WITH value AS (
+  SELECT l.l_partkey AS p_partkey,
+         SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS value_c
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = '{_Q11_NATION}'
+  GROUP BY 1
+),
+total AS (SELECT SUM(value_c) AS total_c FROM value)
+SELECT v.p_partkey, v.value_c / 100.0 AS value
+FROM value v, total t
+WHERE v.value_c * 10000 > t.total_c * {_Q11_FRAC_BP}
+ORDER BY value DESC, v.p_partkey ASC
+"""
+
+
+_Q15_LO = "1996-01-01"
+_Q15_HI = "1996-04-01"
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the supplier(s) with maximum revenue in one quarter — the
+    view + scalar-MAX-subquery query. Revenue is an exact cents bigint
+    per supplier, the max broadcasts back, and equality on exact
+    integers keeps ties (the spec's intent) deterministic cross-engine.
+    One fact shuffle (group by supplier, 100 groups)."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    # materialize the per-supplier aggregate (|suppliers| rows) so the
+    # scalar MAX and the tie-keeping equality filter both read it — the
+    # AQE final plan otherwise recomputes the whole scan+agg subtree on
+    # the broadcast side (no ReusedExchange)
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents).alias("rev_c"))
+        .localCheckpoint()
+    )
+    mx = rev.agg(F.max("rev_c").alias("__max_c"))
+    supp = tables.load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("__max_c"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", (F.col("rev_c") / 100.0).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+    AND l_shipdate < TIMESTAMP '{_Q15_HI}'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.rev_c / 100.0 AS total_revenue
+FROM rev r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rev_c = (SELECT MAX(rev_c) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
+_Q16_BAD_BRAND = "Brand#5"
+_Q16_BAD_TYPE = "PROMO"
+_Q16_SIZES = [3, 9, 14, 19, 23, 36, 45, 49]
+
+
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: how many suppliers can supply each (brand, type, size) —
+    COUNT(DISTINCT) over a derived supply relation with a NOT-IN
+    supplier exclusion. The supply relation comes from sales history;
+    the 'customer complaints' exclusion (no comment column) is adapted
+    to negative-balance suppliers via a broadcast anti-join. The
+    distinct is pre-shrunk to (brand, type, size, supplier) before the
+    count so the shuffle carries deduped rows only."""
+    part = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _Q16_BAD_BRAND)
+        & (F.col("p_type") != _Q16_BAD_TYPE)
+        & F.col("p_size").isin(_Q16_SIZES)
+    )
+    bad = (
+        tables.load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+_Q16_SIZES_IN = ", ".join(str(s) for s in _Q16_SIZES)
+_Q16_SQL = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{_Q16_BAD_BRAND}'
+  AND p.p_type <> '{_Q16_BAD_TYPE}'
+  AND p.p_size IN ({_Q16_SIZES_IN})
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+"""
+
+
+_Q20_NAME_PREFIX = "red"
+_Q20_YEAR_LO = "1996-01-01"
+_Q20_YEAR_HI = "1997-01-01"
+_Q20_REGION = "EUROPE"
+
+
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20: suppliers holding excess stock of a part family — the
+    nested-IN-subquery query. Without ps_availqty the 'availability >
+    half of the year's shipments' predicate is adapted to shipment
+    concentration: a (supplier, part) pair qualifies when its 1996
+    shipped quantity exceeds 30% of its all-time quantity, the exact
+    integer cross-multiplication 10·q96 > 3·qtotal (quantities are
+    integral). Both sums come from ONE conditional aggregate pass;
+    the qualifying supplier set broadcasts into a semi-join against
+    the region's suppliers."""
+    red = (
+        tables.load(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(_Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    in_year = (
+        (F.col("l_shipdate") >= F.lit(_Q20_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q20_YEAR_HI).cast("timestamp"))
+    )
+    ag = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_year, qty).otherwise(F.lit(0))).alias("q96"),
+            F.sum(qty).alias("qall"),
+        )
+    )
+    sel = (
+        ag.filter(F.col("q96") * 10 > F.col("qall") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = tables.load(spark, sf_dir, "nation")
+    region = tables.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q20_REGION
+    )
+    supp = (
+        tables.load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        supp.join(
+            F.broadcast(sel), supp.s_suppkey == sel.l_suppkey, "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = f"""
+WITH ag AS (
+  SELECT l.l_suppkey, l.l_partkey,
+         SUM(CASE WHEN l.l_shipdate >= TIMESTAMP '{_Q20_YEAR_LO}'
+                   AND l.l_shipdate < TIMESTAMP '{_Q20_YEAR_HI}'
+                  THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS q96,
+         SUM(CAST(l.l_quantity AS BIGINT)) AS qall
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '{_Q20_NAME_PREFIX}%'
+  GROUP BY 1, 2
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q20_REGION}'
+  AND s.s_suppkey IN (SELECT l_suppkey FROM ag WHERE q96 * 10 > qall * 3)
+ORDER BY s.s_name
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "tpch_q3_shipping_priority": QueryEntry(tpch_q3_shipping_priority, _Q3_SQL),
     "tpch_q5_local_supplier_volume": QueryEntry(tpch_q5_local_supplier_volume, _Q5_SQL),
@@ -844,5 +1304,22 @@ QUERIES: dict[str, QueryEntry] = {
     ),
     "tpch_q22_global_sales_opportunity": QueryEntry(
         tpch_q22_global_sales_opportunity, _Q22_SQL
+    ),
+    "tpch_q1_pricing_summary": QueryEntry(tpch_q1_pricing_summary, _Q1_SQL),
+    "tpch_q2_min_cost_supplier": QueryEntry(
+        tpch_q2_min_cost_supplier, _Q2_SQL
+    ),
+    "tpch_q9_product_type_profit": QueryEntry(
+        tpch_q9_product_type_profit, _Q9_SQL
+    ),
+    "tpch_q11_important_stock": QueryEntry(
+        tpch_q11_important_stock, _Q11_SQL
+    ),
+    "tpch_q15_top_supplier": QueryEntry(tpch_q15_top_supplier, _Q15_SQL),
+    "tpch_q16_supplier_part_counts": QueryEntry(
+        tpch_q16_supplier_part_counts, _Q16_SQL
+    ),
+    "tpch_q20_excess_suppliers": QueryEntry(
+        tpch_q20_excess_suppliers, _Q20_SQL
     ),
 }

@@ -45,6 +45,13 @@ def test_registry_window_holds_all_round4_queries():
         "tpch_q13_customer_distribution",  # NEW: outer-join count dist
         "tpch_q17_small_quantity_revenue", # NEW: decorrelated avg subquery
         "tpch_q22_global_sales_opportunity",  # NEW: scalar subq + anti join
+        "tpch_q1_pricing_summary",       # NEW: full 8-agg pricing report
+        "tpch_q2_min_cost_supplier",     # NEW: correlated-MIN subquery
+        "tpch_q9_product_type_profit",   # NEW: profit by nation/year
+        "tpch_q11_important_stock",      # NEW: scalar-threshold HAVING
+        "tpch_q15_top_supplier",         # NEW: scalar-MAX view query
+        "tpch_q16_supplier_part_counts", # NEW: count-distinct + NOT IN
+        "tpch_q20_excess_suppliers",     # NEW: nested-IN semi join
     ]
     missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"

@@ -215,3 +215,36 @@ def test_q21_decorrelation_scans_fact_once(spark):
     phys = plan.split("== Physical Plan ==")[1]
     assert phys.count("lineitem.parquet") == 1, "fact table scanned more than once"
     assert "SortMergeJoin" not in phys
+
+
+def test_completed_tpch_suite_plans(spark):
+    """The seven round-4 TPC-H completions: dims broadcast (no
+    SortMergeJoin anywhere — every non-fact side is dim- or
+    aggregate-sized), and the scalar-subquery shapes (Q11 total, Q15
+    max) scan the fact table exactly once because the shared aggregate
+    is checkpoint-materialized rather than recomputed per branch."""
+    for name, max_li_scans in (
+        ("tpch_q1_pricing_summary", 1),
+        ("tpch_q2_min_cost_supplier", 2),  # supply agg reused via exchange
+        ("tpch_q9_product_type_profit", 1),
+        ("tpch_q11_important_stock", 1),
+        ("tpch_q15_top_supplier", 1),
+        ("tpch_q16_supplier_part_counts", 1),
+        ("tpch_q20_excess_suppliers", 1),
+    ):
+        plan = _plan(spark, name)
+        phys = plan.split("== Physical Plan ==")[1]
+        assert "SortMergeJoin" not in phys, name
+        assert phys.count("lineitem.parquet") <= max_li_scans, (
+            f"{name}: fact scanned more than {max_li_scans}×"
+        )
+
+
+def test_q1_is_single_pass_partial_agg(spark):
+    """Q1 must be one scan → map-side partial agg → one exchange —
+    the canonical scan-bound report plan."""
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    phys = plan.split("== Physical Plan ==")[1]
+    assert "partial_" in phys
+    assert phys.count("lineitem.parquet") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in phys
