@@ -98,18 +98,19 @@ def _registry() -> dict[str, QueryEntry]:
         "evt_histogram",                 # CHANGED r4: floor-div binning
         "dd_lsh_candidate_pairs",        # CHANGED r4: fold-overflow guard
         "dd_incremental_near_dup",       # NEW r4: CDC-driven dedup maintenance
-        # stalest r2-green singles (last driver check: round 2)
+        "cdc_replica_as_of",             # NEW r4: point-in-time reconstruction
+        # stalest r2-green single (last driver check: round 2)
         "cdc_flagship_changed_invoices",
-        "dd_exact",
-        # seven more r2-green singles were budgeted here but ceded their
+        # eight more r2-green singles were budgeted here but ceded their
         # slots to the seven TPC-H completions (q1/q2/q9/q11/q15/q16/q20
         # enter via the front tpch module; new queries MUST be
-        # window-checked the round they land). Round-5 stale list, in
-        # order: txt_token_stats, mm_media_catalog, scl_salted_pricing,
-        # evt_value_percentiles, evt_sliding_windows, evt_late_data_filter,
-        # evt_top_users_per_day, cdc_changes_scan, dd_minhash_signatures,
-        # sim_topk_cosine, then the r2 singles already listed in the
-        # round-5 plan above, then the then-stale r3/r4 greens.
+        # window-checked the round they land) and the as-of query.
+        # Round-5 stale list, in order: txt_token_stats, mm_media_catalog,
+        # scl_salted_pricing, dd_exact, evt_value_percentiles,
+        # evt_sliding_windows, evt_late_data_filter, evt_top_users_per_day,
+        # cdc_changes_scan, dd_minhash_signatures, sim_topk_cosine, then
+        # the r2 singles already listed in the round-5 plan above, then
+        # the then-stale r3/r4 greens.
     ]
     # demoted to the back to keep the window ≤50: rows freshly green in
     # the ROUND-3 driver run (CORRECTNESS_r03, all hash_match) and

@@ -481,6 +481,65 @@ FROM orders o WHERE EXISTS (
 """
 
 
+AS_OF_VERSION = 500
+
+
+def cdc_replica_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time replica reconstruction — CDC time travel: the state
+    the replica had when the version counter read AS_OF_VERSION, rebuilt
+    from the base snapshot plus the change-log PREFIX (change_version ≤
+    V). The per-key winner is the latest version within the prefix, and
+    the delete decision depends on that WINNING VERSION ((key + version)
+    % 19), so as-of-V genuinely differs from the latest state — a key
+    can be deleted as of V and re-upserted later, or vice versa. Same
+    merge operator as cdc_replica_sync (anti ∪ semi, broadcast change
+    set, no fact shuffle); the only new cost is the version-prefix
+    filter, which rides the changelog scan."""
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    prefix = _all_changes(spark, sf_dir).filter(
+        F.col("change_version") <= AS_OF_VERSION
+    )
+    latest = cdc.latest_per_key(prefix, ["invoice_id"]).select(
+        F.col("invoice_id").alias("o_orderkey"),
+        F.when(
+            (F.col("invoice_id") + F.col("change_version")) % 19 == 0, "D"
+        ).otherwise("U").alias("op"),
+    )
+    replica = orders.filter(F.col("o_orderkey") % 17 != 3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return cdc.apply_changes_to_replica(replica, orders, latest, "o_orderkey")
+
+
+_REPLICA_AS_OF_SQL = f"""
+WITH {_CHANGELOG_CTES},
+latest AS (
+  SELECT invoice_id,
+         CASE WHEN (invoice_id + v) % 19 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM (SELECT invoice_id, MAX(change_version) AS v FROM all_changes
+        WHERE change_version <= {AS_OF_VERSION} GROUP BY 1)
+),
+replica AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN -1.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 17 <> 3
+)
+SELECT r.o_orderkey, r.o_custkey, r.o_totalprice
+FROM replica r WHERE NOT EXISTS (SELECT 1 FROM latest c WHERE c.invoice_id = r.o_orderkey)
+UNION ALL
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o WHERE EXISTS (
+  SELECT 1 FROM latest c WHERE c.invoice_id = o.o_orderkey AND c.op <> 'D'
+)
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "cdc_flagship_changed_invoices": QueryEntry(flagship_changed_invoices, _FLAGSHIP_SQL),
     # driver-checkable JSON-serialized form (the nested array<struct> form,
@@ -495,4 +554,5 @@ QUERIES: dict[str, QueryEntry] = {
     "cdc_bounded_batch": QueryEntry(cdc_bounded_batch, _BOUNDED_BATCH_SQL),
     "cdc_version_watermark": QueryEntry(cdc_version_watermark, _WATERMARK_SQL),
     "cdc_replica_sync": QueryEntry(cdc_replica_sync, _REPLICA_SYNC_SQL),
+    "cdc_replica_as_of": QueryEntry(cdc_replica_as_of, _REPLICA_AS_OF_SQL),
 }

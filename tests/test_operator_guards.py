@@ -52,6 +52,7 @@ def test_registry_window_holds_all_round4_queries():
         "tpch_q15_top_supplier",         # NEW: scalar-MAX view query
         "tpch_q16_supplier_part_counts", # NEW: count-distinct + NOT IN
         "tpch_q20_excess_suppliers",     # NEW: nested-IN semi join
+        "cdc_replica_as_of",             # NEW: point-in-time reconstruction
     ]
     missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"

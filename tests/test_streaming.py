@@ -832,3 +832,85 @@ def test_streaming_dedup_maintenance_equals_full_recompute(spark, tmp_path):
     )
     replay_pairs = {(r.id_a, r.id_b, r.jaccard) for r in replay.pairs.collect()}
     assert replay_pairs == got_pairs
+
+
+def test_streaming_ann_maintenance_equals_full_reassign(spark, tmp_path):
+    """Stream-equals-batch for the ANN index: draining an embedding
+    change feed through run_ann_maintenance (foreachBatch →
+    apply_postings_changes under a FROZEN quantizer) ends at exactly the
+    posting table a full assignment pass over the final corpus produces
+    — through inserts, a same-batch double-update (later version wins),
+    and deletes. Replaying the last batch is a no-op (idempotent)."""
+    from sql_cdc_spark.streaming import ann_maintenance as AM
+
+    base = (
+        tables.load(spark, SF_DIR_SMALL, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+    postings, model = AM.build_postings(base, n_clusters=8)
+    feed = str(tmp_path / "feed")
+
+    # batch 1: insert 8 new vectors (reuse embeddings under new ids)
+    b1 = base.orderBy("vec_id").limit(8).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+
+    # batch 2: delete 4, update 2 — one of them TWICE in-batch (v3 wins,
+    # swapping its embedding for a different base vector's)
+    dels = base.orderBy("vec_id").limit(4).select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_ids = base.orderBy(F.desc("vec_id")).limit(2).select("vec_id")
+    donor = base.orderBy("vec_id").limit(6).orderBy(F.desc("vec_id")).limit(2)
+    donor_emb = [r.embedding for r in donor.collect()]
+    upd_v2 = upd_ids.withColumn(
+        "embedding", F.lit(donor_emb[0]).cast("array<float>")
+    ).select(
+        "vec_id", "embedding",
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_v3 = upd_ids.limit(1).withColumn(
+        "embedding", F.lit(donor_emb[1]).cast("array<float>")
+    ).select(
+        "vec_id", "embedding",
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    dels.unionByName(upd_v2).unionByName(upd_v3).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    final, n_batches = AM.run_ann_maintenance(
+        spark, feed, str(tmp_path / "chk"), postings, model,
+    )
+    assert n_batches >= 1
+
+    # final corpus = base − deleted − updated ∪ winning updates ∪ inserts
+    del_ids = base.orderBy("vec_id").limit(4).select("vec_id")
+    win_upd = upd_v3.select("vec_id", "embedding").unionByName(
+        upd_v2.join(upd_v3.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "embedding")
+    )
+    final_corpus = (
+        base.join(del_ids, "vec_id", "left_anti")
+        .join(win_upd.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(win_upd)
+        .unionByName(b1.select("vec_id", "embedding"))
+    )
+    got = {(r.vec_id, r.cluster) for r in final.collect()}
+    want = {
+        (r.vec_id, r.cluster)
+        for r in AM.assign_under_model(model, final_corpus).collect()
+    }
+    assert got == want
+    assert len(got) == 200 - 4 + 8
+
+    # idempotent replay of batch 2
+    b2 = dels.unionByName(upd_v2).unionByName(upd_v3)
+    ups2, dels2 = AM.collapse_batch(b2)
+    replay = AM.apply_postings_changes(final, ups2, dels2, model)
+    assert {(r.vec_id, r.cluster) for r in replay.collect()} == got
