@@ -444,3 +444,150 @@ def test_random_query3_matches_duckdb(spark, oracle, seed):
     rng = random.Random(9000 + seed)
     q = _gen3(rng)
     assert_matches_oracle(_to_spark3(spark, q), oracle, _to_sql3(q))
+
+
+# ---- family 4: star joins with random dim filters + window FRAMES
+# (rows-between, lag/lead, ntile) — frame-boundary alignment and
+# dim-join pruning are the remaining untested risk areas ----
+
+
+def _gen4(rng: random.Random) -> dict:
+    shape = rng.random()
+    if shape < 0.3:
+        # star join: li ⨝ orders ⨝ customer ⨝ nation, random nation
+        # subset + random order-date year, cents-exact revenue by nation
+        return {
+            "star": {
+                "nations": rng.sample(range(25), rng.randint(2, 6)),
+                "year": rng.randint(1995, 2000),
+            }
+        }
+    if shape < 0.6:
+        # windowed frame sum: ROWS BETWEEN b PRECEDING AND {0|a FOLLOWING}
+        return {
+            "frame": {
+                "preceding": rng.randint(0, 5),
+                "following": rng.choice([0, 0, rng.randint(1, 3)]),
+            }
+        }
+    if shape < 0.85:
+        # lag/lead deltas per customer over a total order-date order
+        return {"lag": {"off": rng.randint(1, 3), "lead": rng.random() < 0.5}}
+    # ntile over a total per-flag order
+    return {"ntile": {"n": rng.randint(2, 7)}}
+
+
+def _to_spark4(spark, q: dict):
+    from pyspark.sql.window import Window
+
+    if "star" in q:
+        p = q["star"]
+        li = tables.load(spark, SF_DIR, "lineitem")
+        orders = tables.load(spark, SF_DIR, "orders").filter(
+            F.year("o_orderdate") == p["year"]
+        )
+        cust = tables.load(spark, SF_DIR, "customer")
+        nation = tables.load(spark, SF_DIR, "nation").filter(
+            F.col("n_nationkey").isin(p["nations"])
+        )
+        cents = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                (F.sum(cents) / 100.0).alias("revenue"),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+        )
+    if "frame" in q:
+        p = q["frame"]
+        li = tables.load(spark, SF_DIR, "lineitem").filter(
+            F.col("l_suppkey") <= 20
+        )
+        w = (
+            Window.partitionBy("l_suppkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(-p["preceding"], p["following"])
+        )
+        return li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast("long")).over(w).alias("qty_win"),
+        )
+    if "lag" in q:
+        p = q["lag"]
+        orders = tables.load(spark, SF_DIR, "orders").filter(
+            F.col("o_custkey") <= 100
+        )
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        fn = F.lead if p["lead"] else F.lag
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            fn("o_orderkey", p["off"]).over(w).alias("neighbor_key"),
+        )
+    n = q["ntile"]["n"]
+    li = tables.load(spark, SF_DIR, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(n).over(w).alias("bucket"),
+    )
+
+
+def _to_sql4(q: dict) -> str:
+    if "star" in q:
+        p = q["star"]
+        nat = ", ".join(str(x) for x in p["nations"])
+        return (
+            f"SELECT n_name, "
+            f"SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS revenue, "
+            f"COUNT(*) AS n_lines "
+            f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"JOIN customer ON o_custkey = c_custkey "
+            f"JOIN nation ON c_nationkey = n_nationkey "
+            f"WHERE EXTRACT(year FROM o_orderdate) = {p['year']} "
+            f"AND n_nationkey IN ({nat}) GROUP BY n_name"
+        )
+    if "frame" in q:
+        p = q["frame"]
+        end = f"{p['following']} FOLLOWING" if p["following"] else "CURRENT ROW"
+        return (
+            f"SELECT l_suppkey, l_orderkey, l_linenumber, "
+            f"SUM(CAST(l_quantity AS BIGINT)) OVER ("
+            f"PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber "
+            f"ROWS BETWEEN {p['preceding']} PRECEDING AND {end}) AS qty_win "
+            f"FROM lineitem WHERE l_suppkey <= 20"
+        )
+    if "lag" in q:
+        p = q["lag"]
+        fn = "LEAD" if p["lead"] else "LAG"
+        return (
+            f"SELECT o_custkey, o_orderkey, "
+            f"{fn}(o_orderkey, {p['off']}) OVER ("
+            f"PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS neighbor_key "
+            f"FROM orders WHERE o_custkey <= 100"
+        )
+    n = q["ntile"]["n"]
+    return (
+        f"SELECT l_returnflag, l_orderkey, l_linenumber, "
+        f"NTILE({n}) OVER (PARTITION BY l_returnflag "
+        f"ORDER BY l_quantity, l_orderkey, l_linenumber) AS bucket "
+        f"FROM lineitem WHERE l_orderkey <= 2000"
+    )
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_query4_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(11000 + seed)
+    q = _gen4(rng)
+    assert_matches_oracle(_to_spark4(spark, q), oracle, _to_sql4(q))
