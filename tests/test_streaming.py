@@ -914,3 +914,73 @@ def test_streaming_ann_maintenance_equals_full_reassign(spark, tmp_path):
     ups2, dels2 = AM.collapse_batch(b2)
     replay = AM.apply_postings_changes(final, ups2, dels2, model)
     assert {(r.vec_id, r.cluster) for r in replay.collect()} == got
+
+
+def test_streaming_sketch_maintenance_exact_registers(spark, tmp_path):
+    """Stream-equals-batch for HLL register maintenance — EXACT on the
+    integer registers (merge is max): draining an event feed in
+    micro-batches ends at precisely the register table one batch pass
+    over all events produces, merge order and batch replay included."""
+    import random as _random
+
+    from sql_cdc_spark.functions import sketches as SK
+    from sql_cdc_spark.streaming import sketch_maintenance as SM
+
+    rng = _random.Random(42)
+    rows = [
+        (f"g{rng.randint(0, 3)}", rng.randint(0, 4000), i)
+        for i in range(9000)
+    ]
+    all_events = spark.createDataFrame(rows, SM.EVENT_SCHEMA)
+
+    feed = str(tmp_path / "feed")
+    for lo, hi in ((0, 3000), (3000, 6500), (6500, 9000)):
+        spark.createDataFrame(rows[lo:hi], SM.EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    empty = spark.createDataFrame([], "group_key string, reg int, rho int")
+    final, n_batches = SM.run_sketch_maintenance(
+        spark, feed, str(tmp_path / "chk"), empty,
+    )
+    assert n_batches >= 1
+
+    want = SK.hll_registers(all_events, ["group_key"], "value")
+    got_rows = {(r.group_key, r.reg, r.rho) for r in final.collect()}
+    want_rows = {(r.group_key, r.reg, r.rho) for r in want.collect()}
+    assert got_rows == want_rows
+
+    # idempotent replay: merging batch 2's registers again is a no-op
+    b2 = spark.createDataFrame(rows[3000:6500], SM.EVENT_SCHEMA)
+    replay = SM.apply_sketch_batch(final, b2, ["group_key"], "value")
+    assert {(r.group_key, r.reg, r.rho) for r in replay.collect()} == got_rows
+
+    # estimator: within the 3σ bound for every group, against exact
+    ok_rows = SK.distinct_within_bound(all_events, ["group_key"], "value").collect()
+    assert ok_rows and all(r.ok for r in ok_rows), [
+        (r.group_key, r.exact_distinct, r.estimate) for r in ok_rows
+    ]
+
+
+def test_hll_merge_is_order_invariant(spark):
+    """Register merge is associative + commutative: sketching three
+    random slices of the events table and merging in any order equals
+    sketching the whole table."""
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import sketches as SK
+
+    ev = tables.load(spark, SF_DIR_SMALL, "events").select(
+        "event_type", F.col("user_id").alias("value")
+    )
+    parts = [
+        ev.filter(F.crc32(F.col("value").cast("string")) % 3 == i)
+        for i in range(3)
+    ]
+    regs = [SK.hll_registers(p, ["event_type"], "value") for p in parts]
+    merged = SK.merge_registers(
+        regs[2], regs[0], regs[1], group_cols=["event_type"]
+    )
+    whole = SK.hll_registers(ev, ["event_type"], "value")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
