@@ -248,3 +248,50 @@ def test_q1_is_single_pass_partial_agg(spark):
     assert "partial_" in phys
     assert phys.count("lineitem.parquet") == 1
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in phys
+
+
+def test_audit_registry_matches_guard_invariants(spark):
+    """The public plan-audit API (sql_cdc_spark.plans) reports the same
+    whole-registry invariants the guards above enforce: no row UDFs, no
+    partition-less windows, Arrow only in the whitelisted queries."""
+    from sql_cdc_spark.plans import audit_registry
+
+    flags = audit_registry(spark, SF_DIR)
+    assert len(flags) == len(entry.queries())
+    assert not [n for n, f in flags.items() if f.row_python_udf]
+    assert not [n for n, f in flags.items() if f.partitionless_window]
+    assert not [
+        n for n, f in flags.items() if f.arrow_python and n not in _PANDAS_OK
+    ]
+    # extraction sanity: the audit sees the same facts the raw-string
+    # guards assert elsewhere
+    assert flags["cdc_net_changes_enriched"].broadcast_joins >= 1
+    assert flags["cdc_bounded_batch"].take_ordered
+    assert flags["tpch_q21_waiting_suppliers"].scans_of("lineitem") == 1
+
+
+def test_assert_scale_safe_catches_scale_killers(spark):
+    """assert_scale_safe raises (with the reason named) on each known
+    scale-killer and passes a healthy broadcast-join plan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sql_cdc_spark.plans import assert_scale_safe
+
+    base = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+
+    global_win = base.select(
+        F.row_number().over(Window.orderBy("id")).alias("rn")
+    )
+    with pytest.raises(AssertionError, match="PARTITION BY"):
+        assert_scale_safe(global_win)
+
+    from pyspark.sql.functions import udf
+
+    with pytest.raises(AssertionError, match="row-at-a-time"):
+        assert_scale_safe(base.select(udf(lambda x: x)("k").alias("v")))
+
+    dim = spark.range(5).select(F.col("id").alias("k"), F.lit("d").alias("d"))
+    good = base.join(F.broadcast(dim), "k")
+    flags = assert_scale_safe(good)
+    assert flags.broadcast_joins == 1 and flags.sort_merge_joins == 0
