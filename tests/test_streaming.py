@@ -984,3 +984,82 @@ def test_hll_merge_is_order_invariant(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in whole.collect()
     }
+
+
+def test_streaming_vocab_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the vocabulary state: draining a document
+    change feed through run_vocab_maintenance ends at EXACTLY the
+    (word, df) table and doc count a full rebuild of the final corpus
+    produces — through inserts, deletes, and a same-batch double-update.
+    Replaying the last batch is a no-op (idempotent)."""
+    from sql_cdc_spark.streaming import vocab_maintenance as VM
+
+    base = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    initial = VM.build_vocab_state(base)
+    feed = str(tmp_path / "feed")
+
+    b1 = base.orderBy("doc_id").limit(6).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"), "text",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+
+    dels = base.orderBy("doc_id").limit(4).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_ids = base.orderBy(F.desc("doc_id")).limit(2).select("doc_id", "text")
+    upd_v2 = upd_ids.select(
+        "doc_id", F.concat("text", F.lit(" zzzalpha zzzalpha")).alias("text"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_v3 = upd_ids.limit(1).select(
+        "doc_id", F.concat("text", F.lit(" zzzomega")).alias("text"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    dels.unionByName(upd_v2).unionByName(upd_v3).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    final, n_batches = VM.run_vocab_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+    )
+    assert n_batches >= 1
+
+    del_ids = base.orderBy("doc_id").limit(4).select("doc_id")
+    win_upd = upd_v3.select("doc_id", "text").unionByName(
+        upd_v2.join(upd_v3.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    final_corpus = (
+        base.join(del_ids, "doc_id", "left_anti")
+        .join(win_upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(win_upd)
+        .unionByName(b1.select("doc_id", "text"))
+    )
+    want = VM.build_vocab_state(final_corpus, checkpoint=False)
+    got_df = {(r.word, r.df) for r in final.df.collect()}
+    want_df = {(r.word, r.df) for r in want.df.collect()}
+    assert got_df == want_df
+    assert final.doc_ids.count() == 120 - 4 + 6
+    # the v3 word won over the superseded v2-only word
+    words = {w for w, _ in got_df}
+    assert "zzzomega" in words and "zzzalpha" in words
+    assert next(df for w, df in got_df if w == "zzzalpha") == 1  # v2 winner only
+
+    # derived IDF matches the batch query formula on the final state
+    idf = VM.idf_table(final)
+    row = idf.filter(F.col("word") == "zzzomega").first()
+    import math
+    assert abs(row.idf - round(math.log(122 / 1), 6)) < 1e-9
+
+    # idempotent replay of batch 2
+    b2 = dels.unionByName(upd_v2).unionByName(upd_v3)
+    ups2, dels2 = VM.collapse_batch(b2)
+    replay = VM.apply_vocab_changes(final, ups2, dels2, checkpoint=False)
+    assert {(r.word, r.df) for r in replay.df.collect()} == got_df
