@@ -186,6 +186,57 @@ def dedup_10x_stress(spark, sf_dir: str) -> dict:
     }
 
 
+def incremental_apply_scaling(spark, sf_dir: str) -> dict:
+    """The incremental-maintenance claim as a measured number: applying
+    the same 50-doc change batch to a 1× near-dup state vs a 10× state.
+    COMPUTE is batch-proportional (re-shingle the batch, re-pair only
+    affected buckets); what grows with the corpus is the state-table
+    rewrite, which this local harness pays as a full localCheckpoint but
+    a cluster pays as an incremental parquet/Delta write. The evidence
+    is the ratio staying well under the 10× corpus ratio (≈2 measured);
+    ≈10 would mean the apply path silently re-scans the corpus."""
+    from time import perf_counter
+
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import dedup as DD
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    tenx = None
+    for k in range(10):
+        t = F.col("text")
+        vr = k % 5
+        if vr:
+            t = F.translate(t, "aeiou", "aeiou"[vr:] + "aeiou"[:vr])
+        if k >= 5:
+            t = F.translate(t, "nrst", "rstn")
+        v = docs.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"), t.alias("text")
+        )
+        tenx = v if tenx is None else tenx.unionByName(v)
+    batch = docs.limit(50).select(
+        (F.col("doc_id") + 77_000_000).alias("doc_id"), "text"
+    )
+    deletes = docs.limit(10).select("doc_id")
+    out = {}
+    for tag, corpus in (("1x", docs), ("10x", tenx)):
+        state = DD.build_near_dup_state(corpus, max_bucket_size=50)
+        t0 = perf_counter()
+        new_state = DD.apply_near_dup_changes(
+            state, batch, deletes, max_bucket_size=50
+        )
+        n_pairs = new_state.pairs.count()
+        out[f"apply_seconds_{tag}"] = round(perf_counter() - t0, 3)
+        out[f"pairs_{tag}"] = n_pairs
+        new_state.release()
+        state.release()
+    out["ratio_10x_over_1x"] = round(
+        out["apply_seconds_10x"] / max(out["apply_seconds_1x"], 1e-9), 2
+    )
+    return out
+
+
 def _cpu_ticks() -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from /proc/stat — lets the bench report
     how much CPU the hypervisor withheld during the run. Round 2's 1.9×
@@ -248,6 +299,7 @@ def main() -> None:
         "sf": sf,
         "cdc_pipeline": cdc,
         "dd_near_dup_pairs_10x": dedup_10x_stress(spark, sf_dir),
+        "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
     }
     ticks1 = _cpu_ticks()
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
