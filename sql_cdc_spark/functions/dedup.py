@@ -243,6 +243,77 @@ def jaccard_pairs(
     )
 
 
+SPAN_W = 5  # tokens per exact-substring window
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    w: int = SPAN_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-substring duplication census — the
+    deduplicate-training-data primitive (Lee et al. 2022's suffix-array
+    pass, re-expressed as distributed window hashing): every ``w``-token
+    window of the normalized text is hashed; a window occurring in ≥ 2
+    DISTINCT documents is a duplicated span. Per document this reports
+    how much of its content is boilerplate shared with the rest of the
+    corpus — the signal used to strip templated headers/footers and
+    copy-pasted passages that whole-doc MinHash can't see (two long docs
+    sharing one paragraph never reach Jaccard 0.5).
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_fraction) for docs
+    with at least one duplicated span. Docs shorter than ``w`` tokens
+    have no windows and are never emitted.
+
+    Scale shape: the exploded window table is the big intermediate
+    (|docs| × |windows/doc|) but windows are hashed to 8-byte ints AT
+    THE SOURCE (one md5 per window occurrence) and deduped per doc, so
+    both groupBys move only ints; the per-window doc-count and the
+    per-doc rollup shuffle on the SAME whash key back-to-back, so AQE
+    reuses the partitioning. A suffix array would find variable-length
+    maximal repeats; fixed-w windows are the bounded-memory, shuffle-
+    friendly form (any repeat ≥ w tokens is caught by construction)."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    win_strs = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    whash = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    wins = (
+        balance_partitions(docs)
+        .select(F.col(id_col), F.explode(win_strs).alias("w"))
+        .select(F.col(id_col), whash.alias("whash"))
+        .distinct()
+    )
+    dup_w = (
+        wins.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        wins.join(dup_w, "whash", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.col("n_docs")).alias("n_dup_windows"),
+        )
+        .filter(F.col("n_dup_windows") > 0)
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
 def release_local_checkpoint(df: DataFrame) -> None:
     """Free the executor blocks behind a localCheckpoint-ed DataFrame.
 

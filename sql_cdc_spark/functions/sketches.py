@@ -97,6 +97,99 @@ def hll_error_bound(p: int = HLL_P, k_sigma: float = 3.0) -> float:
     return k_sigma * 1.04 / math.sqrt(1 << p)
 
 
+CMS_D = 4    # hash rows — P(min over rows misses the ε bound) ≈ e^-d
+CMS_W = 512  # columns per row — overestimate ≤ e/w · N w.h.p.
+
+
+def cms_cells(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Sparse count-min sketch: (group…, row, col, cnt) with one row per
+    occupied cell. Cell (i, xxhash64(i, v) mod w) accumulates every
+    occurrence of value v; absent cells are zero. One map-side-combined
+    groupBy; the shuffle carries ≤ |groups|·d·w rows regardless of input
+    size — the frequency analog of hll_registers (and like it, the cell
+    table is the MERGEABLE state a 100 TB pipeline maintains per
+    partition/day/source and combines by sum, never re-scanning
+    history)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.lit(i), F.col(value_col)), F.lit(w))
+                .cast("int")
+                .alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(*group_cols, F.explode(pairs).alias("rc"))
+        .groupBy(
+            *group_cols,
+            F.col("rc.row").alias("row"),
+            F.col("rc.col").alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*cell_tables: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union any number of CMS cell tables and sum per cell — the CMS
+    merge (counts are additive, so partial sketches combine in any
+    order; batch-equals-merged-minibatches exactly)."""
+    out = cell_tables[0]
+    for t in cell_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*group_cols, "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_point_estimates(
+    cells: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """CMS point queries: for each candidate item, the estimate is the
+    MIN over the d rows of its cell's count (a missing cell is 0 — only
+    possible for never-seen items). Guarantees: estimate ≥ true count
+    ALWAYS (one-sided error, every occurrence landed in every probed
+    cell); estimate ≤ true + (e/w)·N with probability ≈ 1 − e^−d per
+    item. The candidate set is small (heavy-hitter candidates), so the
+    probe explode is |items|·d rows joined against the sparse cell
+    table."""
+    probes = items.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.lit(i), F.col(value_col)), F.lit(w)
+                        )
+                        .cast("int")
+                        .alias("col"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("rc"),
+    ).select(value_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(cells, ["row", "col"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
 def distinct_within_bound(
     df: DataFrame,
     group_cols: list[str],

@@ -190,6 +190,45 @@ def apply_changes_to_replica(
     return survivors.unionByName(upserts)
 
 
+def refresh_join_view(
+    view: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    affected_keys: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """Incremental maintenance of an equi-JOIN view from a change feed —
+    the join analog of ``refresh_aggregate_groups``: for a view
+    ``V = left ⋈_key right`` (the reference's denormalized
+    vw_invoice_header_line, sqls/vw_Invoicedetails.sql:5-19), a CDC batch
+    touching key set K never re-joins the whole base:
+
+      view' = (view ANTI K)                        -- untouched join rows
+            ∪ ((left SEMI K) ⋈ (right SEMI K))     -- recomputed slice
+
+    Because the join is ON the key, restricting BOTH sides to K before
+    joining is exact: every view row with key ∈ K is rebuilt from the
+    current bases, every other row is provably unchanged. Deletes fall
+    out (a key gone from either side produces no recomputed row), inserts
+    appear, updates are rebuilt. K is one CDC batch (small → broadcast),
+    so at any view size the cost is three broadcast-pruned scans — never
+    a full re-join. This is the classic delta-view identity specialized
+    to key-affected recompute: with K = keys(ΔL) ∪ keys(ΔR) it equals
+    ΔL⋈R ∪ L⋈ΔR − ΔL⋈ΔR applied through updates AND deletes, without
+    the retraction bookkeeping multiset IVM needs.
+
+    ``left``/``right`` must be the SAME projections used to define the
+    view (key column included in both), or drift is silent —
+    ``unionByName`` at least fails fast on column mismatch."""
+    keys = affected_keys.select(key_col).distinct()
+    untouched = view.join(F.broadcast(keys), key_col, "left_anti")
+    recomputed = (
+        left.join(F.broadcast(keys), key_col, "left_semi")
+        .join(right.join(F.broadcast(keys), key_col, "left_semi"), key_col, "inner")
+    )
+    return untouched.unionByName(recomputed)
+
+
 def refresh_aggregate_groups(
     agg_replica: DataFrame,
     base: DataFrame,

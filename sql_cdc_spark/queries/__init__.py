@@ -99,6 +99,10 @@ def _registry() -> dict[str, QueryEntry]:
         "dd_lsh_candidate_pairs",        # CHANGED r4: fold-overflow guard
         "dd_incremental_near_dup",       # NEW r4: CDC-driven dedup maintenance
         "cdc_replica_as_of",             # NEW r4: point-in-time reconstruction
+        "cdc_incremental_join_view",     # NEW r4: delta join-view maintenance
+        "dd_duplicate_spans",            # NEW r4: cross-doc substring census
+        "sim_pq_topk",                   # NEW r4: product-quantization ANN
+        "evt_heavy_hitters_cms",         # NEW r4: count-min heavy hitters
         # stalest r2-green single (last driver check: round 2)
         "cdc_flagship_changed_invoices",
         # eight more r2-green singles were budgeted here but ceded their
@@ -117,6 +121,17 @@ def _registry() -> dict[str, QueryEntry]:
     # untouched this round — they rotate back in round 5. Every demoted
     # row stays covered every round by the local pytest oracle suite.
     demote = [
+        # r1-green singles whose window slots the four late-r4 operators
+        # took (join-view IVM, duplicate spans, PQ ANN, CMS heavy
+        # hitters) — the VERDICT r3 two-round overflow option. These four
+        # are the most change-isolated of the stale set (single-table
+        # projections/scalar functions, no shared helpers touched this
+        # round) and re-enter FIRST in round 5, ahead of the round-5
+        # stale list below.
+        "rel_sample_avg",
+        "rel_distinct_flags",
+        "fn_date_arithmetic",
+        "fn_timestamp_format",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

@@ -540,6 +540,70 @@ FROM orders o WHERE EXISTS (
 """
 
 
+def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance
+    (operators/cdc.py::refresh_join_view): a STALE copy of the
+    denormalized header⋈line-stats view — wrong line_count/qty_c on
+    o_orderkey % 7 == 0 rows, the staleness a missed refresh leaves —
+    is repaired using ONLY the invoice keys the synthesized change feed
+    touched. Touched rows are rebuilt from the true bases, untouched rows
+    keep their (possibly still-wrong) stale values — exactly the
+    semantics of an incremental refresh, which the set-theoretic oracle
+    pins exactly: rows that are both stale AND untouched must stay
+    stale. All sums are integer (qty ×100 → bigint) for cross-engine
+    hash parity; the affected-key set broadcasts, so neither base
+    re-joins in full."""
+    orders = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tables.load(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    line_agg = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("line_count"),
+        F.sum(qty_c).alias("qty_c"),
+    )
+    true_view = orders.join(line_agg, "o_orderkey")
+    stale = F.col("o_orderkey") % 7 == 0
+    neg = F.lit(-1).cast("long")
+    stale_view = true_view.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(stale, neg).otherwise(F.col("line_count")).alias("line_count"),
+        F.when(stale, neg).otherwise(F.col("qty_c")).alias("qty_c"),
+    )
+    affected = _all_changes(spark, sf_dir).select(
+        F.col("invoice_id").alias("o_orderkey")
+    )
+    return cdc.refresh_join_view(stale_view, orders, line_agg, affected, "o_orderkey")
+
+
+_JOIN_VIEW_SQL = f"""
+WITH {_CHANGELOG_CTES},
+affected AS (SELECT DISTINCT invoice_id FROM all_changes),
+line_agg AS (
+  SELECT l_orderkey AS o_orderkey,
+         COUNT(*) AS line_count,
+         CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_c
+  FROM lineitem GROUP BY 1
+),
+true_view AS (
+  SELECT o.o_orderkey, o.o_custkey, a.line_count, a.qty_c
+  FROM orders o JOIN line_agg a ON a.o_orderkey = o.o_orderkey
+),
+stale_view AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN CAST(-1 AS BIGINT) ELSE line_count END AS line_count,
+         CASE WHEN o_orderkey % 7 = 0 THEN CAST(-1 AS BIGINT) ELSE qty_c END AS qty_c
+  FROM true_view
+)
+SELECT s.o_orderkey, s.o_custkey, s.line_count, s.qty_c
+FROM stale_view s
+WHERE NOT EXISTS (SELECT 1 FROM affected c WHERE c.invoice_id = s.o_orderkey)
+UNION ALL
+SELECT t.o_orderkey, t.o_custkey, t.line_count, t.qty_c
+FROM true_view t
+WHERE EXISTS (SELECT 1 FROM affected c WHERE c.invoice_id = t.o_orderkey)
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "cdc_flagship_changed_invoices": QueryEntry(flagship_changed_invoices, _FLAGSHIP_SQL),
     # driver-checkable JSON-serialized form (the nested array<struct> form,
@@ -555,4 +619,5 @@ QUERIES: dict[str, QueryEntry] = {
     "cdc_version_watermark": QueryEntry(cdc_version_watermark, _WATERMARK_SQL),
     "cdc_replica_sync": QueryEntry(cdc_replica_sync, _REPLICA_SYNC_SQL),
     "cdc_replica_as_of": QueryEntry(cdc_replica_as_of, _REPLICA_AS_OF_SQL),
+    "cdc_incremental_join_view": QueryEntry(cdc_incremental_join_view, _JOIN_VIEW_SQL),
 }

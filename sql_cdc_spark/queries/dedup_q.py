@@ -472,8 +472,55 @@ p AS (
 SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= {EMB_DUP_THRESHOLD}
 """
 
+def dd_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication census
+    (functions/dedup.py::duplicate_spans): per-doc count and fraction of
+    SPAN_W-token windows that also occur in another document. The oracle
+    replays the identical window hashing (md5-prefix 60-bit ints) in
+    DuckDB, so window membership — 60-bit collisions included — is
+    byte-identical by construction."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return DD.duplicate_spans(docs).orderBy("doc_id")
+
+
+_W = DD.SPAN_W
+_DUP_SPANS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\s+') AS t FROM documents
+),
+win_strs AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= {_W}
+           THEN list_transform(range(1, len(t) - {_W} + 2),
+                               i -> array_to_string(t[i:i+{_W - 1}], ' '))
+           ELSE [] END) AS w
+  FROM toks
+),
+wins AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) AS whash
+  FROM win_strs
+),
+dup_w AS (
+  SELECT whash, COUNT(*) AS n_docs FROM wins GROUP BY whash HAVING COUNT(*) >= 2
+),
+per_doc AS (
+  SELECT w.doc_id,
+         COUNT(*) AS n_windows,
+         COUNT(d.n_docs) AS n_dup_windows
+  FROM wins w LEFT JOIN dup_w d ON w.whash = d.whash
+  GROUP BY w.doc_id
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       ROUND(n_dup_windows / n_windows, 6) AS dup_fraction
+FROM per_doc WHERE n_dup_windows > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "dd_exact": QueryEntry(dd_exact, _EXACT_SQL),
+    "dd_duplicate_spans": QueryEntry(dd_duplicate_spans, _DUP_SPANS_SQL),
     "dd_minhash_signatures": QueryEntry(dd_minhash_signatures, _MINHASH_SQL),
     "dd_lsh_candidate_pairs": QueryEntry(dd_lsh_candidate_pairs, _LSH_SQL),
     "dd_near_dup_pairs": QueryEntry(dd_near_dup_pairs, _NEAR_DUP_SQL),

@@ -15,6 +15,8 @@ Window math notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -683,8 +685,62 @@ ORDER BY event_type, bin_lo_cents
 """
 
 
+CMS_TOP_H = 20
+
+
+def evt_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via count-min sketch
+    (functions/sketches.py::cms_cells/cms_point_estimates) under the
+    same in-plan accuracy contract as the HLL sketch row: for the true
+    top-H users by event count, the emitted row carries the EXACT count
+    plus two verdict booleans — ``est_ok`` (CMS estimate ≥ exact: the
+    sketch's HARD one-sided guarantee, deterministically true) and
+    ``bound_ok`` (estimate ≤ exact + ⌈(e/w)·N⌉: the probabilistic
+    overestimate bound, deterministic on fixed data). The DuckDB oracle
+    computes the exact side and TRUE literals, so any cell-hash, merge,
+    or min-probe regression flips a boolean and the driver hash. The
+    cell table is the mergeable state (cms_merge) a streaming pipeline
+    maintains per batch — merge-equals-batch is pytest-gated."""
+    from sql_cdc_spark.functions import sketches as SK
+
+    ev = tables.load(spark, sf_dir, "events")
+    cells = SK.cms_cells(ev, [], "user_id")
+    exact_top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+        .limit(CMS_TOP_H)
+    )
+    est = SK.cms_point_estimates(cells, exact_top.select("user_id"), "user_id")
+    n_total = ev.count()
+    slack = int(math.ceil(math.e / SK.CMS_W * n_total))
+    return (
+        exact_top.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            (F.col("cms_estimate") >= F.col("exact_cnt")).alias("est_ok"),
+            (F.col("cms_estimate") <= F.col("exact_cnt") + F.lit(slack)).alias(
+                "bound_ok"
+            ),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+    )
+
+
+_CMS_SQL = f"""
+SELECT user_id, exact_cnt, TRUE AS est_ok, TRUE AS bound_ok
+FROM (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+  ORDER BY exact_cnt DESC, user_id ASC LIMIT {CMS_TOP_H}
+)
+ORDER BY exact_cnt DESC, user_id ASC
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_histogram": QueryEntry(evt_histogram, _HISTOGRAM_SQL),
+    "evt_heavy_hitters_cms": QueryEntry(evt_heavy_hitters_cms, _CMS_SQL),
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
     "evt_user_cardinality_sketch": QueryEntry(

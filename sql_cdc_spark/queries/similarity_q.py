@@ -504,8 +504,46 @@ FROM n GROUP BY label ORDER BY label
 """
 
 
+PQ_SHORTLIST = 100
+PQ_RECALL_BOUND = 0.7  # measured 0.9 at sf0.001 AND sf0.01 (seeded fit)
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC re-rank
+    (functions/similarity.py::pq_adc_topk) under the same hash-gated
+    accuracy contract as sim_ivf_topk: the codebook fit is not
+    SQL-expressible, so the emitted row is the CONTRACT — recall@k of
+    the PQ search vs the exact brute-force top-k, computed in-plan, plus
+    ``recall_ok`` (≥ PQ_RECALL_BOUND). A codebook/encode/ADC regression
+    flips the boolean and fails the driver hash. Code-compression and
+    shortlist-monotonicity properties are pytest-gated in
+    tests/test_llm_ops.py. This completes the ANN ladder: brute-force →
+    SRP-LSH buckets → IVF coarse quantizer → int8 scalar quantization →
+    PQ (the memory-bound end: 64 floats → 8 codes, the index a 100 TB
+    corpus can actually hold in RAM)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pq = SIM.pq_adc_topk(
+        emb, query_id=QUERY_VEC_ID, k=TOP_K, shortlist=PQ_SHORTLIST
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding")
+    exact = SIM.topk_cosine(emb, query, k=TOP_K)
+    hits = pq.select("vec_id").join(exact.select("vec_id"), "vec_id", "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("__n_hits")).select(
+        F.lit(TOP_K).alias("k"),
+        F.lit(SIM.PQ_M).alias("m_subspaces"),
+        F.lit(PQ_SHORTLIST).alias("shortlist"),
+        (F.col("__n_hits") / TOP_K >= PQ_RECALL_BOUND).alias("recall_ok"),
+    )
+
+
+_PQ_SQL = f"""
+SELECT {TOP_K} AS k, {SIM.PQ_M} AS m_subspaces, {PQ_SHORTLIST} AS shortlist, TRUE AS recall_ok
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
+    "sim_pq_topk": QueryEntry(sim_pq_topk, _PQ_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),
     "sim_bucketed_topk": QueryEntry(sim_bucketed_topk, _bucketed_topk_sql()),
     "sim_multiprobe_topk": QueryEntry(sim_multiprobe_topk, _multiprobe_sql()),

@@ -414,3 +414,118 @@ def test_incremental_near_dup_random_rounds_property(spark, docs):
     got_sizes = {(r.bkey, r.bsz) for r in state.bucket_sizes.collect()}
     want_sizes = {(r.bkey, r.bsz) for r in want.bucket_sizes.collect()}
     assert got_sizes == want_sizes
+
+
+# ---- product quantization (PQ) ANN ----
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings")
+    books = SIM.pq_codebooks(emb)
+    assert len(books) == SIM.PQ_M
+    assert books[0].shape == (SIM.PQ_K, 64 // SIM.PQ_M)
+    codes = SIM.pq_encode(emb, books)
+    rows = codes.collect()
+    for r in rows:
+        for mi in range(SIM.PQ_M):
+            assert 0 <= r[f"code{mi}"] < SIM.PQ_K
+    # seeded fit + integer-micro encode ⇒ bit-identical on re-run
+    again = {r.vec_id: tuple(r[f"code{m}"] for m in range(SIM.PQ_M))
+             for r in SIM.pq_encode(emb, SIM.pq_codebooks(emb)).collect()}
+    first = {r.vec_id: tuple(r[f"code{m}"] for m in range(SIM.PQ_M)) for r in rows}
+    assert first == again
+
+
+def test_pq_identical_vectors_share_codes(spark):
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings")
+    clones = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    planted = emb.unionByName(clones)
+    books = SIM.pq_codebooks(emb)  # codebooks from the base corpus
+    codes = {r.vec_id: tuple(r[f"code{m}"] for m in range(SIM.PQ_M))
+             for r in SIM.pq_encode(planted, books).collect()}
+    for vid in range(3):
+        if vid in codes and vid + 1_000_000 in codes:
+            assert codes[vid] == codes[vid + 1_000_000]
+
+
+def test_pq_shortlist_recall_monotone_to_exact(spark):
+    """Widening the ADC shortlist can only help; at shortlist = corpus
+    size the re-rank IS the exact scan, so recall must reach 1.0."""
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings")
+    n = emb.count()
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    exact = {r.vec_id for r in SIM.topk_cosine(emb, query, k=10).collect()}
+    recalls = []
+    for shortlist in (20, 100, n):
+        got = {r.vec_id for r in SIM.pq_adc_topk(emb, 0, k=10, shortlist=shortlist).collect()}
+        recalls.append(len(got & exact) / 10)
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0
+
+
+# ---- cross-document duplicate spans ----
+
+
+def test_duplicate_spans_finds_planted_shared_passage(spark):
+    boiler = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "alpha beta gamma " + boiler + " delta epsilon"),
+        (2, boiler + " zeta eta theta iota kappa"),
+        (3, "completely different words without any shared passage here"),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in DD.duplicate_spans(docs).collect()}
+    # docs 1 and 2 share the 10-token passage → both flagged; 3 and 4 not
+    assert set(got) == {1, 2}
+    # a shared w-token run of length L yields L-w+1 shared windows
+    L, w = len(boiler.split()), DD.SPAN_W
+    for d in (1, 2):
+        assert got[d].n_dup_windows == L - w + 1
+        assert 0 < got[d].dup_fraction < 1
+
+
+def test_duplicate_spans_ignores_intra_doc_repeats(spark):
+    """A phrase repeated within ONE doc is not a cross-doc duplicate:
+    windows are deduped per doc before the ≥2-docs test."""
+    rows = [
+        (1, "one two three four five six one two three four five six"),
+        (2, "totally unrelated content in this other document entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert DD.duplicate_spans(docs).count() == 0
+
+
+# ---- count-min sketch ----
+
+
+def test_cms_never_underestimates_and_merge_equals_batch(spark):
+    from sql_cdc_spark.functions import sketches as SK
+
+    ev = tables.load(spark, SF_DIR_SMALL, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    cells = SK.cms_cells(ev, [], "user_id")
+    est = SK.cms_point_estimates(cells, exact.select("user_id"), "user_id")
+    joined = exact.join(est, "user_id").collect()
+    assert joined, "no users probed"
+    for r in joined:  # the HARD one-sided guarantee, for EVERY key
+        assert r.cms_estimate >= r.exact_cnt, (r.user_id, r.cms_estimate, r.exact_cnt)
+    # merging per-half sketches == sketching the whole batch, cell-exact
+    h1 = SK.cms_cells(ev.filter(F.col("event_id") % 2 == 0), [], "user_id")
+    h2 = SK.cms_cells(ev.filter(F.col("event_id") % 2 == 1), [], "user_id")
+    merged = SK.cms_merge(h1, h2, group_cols=[])
+    a = {(r.row, r.col): r.cnt for r in merged.collect()}
+    b = {(r.row, r.col): r.cnt for r in cells.collect()}
+    assert a == b
+
+
+def test_cms_unseen_item_estimate_is_collision_only(spark):
+    from sql_cdc_spark.functions import sketches as SK
+
+    ev = tables.load(spark, SF_DIR_SMALL, "events")
+    cells = SK.cms_cells(ev, [], "user_id")
+    ghost = spark.createDataFrame([(10_000_000,)], "user_id long")
+    est = SK.cms_point_estimates(cells, ghost, "user_id").collect()[0]
+    n = ev.count()
+    import math
+    assert 0 <= est.cms_estimate <= math.ceil(math.e / SK.CMS_W * n) + 1
