@@ -103,6 +103,7 @@ def _registry() -> dict[str, QueryEntry]:
         "dd_duplicate_spans",            # NEW r4: cross-doc substring census
         "sim_pq_topk",                   # NEW r4: product-quantization ANN
         "evt_heavy_hitters_cms",         # NEW r4: count-min heavy hitters
+        "scl_zorder_key",                # NEW r4: Z-order layout key
         # stalest r2-green single (last driver check: round 2)
         "cdc_flagship_changed_invoices",
         # eight more r2-green singles were budgeted here but ceded their
@@ -132,6 +133,7 @@ def _registry() -> dict[str, QueryEntry]:
         "rel_distinct_flags",
         "fn_date_arithmetic",
         "fn_timestamp_format",
+        "fn_hash_bucket",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

@@ -117,8 +117,39 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus)
 """
 
+def scl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave key over (user_id, value-cents) for
+    every event (operators/layout.py::zorder_key) — the sort key under
+    which write_zordered lays files out so that selective filters on
+    EITHER dimension prune parquet footers (pruning itself is measured
+    in tests/test_layout.py; this row gate pins the key arithmetic).
+    Both engines evaluate the SAME generated shift/mask SQL text, so the
+    hash gate is bit-exact, negative cents included (masking first makes
+    every shifted operand non-negative)."""
+    from sql_cdc_spark.operators.layout import zorder_key_sql
+
+    ev = tables.load(spark, sf_dir, "events")
+    cents = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+    zsql = zorder_key_sql(["user_id", cents])
+    return (
+        ev.select("event_id", F.expr(zsql).alias("zkey"))
+        .orderBy("event_id")
+    )
+
+
+def _zorder_sql() -> str:
+    from sql_cdc_spark.operators.layout import zorder_key_sql
+
+    cents = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+    return f"""
+SELECT event_id, {zorder_key_sql(["user_id", cents])} AS zkey
+FROM events ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "scl_salted_pricing": QueryEntry(scl_salted_pricing, _SALTED_PRICING_SQL),
     "scl_salted_join_segments": QueryEntry(scl_salted_join_segments, _SALTED_JOIN_SQL),
     "scl_group_zscore": QueryEntry(scl_group_zscore, _ZSCORE_SQL),
+    "scl_zorder_key": QueryEntry(scl_zorder_key, _zorder_sql()),
 }

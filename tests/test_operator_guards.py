@@ -57,20 +57,22 @@ def test_registry_window_holds_all_round4_queries():
         "dd_duplicate_spans",            # NEW: cross-doc substring census
         "sim_pq_topk",                   # NEW: product-quantization ANN
         "evt_heavy_hitters_cms",         # NEW: count-min heavy hitters
+        "scl_zorder_key",                # NEW: Z-order layout key
     ]
     missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
     # rotation-debt payoff (VERDICT r3 #2): the r1-green singles demoted
     # for two rounds must be back inside the window this round. Four of
     # them (rel_sample_avg, rel_distinct_flags, fn_date_arithmetic,
-    # fn_timestamp_format) ceded their slots to the four late-r4
-    # operators under the verdict's published two-round overflow option —
+    # fn_timestamp_format, fn_hash_bucket) ceded their slots to the five
+    # late-r4 operators under the verdict's published two-round overflow
+    # option —
     # they re-enter FIRST in round 5 (see queries/__init__.py demote
     # comment) and stay pytest-oracle-covered meanwhile.
     stale_r1 = [
         "rel_cross_join_small",
         "rel_derived_columns",
-        "fn_hash_bucket", "rel_filter_composite", "rel_union_all_segments",
+        "rel_filter_composite", "rel_union_all_segments",
         "win_lag_delta", "win_moving_avg", "win_running_total",
         "rel_multi_hop_dims", "rel_top_revenue_orders",
         "rel_semi_join_big_spenders", "rel_intersect_buyers",
