@@ -15,7 +15,7 @@ north-star extensions in the spirit of SURVEY.md §7 Phase 3.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 60 bits of md5 → [0, 2^60); dividing gives a uniform double in [0,1).
@@ -79,6 +79,119 @@ def split_sql(key_expr: str, test_frac: float, val_frac: float = 0.0, salt: str 
         f"WHEN {u} < {test_frac + val_frac} THEN 'val' "
         f"ELSE 'train' END"
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_draws: int,
+    n_buckets: int = 64,
+    salt: str = "pps",
+) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: draw ~n rows
+    such that each row's inclusion probability is proportional to its
+    integer weight (token/char count) — the standard way to sample a
+    training corpus so the SAMPLE's token mass, not its document count,
+    matches a quota. Deterministic and engine-portable: the draw is pure
+    integer arithmetic over a hash-defined total order, so the exact same
+    rows are selected in Spark and in the SQL oracle, on any cluster.
+
+    Mechanics: rows are ordered by (hash-bucket(id), id); with W = total
+    weight and step = W // n, grid points sit at step/2, step/2 + step, …
+    and a row is drawn iff a grid point lands in its cumulative-weight
+    interval [cum−w, cum). Rows heavier than ``step`` are certainty
+    inclusions (drawn once).
+
+    Scale: the global cumulative sum is two-phase — a per-bucket window
+    (PARTITIONED by the hash bucket, never partition-less) plus bucket
+    offsets from a ``n_buckets``-row grouped aggregate collected to the
+    driver (bounded by the constant bucket count, the win_ntile_quartiles
+    pattern). One shuffle on the bucket key; no task ever sorts more than
+    ~1/n_buckets of the corpus.
+
+    Returns the selected rows with ``cum`` (global cumulative weight,
+    inclusive) appended."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    bucketed = df.withColumn("__b", bucket)
+    bsums = {
+        r["__b"]: r["w"]
+        for r in bucketed.groupBy("__b")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    }
+    total = sum(bsums.values())
+    step = max(total // n_draws, 1)
+    half = step // 2
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += bsums.get(b, 0)
+    off_map = F.create_map(
+        *[lit for b in range(n_buckets) for lit in (F.lit(b), F.lit(offsets[b]))]
+    )
+    w = Window.partitionBy("__b").orderBy(F.col(id_col).asc())
+    cum = (
+        F.element_at(off_map, F.col("__b"))
+        + F.sum(weight_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    with_cum = bucketed.withColumn("cum", cum).drop("__b")
+    # grid-point count below x: g(x) = (x + step - 1 - half) DIV step;
+    # a row is drawn iff g crosses between its interval's two ends.
+    # Integer DIV end-to-end — exact at any corpus size (no doubles).
+    g_hi = F.expr(f"(cum + {step - 1 - half}) DIV {step}")
+    g_lo = F.expr(f"(cum - {weight_col} + {step - 1 - half}) DIV {step}")
+    return with_cum.filter(g_hi > g_lo)
+
+
+def pps_sample_sql(
+    table: str,
+    id_col: str,
+    weight_col: str,
+    cols: str,
+    n_draws: int,
+    n_buckets: int = 64,
+    salt: str = "pps",
+) -> str:
+    """DuckDB twin of pps_systematic_sample (same hash order, same integer
+    grid arithmetic; the oracle may use one global window where the Spark
+    side is two-phase)."""
+    return f"""
+WITH __w AS (
+  SELECT *,
+         CAST(('0x' || substring(md5('{salt}' || CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {n_buckets} AS __b
+  FROM {table}
+),
+__c AS (
+  SELECT *,
+         -- CASTs: DuckDB's SUM(BIGINT) yields HUGEINT; the driver's
+         -- value-hash is type-sensitive, so pin both to BIGINT
+         CAST(SUM({weight_col}) OVER (ORDER BY __b, {id_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM({weight_col}) OVER () AS BIGINT) AS __total
+  FROM __w
+),
+__s AS (
+  SELECT *, GREATEST(__total // {n_draws}, 1) AS __step
+  FROM __c
+)
+SELECT {cols}, cum
+FROM __s
+WHERE ((cum + __step - 1 - __step // 2) // __step)
+    > ((cum - {weight_col} + __step - 1 - __step // 2) // __step)
+"""
 
 
 def unit_sql(key_expr: str, salt: str) -> str:

@@ -229,6 +229,154 @@ def refresh_join_view(
     return untouched.unionByName(recomputed)
 
 
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "change_version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history from a change feed — the
+    warehouse-side record of WHAT each key looked like WHEN, built from
+    the same (key, version, op, payload…) rows the reference's
+    CHANGETABLE() scan ships (sqls/storedprocedure.sql:17-26; the
+    reference replays changes into one current-state doc per invoice —
+    SCD2 is the other canonical consumer of that exact feed).
+
+    One history row per NON-delete change: ``valid_from`` = the change's
+    version, ``valid_to`` = the key's next change version (ANY op — a
+    delete closes the interval without opening a new one), open intervals
+    have ``valid_to`` NULL and ``is_current`` 1. Payload columns ride
+    along untouched.
+
+    Scale: one window PARTITIONED by key (never partition-less), i.e.
+    one shuffle of the change feed — history building at 100 TB is
+    bounded by the feed size, not the dimension size. ``changes`` must be
+    unique per (key, version); feed it through ``latest_row_per_key`` or
+    a distinct first if the raw log can carry ties."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).asc())
+    return (
+        changes.withColumn("valid_to", F.lead(F.col(version_col)).over(w))
+        .filter(F.col(op_col) != "D")
+        .withColumn("valid_from", F.col(version_col))
+        .withColumn(
+            "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+        )
+        .drop(version_col, op_col)
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    version_col: str = "change_version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental SCD2 maintenance: merge a NEW change batch into an
+    existing history without rebuilding untouched keys — the SCD2 analog
+    of ``refresh_aggregate_groups``. Contract: every batch version is
+    strictly greater than the key's versions already in ``history`` (the
+    append-only reality of a CDC cursor feed), and ``batch`` is unique
+    per (key, version).
+
+      history' = history with each touched key's OPEN row closed at the
+                 batch's first version for that key        (broadcast join)
+               ∪ scd2_history(batch)                       (chained rows)
+
+    A key whose history ends in a delete has no open row — nothing
+    closes, the batch simply appends its new intervals. A batch whose
+    first change for a key is a delete closes the open row and opens
+    nothing, exactly matching a full recompute's lead() semantics.
+
+    Scale: the batch is one CDC pull (small → broadcast); the history
+    table is scanned once with a broadcast join — no shuffle of the
+    accumulated history, no recompute of untouched keys."""
+    first_new = batch.groupBy(*key_cols).agg(
+        F.min(version_col).alias("__first_new")
+    )
+    closed = (
+        history.join(F.broadcast(first_new), key_cols, "left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("valid_to").isNull() & F.col("__first_new").isNotNull(),
+                F.col("__first_new"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn(
+            "is_current", F.when(F.col("valid_to").isNull(), 1).otherwise(0)
+        )
+        .drop("__first_new")
+    )
+    return closed.unionByName(
+        scd2_history(batch, key_cols, version_col, op_col)
+    )
+
+
+def snapshot_diff(
+    changes: DataFrame,
+    key_cols: list[str],
+    v_low: int,
+    v_high: int,
+    exists_expr,
+    version_col: str = "change_version",
+) -> DataFrame:
+    """Net difference between two replica snapshots — what changed between
+    version ``v_low`` and ``v_high``, classified per key as I/U/D. This is
+    the reader-side twin of ``apply_changes_to_replica``: instead of
+    materializing the v_high state, report how it differs from the v_low
+    state (the audit/backfill question every CDC consumer eventually asks).
+
+    Per key, the winner as of a version V is its max change version ≤ V;
+    ``exists_expr(key_col, winner_col)`` must return a boolean Column
+    deciding whether that winning change leaves the key PRESENT (op ≠ D) —
+    the caller owns the op encoding, matching apply_changes_to_replica's
+    caller-supplied op column.
+
+      absent@low  ∧ present@high → 'I'
+      present@low ∧ absent@high  → 'D'
+      present both ∧ winner moved → 'U'     (winner unmoved rows drop out)
+
+    Scale: ONE map-side-combined groupBy over the version-bounded feed
+    (both version predicates push into the changelog scan) — no join, no
+    window, no snapshot materialization of either side."""
+    key0 = key_cols[0]
+    g = (
+        changes.filter(F.col(version_col) <= v_high)
+        .groupBy(*key_cols)
+        .agg(
+            F.max(
+                F.when(F.col(version_col) <= v_low, F.col(version_col))
+            ).alias("__w_low"),
+            F.max(version_col).alias("__w_high"),
+        )
+    )
+    present_low = F.col("__w_low").isNotNull() & exists_expr(
+        F.col(key0), F.col("__w_low")
+    )
+    present_high = exists_expr(F.col(key0), F.col("__w_high"))
+    diff_op = (
+        F.when(~present_low & present_high, "I")
+        .when(present_low & ~present_high, "D")
+        .when(
+            present_low
+            & present_high
+            & (F.col("__w_high") > F.col("__w_low")),
+            "U",
+        )
+    )
+    return (
+        g.withColumn("diff_op", diff_op)
+        .filter(F.col("diff_op").isNotNull())
+        .select(
+            *key_cols,
+            "diff_op",
+            F.coalesce(F.col("__w_low"), F.lit(-1)).alias("v_low_winner"),
+            F.col("__w_high").alias("v_high_winner"),
+        )
+    )
+
+
 def refresh_aggregate_groups(
     agg_replica: DataFrame,
     base: DataFrame,

@@ -104,6 +104,10 @@ def _registry() -> dict[str, QueryEntry]:
         "sim_pq_topk",                   # NEW r4: product-quantization ANN
         "evt_heavy_hitters_cms",         # NEW r4: count-min heavy hitters
         "scl_zorder_key",                # NEW r4: Z-order layout key
+        "cdc_scd2_history",              # NEW r4: SCD Type 2 history build
+        "cdc_scd2_incremental",          # NEW r4: SCD2 merge == full recompute
+        "cdc_snapshot_diff",             # NEW r4: replica diff between versions
+        "crp_pps_sample",                # NEW r4: weighted systematic sampler
         # stalest r2-green single (last driver check: round 2)
         "cdc_flagship_changed_invoices",
         # eight more r2-green singles were budgeted here but ceded their
@@ -134,6 +138,13 @@ def _registry() -> dict[str, QueryEntry]:
         "fn_date_arithmetic",
         "fn_timestamp_format",
         "fn_hash_bucket",
+        # four more r1-green singles ceded to the SCD2/snapshot-diff/PPS
+        # quartet (same overflow option; change-isolated single-table
+        # projections, re-enter in round 5 right after the five above)
+        "rel_cross_join_small",
+        "rel_derived_columns",
+        "rel_filter_composite",
+        "rel_union_all_segments",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

@@ -604,6 +604,139 @@ WHERE EXISTS (SELECT 1 FROM affected c WHERE c.invoice_id = t.o_orderkey)
 """
 
 
+SCD2_SPLIT = 500
+
+
+def _scd2_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-carrying, tie-free change feed for the SCD2 queries:
+    distinct (invoice_id, change_version), op by the (key + version) % 19
+    delete rule (shared with cdc_replica_as_of so deletes genuinely
+    interleave with upserts along each key's timeline), and a
+    version-dependent payload (base cents + version) joined from orders —
+    the payload a CHANGETABLE-style feed would carry per change."""
+    ch = _all_changes(spark, sf_dir).distinct()
+    orders = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("invoice_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("base_c"),
+    )
+    return ch.join(orders, "invoice_id").select(
+        "invoice_id",
+        "change_version",
+        F.when(
+            (F.col("invoice_id") + F.col("change_version")) % 19 == 0, "D"
+        )
+        .otherwise("U")
+        .alias("op"),
+        (F.col("base_c") + F.col("change_version")).alias("total_c"),
+    )
+
+
+def _scd2_out(hist: DataFrame) -> DataFrame:
+    return hist.select(
+        "invoice_id",
+        "valid_from",
+        F.coalesce("valid_to", F.lit(-1)).alias("valid_to"),
+        "is_current",
+        "total_c",
+    )
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension history built from the synthesized change feed
+    (operators/cdc.py::scd2_history): one validity interval per non-delete
+    change, closed by the key's next change of ANY op — deletes close
+    without reopening, so keys with a delete mid-timeline have gaps and
+    keys ending in a delete have no current row. One key-partitioned
+    window over the feed; the oracle pins interval edges, gap placement,
+    and is_current exactly."""
+    return _scd2_out(
+        cdc.scd2_history(_scd2_changes(spark, sf_dir), ["invoice_id"])
+    )
+
+
+_SCD2_SQL = f"""
+WITH {_CHANGELOG_CTES},
+cv AS (SELECT DISTINCT invoice_id, change_version FROM all_changes),
+feed AS (
+  SELECT c.invoice_id, c.change_version,
+         CASE WHEN (c.invoice_id + c.change_version) % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) + c.change_version AS total_c
+  FROM cv c JOIN orders o ON o.o_orderkey = c.invoice_id
+),
+hist AS (
+  SELECT invoice_id, total_c, op, change_version AS valid_from,
+         LEAD(change_version) OVER (PARTITION BY invoice_id ORDER BY change_version) AS valid_to
+  FROM feed
+)
+SELECT invoice_id, valid_from, COALESCE(valid_to, -1) AS valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current,
+       total_c
+FROM hist WHERE op <> 'D'
+"""
+
+
+def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance (operators/cdc.py::scd2_apply): the
+    history is built from the version prefix ≤ {split}, then the suffix is
+    merged as a new CDC batch — touched keys' open rows close at the
+    batch's first version, batch changes chain into new intervals,
+    untouched keys are never recomputed. The oracle is the FULL-recompute
+    history, so the hash gate proves incremental == full through closes,
+    deletes-first, re-inserts, and untouched keys."""
+    feed = _scd2_changes(spark, sf_dir)
+    hist = cdc.scd2_history(
+        feed.filter(F.col("change_version") <= SCD2_SPLIT), ["invoice_id"]
+    )
+    batch = feed.filter(F.col("change_version") > SCD2_SPLIT)
+    return _scd2_out(cdc.scd2_apply(hist, batch, ["invoice_id"]))
+
+
+DIFF_V_LOW = 250
+DIFF_V_HIGH = 500
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-range diff (operators/cdc.py::snapshot_diff): how the
+    replica state as of version {high} differs from as of {low} — per key
+    I/U/D, using the same winner-version delete rule as cdc_replica_as_of
+    so a key can flip presence across the range. One version-bounded
+    groupBy, no join, no snapshot materialization; keys whose winner
+    didn't move between the two versions drop out."""
+    return cdc.snapshot_diff(
+        _all_changes(spark, sf_dir),
+        ["invoice_id"],
+        DIFF_V_LOW,
+        DIFF_V_HIGH,
+        lambda k, v: (k + v) % 19 != 0,
+    )
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH {_CHANGELOG_CTES},
+g AS (
+  SELECT invoice_id,
+         MAX(CASE WHEN change_version <= {DIFF_V_LOW} THEN change_version END) AS w_low,
+         MAX(change_version) AS w_high
+  FROM all_changes WHERE change_version <= {DIFF_V_HIGH} GROUP BY invoice_id
+),
+c AS (
+  SELECT invoice_id, w_low, w_high,
+         (w_low IS NOT NULL AND (invoice_id + w_low) % 19 <> 0) AS p_low,
+         ((invoice_id + w_high) % 19 <> 0) AS p_high
+  FROM g
+)
+SELECT invoice_id,
+       CASE WHEN NOT p_low AND p_high THEN 'I'
+            WHEN p_low AND NOT p_high THEN 'D'
+            ELSE 'U' END AS diff_op,
+       COALESCE(w_low, -1) AS v_low_winner,
+       w_high AS v_high_winner
+FROM c
+WHERE (NOT p_low AND p_high) OR (p_low AND NOT p_high)
+   OR (p_low AND p_high AND w_high > w_low)
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "cdc_flagship_changed_invoices": QueryEntry(flagship_changed_invoices, _FLAGSHIP_SQL),
     # driver-checkable JSON-serialized form (the nested array<struct> form,
@@ -620,4 +753,9 @@ QUERIES: dict[str, QueryEntry] = {
     "cdc_replica_sync": QueryEntry(cdc_replica_sync, _REPLICA_SYNC_SQL),
     "cdc_replica_as_of": QueryEntry(cdc_replica_as_of, _REPLICA_AS_OF_SQL),
     "cdc_incremental_join_view": QueryEntry(cdc_incremental_join_view, _JOIN_VIEW_SQL),
+    "cdc_scd2_history": QueryEntry(cdc_scd2_history, _SCD2_SQL),
+    # incremental == full recompute: the oracle is deliberately the same
+    # full-history SQL, so the driver hash proves the merge identity
+    "cdc_scd2_incremental": QueryEntry(cdc_scd2_incremental, _SCD2_SQL),
+    "cdc_snapshot_diff": QueryEntry(cdc_snapshot_diff, _SNAPSHOT_DIFF_SQL),
 }

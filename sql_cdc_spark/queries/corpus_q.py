@@ -513,6 +513,38 @@ ORDER BY k.doc_id
 """
 
 
+PPS_DRAWS = 40
+PPS_BUCKETS = 64
+
+
+def crp_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) systematic sample of
+    the corpus by character mass — draw ~PPS_DRAWS docs such that
+    inclusion probability ∝ n_chars, so the SAMPLE's token mass mirrors
+    the corpus (functions/sampling.py::pps_systematic_sample). Pure
+    integer grid arithmetic over a hash-defined order: the exact same
+    docs are drawn in any engine, at any cluster size. Two-phase cumsum
+    (bucket-partitioned window + constant-size offset map) — no global
+    window, no corpus sort."""
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return SP.pps_systematic_sample(
+        docs, "doc_id", "n_chars", PPS_DRAWS, PPS_BUCKETS
+    ).select("doc_id", "source", "n_chars", "cum")
+
+
+def _pps_sql() -> str:
+    return SP.pps_sample_sql(
+        "(SELECT doc_id, source, n_chars FROM documents)",
+        "doc_id",
+        "n_chars",
+        "doc_id, source, n_chars",
+        PPS_DRAWS,
+        PPS_BUCKETS,
+    )
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),
@@ -523,4 +555,5 @@ QUERIES: dict[str, QueryEntry] = {
     "crp_source_mixture": QueryEntry(crp_source_mixture, _MIXTURE_SQL),
     "crp_mixture_sample": QueryEntry(crp_mixture_sample, _mixture_sample_sql()),
     "crp_manifest": QueryEntry(crp_manifest, _manifest_sql()),
+    "crp_pps_sample": QueryEntry(crp_pps_sample, _pps_sql()),
 }
