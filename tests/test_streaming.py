@@ -1063,3 +1063,63 @@ def test_streaming_vocab_maintenance_equals_full_recompute(spark, tmp_path):
     ups2, dels2 = VM.collapse_batch(b2)
     replay = VM.apply_vocab_changes(final, ups2, dels2, checkpoint=False)
     assert {(r.word, r.df) for r in replay.df.collect()} == got_df
+
+
+def test_streaming_scd2_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the SCD2 dimension history: draining a
+    versioned change feed through run_scd2_maintenance ends at EXACTLY
+    the history a one-shot scd2_history over the full feed produces —
+    through inserts, mid-timeline deletes, and re-inserts — and a
+    replayed batch is a watermark-filtered no-op."""
+    from sql_cdc_spark.operators.cdc import scd2_history
+    from sql_cdc_spark.streaming import scd2_maintenance as SM
+
+    keys = spark.range(1, 41).select(F.col("id").alias("key_id"))
+    vers = spark.range(1, 7).select(F.col("id").alias("change_version"))
+    full = (
+        keys.crossJoin(vers)
+        .filter((F.col("key_id") + F.col("change_version")) % 3 == 0)
+        .select(
+            "key_id",
+            (F.col("key_id") * 100 + F.col("change_version")).alias("payload"),
+            F.when(
+                (F.col("key_id") + F.col("change_version")) % 7 == 0, "D"
+            ).otherwise("U").alias("op"),
+            "change_version",
+        )
+    )
+    initial = SM.build_scd2_state(full.filter(F.col("change_version") <= 2))
+    assert initial.watermark == 2
+
+    feed = str(tmp_path / "scd2_feed")
+    for v in (3, 4, 5, 6):  # one file per version, written in order
+        full.filter(F.col("change_version") == v).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    final, n_batches = SM.run_scd2_maintenance(
+        spark, feed, str(tmp_path / "scd2_chk"), initial
+    )
+    assert n_batches >= 1 and final.watermark == 6
+
+    cols = ["key_id", "payload", "valid_from", "valid_to", "is_current"]
+    got = sorted(tuple(r) for r in final.history.select(*cols).collect())
+    want = sorted(
+        tuple(r)
+        for r in scd2_history(full, ["key_id"]).select(*cols).collect()
+    )
+    assert got == want
+
+    # replayed batch: versions all <= watermark → the SAME state comes back
+    replay = SM.apply_scd2_batch(
+        final, full.filter(F.col("change_version") == 6), checkpoint=False
+    )
+    assert replay is final
+
+    # cold start: an empty initial state merges the whole feed in one round
+    empty = SM.build_scd2_state(full.filter(F.lit(False)), checkpoint=False)
+    assert empty.watermark == -1
+    cold = SM.apply_scd2_batch(empty, full, checkpoint=False)
+    got_cold = sorted(tuple(r) for r in cold.history.select(*cols).collect())
+    assert got_cold == want
+    final.release()
