@@ -212,3 +212,79 @@ def distinct_within_bound(
             <= F.greatest(F.lit(2.0), F.lit(bound) * F.col("exact_distinct"))
         ).alias("ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — runtime semi-join pruning in pure column algebra
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 16  # 65536 bits = 1024 longs ≈ 8 KiB broadcast
+BLOOM_K = 5             # ~3% FP at 5k keys / 64k bits; FPs are join-removed
+
+# element_at masks for single-bit tests: shiftleft's shift argument must
+# be a literal in the DataFrame API, so bit j is selected from a 64-entry
+# literal array instead (1 << 63 wraps to long min — that IS bit 63)
+_BIT_MASKS = [1 << j for j in range(63)] + [-(1 << 63)]
+
+
+def _bloom_positions(col: Column, k: int, m_bits: int) -> list[Column]:
+    """k engine-deterministic bit positions: xxhash64 over (salt, key)."""
+    return [F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_bitmap(
+    keys: DataFrame,
+    key_col: str,
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> list[int]:
+    """Build a Bloom bitmap over a key set as ``m_bits/64`` longs.
+
+    The per-word BIT_OR aggregate is map-side combined, so the shuffle
+    carries ≤ partitions × m_bits/64 rows no matter how many keys go in;
+    the driver collect is bounded by the CONSTANT word count (1024 at the
+    default m) — this list is exactly the broadcast object a cluster-side
+    runtime filter ships. Spark's own bloom_filter_agg is not SQL-exposed
+    in this build; this is the same construction in engine-portable
+    column algebra (the HLL-register discipline applied to membership)."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), k, m_bits))
+    ).alias("pos")
+    masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
+    words = (
+        keys.select(pos)
+        .select(
+            F.floor(F.col("pos") / 64).cast("int").alias("w"),
+            F.element_at(masks, F.pmod(F.col("pos"), F.lit(64)).cast("int") + 1)
+            .alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["word"]
+    return bitmap
+
+
+def bloom_probe(
+    col: Column,
+    bitmap: list[int],
+    k: int = BLOOM_K,
+    m_bits: int = BLOOM_M_BITS,
+) -> Column:
+    """Membership predicate against a built bitmap — a scan-local filter
+    (no join, no shuffle) that drops most non-matching fact rows BEFORE
+    the join/exchange, the classic runtime semi-join reduction. May pass
+    false positives (the downstream join removes them), never drops a
+    true member."""
+    words = F.array(*[F.lit(w) for w in bitmap])
+    masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
+    cond = F.lit(True)
+    for pos_expr in _bloom_positions(col, k, m_bits):
+        pos = pos_expr
+        word = F.element_at(words, F.floor(pos / 64).cast("int") + 1)
+        mask = F.element_at(masks, F.pmod(pos, F.lit(64)).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return cond

@@ -108,6 +108,7 @@ def _registry() -> dict[str, QueryEntry]:
         "cdc_scd2_incremental",          # NEW r4: SCD2 merge == full recompute
         "cdc_snapshot_diff",             # NEW r4: replica diff between versions
         "crp_pps_sample",                # NEW r4: weighted systematic sampler
+        "scl_bloom_pruned_join",         # NEW r4: runtime Bloom semi-join prune
         # stalest r2-green single (last driver check: round 2)
         "cdc_flagship_changed_invoices",
         # eight more r2-green singles were budgeted here but ceded their
@@ -145,6 +146,7 @@ def _registry() -> dict[str, QueryEntry]:
         "rel_derived_columns",
         "rel_filter_composite",
         "rel_union_all_segments",
+        "rel_multi_hop_dims",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

@@ -147,9 +147,49 @@ FROM events ORDER BY event_id
 """
 
 
+BLOOM_SEGMENT = "BUILDING"
+BLOOM_BALANCE_MIN = 9000.0
+
+
+def scl_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom semi-join reduction (functions/sketches.py::
+    bloom_bitmap/bloom_probe): the selective customer dim (one segment,
+    high balance) builds an 8 KiB bitmap; the orders fact is filtered by
+    the scan-local probe BEFORE the join, so at 100 TB most fact rows
+    die at the scan instead of crossing the exchange — Spark's own
+    runtime-filter rewrite, expressed as a first-class operator for
+    engines/plans where the optimizer doesn't inject it. False positives
+    are removed by the join itself, so the result — and the oracle — is
+    EXACTLY the plain join."""
+    from sql_cdc_spark.functions import sketches as SK
+
+    cust = tables.load(spark, sf_dir, "customer")
+    dim = cust.filter(
+        (F.col("c_mktsegment") == BLOOM_SEGMENT)
+        & (F.col("c_acctbal") > BLOOM_BALANCE_MIN)
+    ).select("c_custkey", "c_name")
+    bitmap = SK.bloom_bitmap(dim, "c_custkey")
+    orders = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    pruned = orders.filter(SK.bloom_probe(F.col("o_custkey"), bitmap))
+    return pruned.join(
+        F.broadcast(dim), pruned.o_custkey == dim.c_custkey, "inner"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name")
+
+
+_BLOOM_JOIN_SQL = f"""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = '{BLOOM_SEGMENT}' AND c.c_acctbal > {BLOOM_BALANCE_MIN}
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "scl_salted_pricing": QueryEntry(scl_salted_pricing, _SALTED_PRICING_SQL),
     "scl_salted_join_segments": QueryEntry(scl_salted_join_segments, _SALTED_JOIN_SQL),
     "scl_group_zscore": QueryEntry(scl_group_zscore, _ZSCORE_SQL),
     "scl_zorder_key": QueryEntry(scl_zorder_key, _zorder_sql()),
+    "scl_bloom_pruned_join": QueryEntry(scl_bloom_pruned_join, _BLOOM_JOIN_SQL),
 }

@@ -62,6 +62,7 @@ def test_registry_window_holds_all_round4_queries():
         "cdc_scd2_incremental",          # NEW: SCD2 merge == full recompute
         "cdc_snapshot_diff",             # NEW: replica diff between versions
         "crp_pps_sample",                # NEW: weighted systematic sampler
+        "scl_bloom_pruned_join",         # NEW: runtime Bloom semi-join prune
     ]
     missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
@@ -70,14 +71,14 @@ def test_registry_window_holds_all_round4_queries():
     # them (rel_sample_avg, rel_distinct_flags, fn_date_arithmetic,
     # fn_timestamp_format, fn_hash_bucket) ceded their slots to the five
     # late-r4 operators, and four more (rel_cross_join_small,
-    # rel_derived_columns, rel_filter_composite, rel_union_all_segments)
-    # to the SCD2/snapshot-diff/PPS quartet, under the verdict's
-    # published two-round overflow option —
+    # rel_derived_columns, rel_filter_composite, rel_union_all_segments,
+    # rel_multi_hop_dims) to the SCD2/snapshot-diff/PPS/bloom additions,
+    # under the verdict's published two-round overflow option —
     # they re-enter FIRST in round 5 (see queries/__init__.py demote
     # comment) and stay pytest-oracle-covered meanwhile.
     stale_r1 = [
         "win_lag_delta", "win_moving_avg", "win_running_total",
-        "rel_multi_hop_dims", "rel_top_revenue_orders",
+        "rel_top_revenue_orders",
         "rel_semi_join_big_spenders", "rel_intersect_buyers",
         "rel_cube_status_flag", "win_latest_n_per_user",
         "tpch_q10_returned_items", "rel_customer_order_stats",
@@ -291,3 +292,29 @@ def test_pps_sample_mass_proportional_and_partition_stable(spark):
     )
     n_flat = len(pps_systematic_sample(flat, "id", "w", n).collect())
     assert abs(n_flat - n) <= 1
+
+
+def test_bloom_probe_never_drops_members_and_prunes(spark):
+    """Bloom semi-join reduction guarantees: zero false negatives (every
+    dim key survives the probe), genuine pruning (most non-members die at
+    the scan), and the pruned join equals the plain join exactly."""
+    from sql_cdc_spark.functions import sketches as SK
+
+    dim = spark.range(0, 5000, 7).select(F.col("id").alias("k"))
+    fact = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    bitmap = SK.bloom_bitmap(dim, "k")
+    probe = SK.bloom_probe(F.col("k"), bitmap)
+    passed = fact.filter(probe)
+    n_members = fact.join(dim, "k", "left_semi").count()
+    # no false negatives: every true member passes the probe
+    assert passed.join(dim, "k", "left_semi").count() == n_members
+    # genuine pruning: non-member pass-through (FP rate) stays tiny
+    n_passed = passed.count()
+    fp_rate = (n_passed - n_members) / (100_000 - n_members)
+    assert fp_rate < 0.05, fp_rate
+    # exactness: pruned join == plain join
+    got = sorted(map(tuple, passed.join(dim, "k").collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want
