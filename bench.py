@@ -57,6 +57,9 @@ EXTENDED = [
     "tpch_q9_product_type_profit",  # 5-way profit join, fact⨝fact shuffle
     "tpch_q21_waiting_suppliers",   # decorrelated EXISTS chain, 1 fact scan
     "dd_incremental_near_dup",  # CDC-driven dedup maintenance
+    "cdc_scd2_incremental",     # SCD2 merge (== full-recompute oracle)
+    "crp_pps_sample",           # weighted systematic corpus sampler
+    "scl_bloom_pruned_join",    # runtime Bloom semi-join reduction
 ]
 
 

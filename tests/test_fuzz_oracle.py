@@ -591,3 +591,123 @@ def test_random_query4_matches_duckdb(spark, oracle, seed):
     rng = random.Random(11000 + seed)
     q = _gen4(rng)
     assert_matches_oracle(_to_spark4(spark, q), oracle, _to_sql4(q))
+
+
+# ---- family 5: outer joins with null-handling, set operations, and
+# correlated EXISTS/NOT EXISTS — the three-valued-logic surfaces where
+# engines classically diverge (NULL semantics in joins, bag-vs-set ops,
+# correlated decorrelation) ----
+
+
+def _gen5(rng: random.Random) -> dict:
+    bal = rng.randrange(-900, 9000, 250)  # customer acctbal threshold
+    seg = rng.choice(
+        ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+    )
+    key_mod = rng.choice([3, 7, 11])
+    shape = rng.random()
+    if shape < 0.35:
+        # LEFT JOIN vs a filtered dim: unmatched rows carry NULLs — count
+        # both sides of the match and a coalesce-summed measure per status
+        return {"left": {"bal": bal, "seg": seg}}
+    if shape < 0.60:
+        # set op over key projections with disjoint random filters
+        return {
+            "setop": {
+                "op": rng.choice(["intersect", "except"]),
+                "bal": bal,
+                "key_mod": key_mod,
+            }
+        }
+    # correlated (NOT) EXISTS → semi/anti join decorrelation
+    return {
+        "exists": {"neg": rng.random() < 0.5, "bal": bal, "seg": seg}
+    }
+
+
+def _to_spark5(spark, q: dict):
+    orders = tables.load(spark, SF_DIR, "orders")
+    cust = tables.load(spark, SF_DIR, "customer")
+    if "left" in q:
+        p = q["left"]
+        dim = cust.filter(
+            (F.col("c_acctbal") > p["bal"]) & (F.col("c_mktsegment") == p["seg"])
+        ).select("c_custkey", "c_acctbal")
+        j = orders.join(dim, orders.o_custkey == dim.c_custkey, "left")
+        return j.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("c_custkey").alias("n_matched"),
+            F.sum(
+                F.coalesce(
+                    F.round(F.col("c_acctbal") * 100).cast("long"), F.lit(-1)
+                )
+            ).alias("bal_c"),
+        )
+    if "setop" in q:
+        p = q["setop"]
+        a = orders.filter(F.col("o_orderkey") % p["key_mod"] == 0).select(
+            F.col("o_custkey").alias("k")
+        )
+        b = cust.filter(F.col("c_acctbal") > p["bal"]).select(
+            F.col("c_custkey").alias("k")
+        )
+        # intersect / subtract are the SET-semantics ops (SQL INTERSECT /
+        # EXCEPT); exceptAll-of-a-set would leave surviving duplicates
+        return a.intersect(b) if p["op"] == "intersect" else a.subtract(b)
+    p = q["exists"]
+    dim = cust.filter(
+        (F.col("c_acctbal") > p["bal"]) & (F.col("c_mktsegment") == p["seg"])
+    ).select("c_custkey")
+    how = "left_anti" if p["neg"] else "left_semi"
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey, how)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_c"
+            ),
+        )
+    )
+
+
+def _to_sql5(q: dict) -> str:
+    if "left" in q:
+        p = q["left"]
+        return f"""
+SELECT o.o_orderstatus, COUNT(*) AS n_orders, COUNT(c.c_custkey) AS n_matched,
+       SUM(COALESCE(CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT), -1)) AS bal_c
+FROM orders o
+LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_acctbal > {p["bal"]} AND c_mktsegment = '{p["seg"]}') c
+  ON o.o_custkey = c.c_custkey
+GROUP BY o.o_orderstatus
+"""
+    if "setop" in q:
+        p = q["setop"]
+        op = "INTERSECT" if p["op"] == "intersect" else "EXCEPT"
+        return f"""
+SELECT o_custkey AS k FROM orders WHERE o_orderkey % {p["key_mod"]} = 0
+{op}
+SELECT c_custkey AS k FROM customer WHERE c_acctbal > {p["bal"]}
+"""
+    p = q["exists"]
+    neg = "NOT " if p["neg"] else ""
+    return f"""
+SELECT o.o_orderpriority, COUNT(*) AS n,
+       SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS price_c
+FROM orders o
+WHERE {neg}EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_custkey = o.o_custkey
+    AND c.c_acctbal > {p["bal"]} AND c.c_mktsegment = '{p["seg"]}'
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_query5_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(13000 + seed)
+    q = _gen5(rng)
+    assert_matches_oracle(_to_spark5(spark, q), oracle, _to_sql5(q))
