@@ -295,3 +295,47 @@ def test_assert_scale_safe_catches_scale_killers(spark):
     good = base.join(F.broadcast(dim), "k")
     flags = assert_scale_safe(good)
     assert flags.broadcast_joins == 1 and flags.sort_merge_joins == 0
+
+
+# measured at sf0.01 (this round) — a ceiling, not a target: any edit
+# that adds an exchange to a headline plan must either beat the old
+# shape or consciously raise its budget here with a why-comment
+HEADLINE_EXCHANGE_BUDGETS = {
+    "cdc_flagship_documents": 9,
+    "cdc_net_changes_enriched": 2,
+    "rel_pricing_summary": 1,
+    "rel_header_line_view": 1,
+    "rel_customer_order_stats": 2,
+    "win_order_ranks": 1,
+    "dd_exact": 1,
+    "dd_near_dup_pairs": 32,
+    "sim_topk_cosine": 1,
+    "txt_quality_score": 0,
+    "evt_tumbling_hourly": 1,
+    "mm_decode_features": 0,
+    "tpch_q5_local_supplier_volume": 7,
+    # round-4 additions (non-headline but budget-pinned):
+    "cdc_scd2_history": 4,
+    "cdc_snapshot_diff": 2,
+    "crp_pps_sample": 1,
+    "scl_bloom_pruned_join": 1,
+}
+
+
+def test_headline_exchange_budgets(spark):
+    """Shuffle-count regression gate: every exchange in a 100 TB plan is
+    a full-data network pass, so the bench headline queries carry an
+    explicit exchange budget. A creeping extra shuffle (lost broadcast,
+    un-fused aggregation, accidental repartition) fails here long before
+    it shows up as a bench regression."""
+    import __spark_entry__ as entry
+
+    from sql_cdc_spark.plans import plan_flags
+
+    qs = entry.queries()
+    over = {}
+    for name, budget in HEADLINE_EXCHANGE_BUDGETS.items():
+        got = plan_flags(qs[name](spark, SF_DIR)).exchanges
+        if got > budget:
+            over[name] = (got, budget)
+    assert not over, f"exchange budget exceeded (got, budget): {over}"
