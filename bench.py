@@ -140,6 +140,30 @@ def cdc_pipeline_throughput(spark, sf_dir: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _tenx_corpus(docs):
+    """10× in-memory documents corpus: each copy k gets a distinct
+    character rotation (vowels, then consonants for k≥5) so the ten
+    variants of a doc have genuinely different shingle sets and the pair
+    space grows ~linearly, not quadratically-in-copies. Shared by the
+    stress and incremental-scaling blocks so the two measured scenarios
+    can never drift apart."""
+    from pyspark.sql import functions as F
+
+    tenx = None
+    for k in range(10):
+        t = F.col("text")
+        vr = k % 5
+        if vr:
+            t = F.translate(t, "aeiou", "aeiou"[vr:] + "aeiou"[:vr])
+        if k >= 5:
+            t = F.translate(t, "nrst", "rstn")
+        v = docs.select(
+            (F.col("doc_id") + k * 10_000_000).alias("doc_id"), t.alias("text")
+        )
+        tenx = v if tenx is None else tenx.unionByName(v)
+    return tenx
+
+
 def dedup_10x_stress(spark, sf_dir: str) -> dict:
     """Measured 10× scale point for the near-dup path (VERDICT r3 #8):
     synthesize a 10×-row documents corpus IN MEMORY — each copy k gets a
@@ -157,18 +181,7 @@ def dedup_10x_stress(spark, sf_dir: str) -> dict:
     from sql_cdc_spark.functions import dedup as DD
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    tenx = None
-    for k in range(10):
-        t = F.col("text")
-        vr = k % 5
-        if vr:
-            t = F.translate(t, "aeiou", "aeiou"[vr:] + "aeiou"[:vr])
-        if k >= 5:
-            t = F.translate(t, "nrst", "rstn")
-        v = docs.select(
-            (F.col("doc_id") + k * 10_000_000).alias("doc_id"), t.alias("text")
-        )
-        tenx = v if tenx is None else tenx.unionByName(v)
+    tenx = _tenx_corpus(docs)
     n_docs = tenx.count()
     t0 = perf_counter()
     shingled = DD.doc_shingles(tenx).persist()
@@ -206,22 +219,13 @@ def incremental_apply_scaling(spark, sf_dir: str) -> dict:
     from sql_cdc_spark.functions import dedup as DD
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
-    tenx = None
-    for k in range(10):
-        t = F.col("text")
-        vr = k % 5
-        if vr:
-            t = F.translate(t, "aeiou", "aeiou"[vr:] + "aeiou"[:vr])
-        if k >= 5:
-            t = F.translate(t, "nrst", "rstn")
-        v = docs.select(
-            (F.col("doc_id") + k * 10_000_000).alias("doc_id"), t.alias("text")
-        )
-        tenx = v if tenx is None else tenx.unionByName(v)
-    batch = docs.limit(50).select(
+    tenx = _tenx_corpus(docs)
+    # total order before limit (repo rule): the measured batch must be
+    # the SAME 50/10 docs on every run and machine
+    batch = docs.orderBy("doc_id").limit(50).select(
         (F.col("doc_id") + 77_000_000).alias("doc_id"), "text"
     )
-    deletes = docs.limit(10).select("doc_id")
+    deletes = docs.orderBy("doc_id").limit(10).select("doc_id")
     out = {}
     for tag, corpus in (("1x", docs), ("10x", tenx)):
         state = DD.build_near_dup_state(corpus, max_bucket_size=50)

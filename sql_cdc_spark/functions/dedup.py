@@ -468,8 +468,12 @@ def apply_near_dup_changes(
     # affected buckets: every bucket holding a touched doc in old OR new
     # banding — small (≤ |touched| × n_bands), lineage-cut for reuse
     b_old_t = state.banded.join(tb, [id_col])
+    # scratch snapshots follow the caller's checkpoint choice: eager
+    # checkpoints can only be released when the consumers are themselves
+    # materialized (checkpoint=True); a lazy run must stay fully lazy or
+    # the scratch blocks leak for the lifetime of the returned plans
     aff = _ckpt(
-        b_old_t.select("bkey").union(b_u.select("bkey")).distinct(), True
+        b_old_t.select("bkey").union(b_u.select("bkey")).distinct(), checkpoint
     )
     # new state membership: one anti-join + union per table
     sh_new = _ckpt(
@@ -489,7 +493,7 @@ def apply_near_dup_changes(
     rem = b_old_t.groupBy("bkey").agg(F.count(F.lit(1)).alias("n_rem"))
     add = b_u.groupBy("bkey").agg(F.count(F.lit(1)).alias("n_add"))
     aff_sizes_old = _ckpt(
-        state.bucket_sizes.join(F.broadcast(aff), ["bkey"]), True
+        state.bucket_sizes.join(F.broadcast(aff), ["bkey"]), checkpoint
     )
     upd_sizes = _ckpt(
         aff_sizes_old.join(rem, ["bkey"], "full")
@@ -503,7 +507,7 @@ def apply_near_dup_changes(
             ).alias("bsz"),
         )
         .filter(F.col("bsz") > 0),
-        True,
+        checkpoint,
     )
     sizes_new = _ckpt(
         state.bucket_sizes.join(F.broadcast(aff), ["bkey"], "left_anti")
@@ -522,7 +526,9 @@ def apply_near_dup_changes(
         else aff_sizes_old
     ).select("bkey")
     cand_new_aff = _bucket_pairs(b_new, ok_new, id_col)
-    cand_old_aff = _ckpt(_bucket_pairs(state.banded, ok_old, id_col), True)
+    cand_old_aff = _ckpt(
+        _bucket_pairs(state.banded, ok_old, id_col), checkpoint
+    )
     # prior pairs split: untouched by any affected bucket → carry over
     p_keep = state.pairs.join(cand_old_aff, ["id_a", "id_b"], "left_anti")
     p_aff = state.pairs.join(cand_old_aff, ["id_a", "id_b"], "left_semi")

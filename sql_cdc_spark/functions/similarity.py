@@ -284,11 +284,16 @@ def pq_adc_topk(
     fetch touches shortlist rows, not the corpus."""
     import numpy as np
 
+    qrow = vectors.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if qrow is None:
+        raise ValueError(
+            f"query_id {query_id!r} not found in {id_col} — checked before "
+            "the codebook fit so a bad id fails fast"
+        )
     books = pq_codebooks(
         vectors, m, n_codes, vec_col, fit_fraction=fit_fraction
     )
     codes = pq_encode(vectors, books, vec_col, id_col)
-    qrow = vectors.filter(F.col(id_col) == query_id).select(vec_col).first()
     qm = np.round(np.array(qrow[0], dtype="float64") * 1e6).astype("int64")
     sub = len(qm) // m
     adist: Column | None = None

@@ -156,6 +156,7 @@ def cms_point_estimates(
     value_col: str,
     d: int = CMS_D,
     w: int = CMS_W,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """CMS point queries: for each candidate item, the estimate is the
     MIN over the d rows of its cell's count (a missing cell is 0 — only
@@ -164,8 +165,16 @@ def cms_point_estimates(
     cell); estimate ≤ true + (e/w)·N with probability ≈ 1 − e^−d per
     item. The candidate set is small (heavy-hitter candidates), so the
     probe explode is |items|·d rows joined against the sparse cell
-    table."""
+    table.
+
+    ``group_cols`` must name the SAME grouping the cell table was built
+    with (and ``items`` must carry those columns): the probe join
+    includes them, so a per-day/per-source sketch is estimated within
+    its own group. Omitting them against a grouped cell table would
+    min() across groups and silently break the one-sided guarantee."""
+    group_cols = group_cols or []
     probes = items.select(
+        *group_cols,
         value_col,
         F.explode(
             F.array(
@@ -182,10 +191,15 @@ def cms_point_estimates(
                 ]
             )
         ).alias("rc"),
-    ).select(value_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    ).select(
+        *group_cols,
+        value_col,
+        F.col("rc.row").alias("row"),
+        F.col("rc.col").alias("col"),
+    )
     return (
-        probes.join(cells, ["row", "col"], "left")
-        .groupBy(value_col)
+        probes.join(cells, [*group_cols, "row", "col"], "left")
+        .groupBy(*group_cols, value_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
     )
 

@@ -315,7 +315,7 @@ def scd2_apply(
 
 def snapshot_diff(
     changes: DataFrame,
-    key_cols: list[str],
+    key_col: str,
     v_low: int,
     v_high: int,
     exists_expr,
@@ -331,7 +331,10 @@ def snapshot_diff(
     ``exists_expr(key_col, winner_col)`` must return a boolean Column
     deciding whether that winning change leaves the key PRESENT (op ≠ D) —
     the caller owns the op encoding, matching apply_changes_to_replica's
-    caller-supplied op column.
+    caller-supplied op column. Single-key by design: the presence rule
+    receives exactly one key column (a composite key should be folded
+    into one surrogate first, as the line-PK queries do with
+    l_orderkey*8+l_linenumber).
 
       absent@low  ∧ present@high → 'I'
       present@low ∧ absent@high  → 'D'
@@ -340,10 +343,9 @@ def snapshot_diff(
     Scale: ONE map-side-combined groupBy over the version-bounded feed
     (both version predicates push into the changelog scan) — no join, no
     window, no snapshot materialization of either side."""
-    key0 = key_cols[0]
     g = (
         changes.filter(F.col(version_col) <= v_high)
-        .groupBy(*key_cols)
+        .groupBy(key_col)
         .agg(
             F.max(
                 F.when(F.col(version_col) <= v_low, F.col(version_col))
@@ -352,9 +354,9 @@ def snapshot_diff(
         )
     )
     present_low = F.col("__w_low").isNotNull() & exists_expr(
-        F.col(key0), F.col("__w_low")
+        F.col(key_col), F.col("__w_low")
     )
-    present_high = exists_expr(F.col(key0), F.col("__w_high"))
+    present_high = exists_expr(F.col(key_col), F.col("__w_high"))
     diff_op = (
         F.when(~present_low & present_high, "I")
         .when(present_low & ~present_high, "D")
@@ -369,7 +371,7 @@ def snapshot_diff(
         g.withColumn("diff_op", diff_op)
         .filter(F.col("diff_op").isNotNull())
         .select(
-            *key_cols,
+            key_col,
             "diff_op",
             F.coalesce(F.col("__w_low"), F.lit(-1)).alias("v_low_winner"),
             F.col("__w_high").alias("v_high_winner"),

@@ -704,7 +704,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     didn't move between the two versions drop out."""
     return cdc.snapshot_diff(
         _all_changes(spark, sf_dir),
-        ["invoice_id"],
+        "invoice_id",
         DIFF_V_LOW,
         DIFF_V_HIGH,
         lambda k, v: (k + v) % 19 != 0,

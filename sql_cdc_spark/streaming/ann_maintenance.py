@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from sql_cdc_spark.functions.dedup import release_local_checkpoint
 from sql_cdc_spark.functions.similarity import as_double_array, ivf_assign
+from sql_cdc_spark.streaming import feed as FEED
 
 CHANGE_SCHEMA = (
     "vec_id long, embedding array<float>, op string, change_version long"
@@ -47,24 +48,14 @@ def read_embedding_changes(
     spark: SparkSession, feed_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming source over a parquet embedding-change feed."""
-    reader = spark.readStream.schema(CHANGE_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    return reader.parquet(feed_dir)
+    return FEED.read_feed(spark, feed_dir, CHANGE_SCHEMA, max_files_per_trigger)
 
 
 def collapse_batch(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Latest-op-per-vector collapse of one change batch → (upserts,
-    deletes). Plain batch column algebra, unit-testable without a
-    stream."""
-    latest = batch_df.groupBy("vec_id").agg(
-        F.max_by(F.struct("op", "embedding"), F.col("change_version")).alias("w")
-    )
-    upserts = latest.filter(
-        (F.col("w.op") != "D") & F.col("w.embedding").isNotNull()
-    ).select("vec_id", F.col("w.embedding").alias("embedding"))
-    deletes = latest.filter(F.col("w.op") == "D").select("vec_id")
-    return upserts, deletes
+    deletes) — streaming/feed.py::collapse_latest on (vec_id,
+    embedding)."""
+    return FEED.collapse_latest(batch_df, "vec_id", "embedding")
 
 
 def assign_under_model(
@@ -142,21 +133,12 @@ def run_ann_maintenance(
     RELEASED as it is superseded — callers must not reuse the passed-in
     frame after this returns. The returned postings are live and
     caller-owned."""
-    holder: dict = {"postings": initial_postings, "batches": 0}
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(prev: DataFrame, batch_df: DataFrame) -> DataFrame:
         upserts, deletes = collapse_batch(batch_df)
-        prev = holder["postings"]
-        holder["postings"] = apply_postings_changes(prev, upserts, deletes, model)
-        release_local_checkpoint(prev)
-        holder["batches"] += 1
+        return apply_postings_changes(prev, upserts, deletes, model)
 
-    query = (
-        read_embedding_changes(spark, feed_dir, max_files_per_trigger)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return FEED.drain_feed(
+        spark, feed_dir, CHANGE_SCHEMA, checkpoint_dir, initial_postings,
+        _apply, release_local_checkpoint,
+        max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
     )
-    query.awaitTermination(timeout_s)
-    return holder["postings"], holder["batches"]

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_cdc_spark.functions import dedup as DD
+from sql_cdc_spark.streaming import feed as FEED
 
 CHANGE_SCHEMA = "doc_id long, text string, op string, change_version long"
 
@@ -42,24 +43,13 @@ def read_document_changes(
     spark: SparkSession, feed_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming source over a parquet document-change feed."""
-    reader = spark.readStream.schema(CHANGE_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    return reader.parquet(feed_dir)
+    return FEED.read_feed(spark, feed_dir, CHANGE_SCHEMA, max_files_per_trigger)
 
 
 def collapse_batch(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Latest-op-per-doc collapse of one change batch → (upserts,
-    deletes). Plain batch column algebra, reusable on any frame with the
-    CHANGE_SCHEMA columns (unit-testable without a stream)."""
-    latest = batch_df.groupBy("doc_id").agg(
-        F.max_by(F.struct("op", "text"), F.col("change_version")).alias("w")
-    )
-    upserts = latest.filter(
-        (F.col("w.op") != "D") & F.col("w.text").isNotNull()
-    ).select("doc_id", F.col("w.text").alias("text"))
-    deletes = latest.filter(F.col("w.op") == "D").select("doc_id")
-    return upserts, deletes
+    deletes) — streaming/feed.py::collapse_latest on (doc_id, text)."""
+    return FEED.collapse_latest(batch_df, "doc_id", "text")
 
 
 def run_dedup_maintenance(
@@ -80,27 +70,18 @@ def run_dedup_maintenance(
     it is superseded — callers must not reuse the passed-in state after
     this returns. The returned state is live and caller-owned.
     """
-    holder: dict = {"state": initial, "batches": 0}
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(prev: DD.NearDupState, batch_df: DataFrame) -> DD.NearDupState:
         upserts, deletes = collapse_batch(batch_df)
-        prev = holder["state"]
-        holder["state"] = DD.apply_near_dup_changes(
+        return DD.apply_near_dup_changes(
             prev,
             upserts,
             deletes,
             max_bucket_size=max_bucket_size,
             threshold=threshold,
         )
-        prev.release()
-        holder["batches"] += 1
 
-    query = (
-        read_document_changes(spark, feed_dir, max_files_per_trigger)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return FEED.drain_feed(
+        spark, feed_dir, CHANGE_SCHEMA, checkpoint, initial, _apply,
+        lambda s: s.release(),
+        max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
     )
-    query.awaitTermination(timeout_s)
-    return holder["state"], holder["batches"]

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from sql_cdc_spark.functions.dedup import release_local_checkpoint
 from sql_cdc_spark.operators.cdc import scd2_apply, scd2_history
+from sql_cdc_spark.streaming import feed as FEED
 
 __all__ = [
     "SCD2_CHANGE_SCHEMA",
@@ -55,8 +56,7 @@ class SCD2State(NamedTuple):
         release_local_checkpoint(self.history)
 
 
-def _ckpt(df: DataFrame, enabled: bool) -> DataFrame:
-    return df.localCheckpoint(eager=True) if enabled else df
+_ckpt = FEED.ckpt
 
 
 def build_scd2_state(changes: DataFrame, checkpoint: bool = True) -> SCD2State:
@@ -90,10 +90,9 @@ def read_scd2_changes(
     spark: SparkSession, feed_dir: str, max_files_per_trigger: int | None = 1
 ) -> DataFrame:
     """Streaming source over a parquet dimension-change feed."""
-    reader = spark.readStream.schema(SCD2_CHANGE_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    return reader.parquet(feed_dir)
+    return FEED.read_feed(
+        spark, feed_dir, SCD2_CHANGE_SCHEMA, max_files_per_trigger
+    )
 
 
 def run_scd2_maintenance(
@@ -112,22 +111,9 @@ def run_scd2_maintenance(
     The feed must deliver versions in non-decreasing file order (the
     natural layout of a CDC extract directory); the watermark filter
     makes redelivery harmless rather than double-applied."""
-    holder: dict = {"state": initial, "batches": 0}
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        prev = holder["state"]
-        nxt = apply_scd2_batch(prev, batch_df)
-        if nxt is not prev:
-            prev.release()
-        holder["state"] = nxt
-        holder["batches"] += 1
-
-    query = (
-        read_scd2_changes(spark, feed_dir, max_files_per_trigger)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return FEED.drain_feed(
+        spark, feed_dir, SCD2_CHANGE_SCHEMA, checkpoint_dir, initial,
+        lambda prev, batch_df: apply_scd2_batch(prev, batch_df),
+        lambda s: s.release(),
+        max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
     )
-    query.awaitTermination(timeout_s)
-    return holder["state"], holder["batches"]

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sql_cdc_spark.functions.dedup import release_local_checkpoint
 from sql_cdc_spark.functions.sketches import HLL_P, hll_registers, merge_registers
+from sql_cdc_spark.streaming import feed as FEED
 
 EVENT_SCHEMA = "group_key string, value long, change_version long"
 
@@ -31,10 +32,7 @@ def read_event_feed(
     spark: SparkSession, feed_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Streaming source over a parquet append-only event feed."""
-    reader = spark.readStream.schema(EVENT_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
-    return reader.parquet(feed_dir)
+    return FEED.read_feed(spark, feed_dir, EVENT_SCHEMA, max_files_per_trigger)
 
 
 def apply_sketch_batch(
@@ -70,22 +68,12 @@ def run_sketch_maintenance(
     n_batches). ``initial_state`` and every superseded snapshot are
     released; the returned state is live and caller-owned."""
     gcols = group_cols or ["group_key"]
-    holder: dict = {"state": initial_state, "batches": 0}
 
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        prev = holder["state"]
-        holder["state"] = apply_sketch_batch(
-            prev, batch_df, gcols, value_col, p
-        )
-        release_local_checkpoint(prev)
-        holder["batches"] += 1
+    def _apply(prev: DataFrame, batch_df: DataFrame) -> DataFrame:
+        return apply_sketch_batch(prev, batch_df, gcols, value_col, p)
 
-    query = (
-        read_event_feed(spark, feed_dir, max_files_per_trigger)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return FEED.drain_feed(
+        spark, feed_dir, EVENT_SCHEMA, checkpoint_dir, initial_state,
+        _apply, release_local_checkpoint,
+        max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
     )
-    query.awaitTermination(timeout_s)
-    return holder["state"], holder["batches"]

@@ -24,10 +24,10 @@ from pyspark.sql import functions as F
 
 from sql_cdc_spark.functions import text as TX
 from sql_cdc_spark.functions.dedup import release_local_checkpoint
+from sql_cdc_spark.streaming import feed as FEED
 from sql_cdc_spark.streaming.dedup_maintenance import (
     CHANGE_SCHEMA,
     collapse_batch,
-    read_document_changes,
 )
 
 __all__ = [
@@ -55,8 +55,7 @@ class VocabState(NamedTuple):
             release_local_checkpoint(f)
 
 
-def _ckpt(df: DataFrame, enabled: bool) -> DataFrame:
-    return df.localCheckpoint(eager=True) if enabled else df
+_ckpt = FEED.ckpt
 
 
 def _doc_words(docs: DataFrame) -> DataFrame:
@@ -147,21 +146,12 @@ def run_vocab_maintenance(
     applying each micro-batch; returns (final_state, n_batches).
     ``initial`` and every superseded state are released; the returned
     state is live and caller-owned."""
-    holder: dict = {"state": initial, "batches": 0}
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(prev: VocabState, batch_df: DataFrame) -> VocabState:
         upserts, deletes = collapse_batch(batch_df)
-        prev = holder["state"]
-        holder["state"] = apply_vocab_changes(prev, upserts, deletes)
-        prev.release()
-        holder["batches"] += 1
+        return apply_vocab_changes(prev, upserts, deletes)
 
-    query = (
-        read_document_changes(spark, feed_dir, max_files_per_trigger)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return FEED.drain_feed(
+        spark, feed_dir, CHANGE_SCHEMA, checkpoint_dir, initial, _apply,
+        lambda s: s.release(),
+        max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
     )
-    query.awaitTermination(timeout_s)
-    return holder["state"], holder["batches"]

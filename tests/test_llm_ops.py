@@ -438,14 +438,19 @@ def test_pq_encode_codes_in_range_and_deterministic(spark):
 
 def test_pq_identical_vectors_share_codes(spark):
     emb = tables.load(spark, SF_DIR_SMALL, "embeddings")
-    clones = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    # total order before limit so the cloned ids are deterministic, and
+    # iterate over the ids actually cloned — a guarded loop over assumed
+    # ids 0-2 could skip every assertion and pass vacuously
+    base = emb.orderBy("vec_id").limit(3)
+    clone_ids = [r.vec_id for r in base.select("vec_id").collect()]
+    clones = base.withColumn("vec_id", F.col("vec_id") + 1_000_000)
     planted = emb.unionByName(clones)
     books = SIM.pq_codebooks(emb)  # codebooks from the base corpus
     codes = {r.vec_id: tuple(r[f"code{m}"] for m in range(SIM.PQ_M))
              for r in SIM.pq_encode(planted, books).collect()}
-    for vid in range(3):
-        if vid in codes and vid + 1_000_000 in codes:
-            assert codes[vid] == codes[vid + 1_000_000]
+    assert len(clone_ids) == 3
+    for vid in clone_ids:
+        assert codes[vid] == codes[vid + 1_000_000]
 
 
 def test_pq_shortlist_recall_monotone_to_exact(spark):

@@ -250,7 +250,7 @@ def test_snapshot_diff_classification(spark):
     ]
     df = spark.createDataFrame(feed, "key string, change_version long")
     out = snapshot_diff(
-        df, ["key"], 5, 10,
+        df, "key", 5, 10,
         lambda k, v: v % 2 == 0,
     )
     got = {r["key"]: (r["diff_op"], r["v_low_winner"], r["v_high_winner"])
