@@ -534,3 +534,41 @@ def test_cms_unseen_item_estimate_is_collision_only(spark):
     n = ev.count()
     import math
     assert 0 <= est.cms_estimate <= math.ceil(math.e / SK.CMS_W * n) + 1
+
+
+def test_cms_grouped_estimates_stay_one_sided_per_group(spark):
+    """Grouped cell tables are the module's advertised mergeable state;
+    the probe join must include the group columns or estimates min()
+    across groups and undercut true counts (the self-review finding).
+    Locks: per-group one-sided guarantee AND a constructed case where the
+    old group-blind join would provably underestimate."""
+    from sql_cdc_spark.functions import sketches as SK
+
+    ev = tables.load(spark, SF_DIR_SMALL, "events").select(
+        (F.col("event_id") % 3).alias("day"), "user_id"
+    )
+    cells = SK.cms_cells(ev, ["day"], "user_id")
+    exact = ev.groupBy("day", "user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = SK.cms_point_estimates(
+        cells, exact.select("day", "user_id"), "user_id", group_cols=["day"]
+    )
+    rows = exact.join(est, ["day", "user_id"]).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.exact_cnt, (
+            r.day, r.user_id, r.cms_estimate, r.exact_cnt,
+        )
+    # constructed skew: user 1 appears 50x on day 0, 1x on day 1 — the
+    # day-0 estimate must be >= 50, which a group-blind min() (old
+    # behavior: min(50, 1) = 1) cannot satisfy
+    skew = spark.createDataFrame(
+        [(0, 1)] * 50 + [(1, 1)], "day long, user_id long"
+    )
+    scells = SK.cms_cells(skew, ["day"], "user_id")
+    sest = SK.cms_point_estimates(
+        scells,
+        spark.createDataFrame([(0, 1)], "day long, user_id long"),
+        "user_id",
+        group_cols=["day"],
+    ).collect()[0]
+    assert sest.cms_estimate >= 50
