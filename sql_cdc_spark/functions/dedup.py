@@ -243,6 +243,79 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 20,
+    threshold: float = 0.2,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment — |S(A)∩S(B)| / min(|S(A)|, |S(B)|)
+    — the near-dup measure symmetric Jaccard structurally misses: a short
+    doc fully embedded in a long one has Jaccard ≈ |A|/|B| (arbitrarily
+    small) but containment 1.0. This is the quote/excerpt/boilerplate-
+    wrapper detector a training-corpus dedup runs alongside whole-doc
+    MinHash (the reference has no dedup surface at all; extension per
+    SURVEY §2 north star).
+
+    Candidate generation blocks on RARE shingles: pairs must co-occur in
+    some shingle with document frequency ≤ ``df_cap``. Hot shingles
+    (df > cap) are corpus boilerplate — joining through them is the
+    quadratic blowup; the hot list is small by construction
+    (≤ occurrences/cap), so it broadcast-anti-joins away, the same skew
+    guard as lsh_candidate_pairs' bucket cap. Containment via a hot
+    shingle only (no rare witness) is the documented recall trade.
+    Intersections are then counted over the FULL shingle sets of
+    candidate pairs only — O(|candidates| × shingles/doc), 8-byte int
+    joins throughout.
+
+    Input is doc_shingles' hashed (id, sh64) form; ``sizes`` (id, n_sh)
+    reuses a count already produced elsewhere (minhash_signatures
+    with_sizes=True)."""
+    hashed = shingled.select(F.col(id_col), "sh64")
+    hot = (
+        hashed.groupBy("sh64")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > df_cap)
+        .select("sh64")
+    )
+    rare_sh = hashed.join(F.broadcast(hot), ["sh64"], "left_anti")
+    ra = rare_sh.select(F.col(id_col).alias("id_a"), "sh64")
+    rb = rare_sh.select(F.col(id_col).alias("id_b"), "sh64")
+    cands = (
+        ra.join(rb, ["sh64"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = hashed.select(F.col(id_col).alias("id_a"), "sh64")
+    fb = hashed.select(F.col(id_col).alias("id_b"), "sh64")
+    inter = (
+        cands.join(fa, "id_a")
+        .join(fb, ["id_b", "sh64"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if sizes is None:
+        sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 SPAN_W = 5  # tokens per exact-substring window
 
 

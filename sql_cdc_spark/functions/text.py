@@ -140,3 +140,35 @@ def language_id(col: Column) -> Column:
             cond = c if cond is None else (cond & c)
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def chunk_spans(
+    docs, chunk_chars: int, stride: int, text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Overlapping fixed-window chunk spans per document: windows of
+    ``chunk_chars`` chars every ``stride`` chars. Emits one row per chunk
+    with (id, chunk_index, chunk_start, chunk_len, chunk_digest); an
+    empty text yields a single zero-length chunk, and the final chunk is
+    short when the text doesn't fill the window. Pure per-row explode of
+    an arithmetic sequence — zero shuffles, scan-speed at any corpus
+    size. The md5 digest stands in for the chunk payload so comparisons
+    never move chunk text."""
+    n = F.length(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    return (
+        docs.select(id_col, text_col, F.explode(starts).alias("cs"))
+        .select(
+            id_col,
+            F.expr(f"cs DIV {stride}").cast("bigint").alias("chunk_index"),
+            F.col("cs").cast("bigint").alias("chunk_start"),
+            F.least(F.lit(chunk_chars), F.length(text_col) - F.col("cs"))
+            .cast("bigint")
+            .alias("chunk_len"),
+            F.md5(F.expr(f"substring({text_col}, cs + 1, {chunk_chars})")).alias(
+                "chunk_digest"
+            ),
+        )
+    )

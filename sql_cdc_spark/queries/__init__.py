@@ -114,6 +114,9 @@ def _registry() -> dict[str, QueryEntry]:
         "cdc_snapshot_diff",             # NEW r4: replica diff between versions
         "crp_pps_sample",                # NEW r4: weighted systematic sampler
         "scl_bloom_pruned_join",         # NEW r4: runtime Bloom semi-join prune
+        "dd_containment_pairs",          # NEW r4: asymmetric shingle containment
+        "crp_chunk_documents",           # NEW r4: overlapping context chunking
+        "crp_length_buckets",            # NEW r4: padding-efficiency census
         # stalest r2-green single (last driver check: round 2)
         "cdc_flagship_changed_invoices",
         # eight more r2-green singles were budgeted here but ceded their
@@ -152,6 +155,15 @@ def _registry() -> dict[str, QueryEntry]:
         "rel_filter_composite",
         "rel_union_all_segments",
         "rel_multi_hop_dims",
+        # three r1-green window singles ceded to the containment/chunking/
+        # length-bucket trio (same overflow option). Lowest-risk choice in
+        # the stale set: every win_ frame shape is re-proven against
+        # DuckDB each round by fuzzer family 4 (random window frames,
+        # tests/test_fuzz_oracle.py) on top of the full oracle suite.
+        # Re-enter in round 5 right after the ten rel_/fn_ singles above.
+        "win_lag_delta",
+        "win_moving_avg",
+        "win_running_total",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

@@ -545,6 +545,117 @@ def _pps_sql() -> str:
     )
 
 
+CHUNK_CHARS = 200   # chunk window (chars — the char-domain stand-in for tokens)
+CHUNK_STRIDE = 150  # stride; CHUNK_CHARS - CHUNK_STRIDE chars of overlap
+
+
+def crp_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking — the context-window split a
+    RAG/embedding/training pipeline runs over every document: windows of
+    CHUNK_CHARS chars every CHUNK_STRIDE chars (50-char overlap so no
+    boundary sentence is lost), emitted as (doc_id, chunk_index, offset,
+    length, content digest). Pure per-row explode of an arithmetic
+    sequence — no shuffle at all (the orderBy is presentation-only; at
+    corpus scale the chunks stream straight to the sink partitioned like
+    their source docs). The digest stands in for the chunk payload so the
+    oracle hashes content without moving it
+    (functions/text.py::chunk_spans)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return TX.chunk_spans(docs, CHUNK_CHARS, CHUNK_STRIDE).orderBy(
+        "doc_id", "chunk_index"
+    )
+
+
+_CHUNK_SQL = f"""
+SELECT d.doc_id,
+       CAST(s.cs // {CHUNK_STRIDE} AS BIGINT) AS chunk_index,
+       CAST(s.cs AS BIGINT) AS chunk_start,
+       CAST(LEAST({CHUNK_CHARS}, LENGTH(d.text) - s.cs) AS BIGINT) AS chunk_len,
+       md5(substring(d.text, CAST(s.cs + 1 AS INT), {CHUNK_CHARS})) AS chunk_digest
+FROM documents d,
+     LATERAL (SELECT unnest(generate_series(0, GREATEST(LENGTH(d.text) - 1, 0),
+                                            {CHUNK_STRIDE})) AS cs) s
+ORDER BY doc_id, chunk_index
+"""
+
+
+# power-of-two sequence-length ladder; docs longer than the top rung are
+# truncated to it (the max-context-length behavior of a real batcher)
+LEN_BUCKETS = [16, 32, 64, 128]
+
+
+def _bucket_expr_spark(n: Column) -> Column:
+    e = None
+    for b in LEN_BUCKETS[:-1]:
+        e = F.when(n <= b, b) if e is None else e.when(n <= b, b)
+    return e.otherwise(LEN_BUCKETS[-1])
+
+
+def _bucket_expr_sql(n: str) -> str:
+    whens = " ".join(f"WHEN {n} <= {b} THEN {b}" for b in LEN_BUCKETS[:-1])
+    return f"CASE {whens} ELSE {LEN_BUCKETS[-1]} END"
+
+
+def crp_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching census — padding efficiency, the metric
+    that decides a training batcher's bucket ladder: every doc is
+    assigned the smallest power-of-two sequence length ≥ its token count
+    (truncated at the top rung), and the census reports per-bucket doc
+    count, real tokens, padding tokens burned, truncated tokens lost,
+    and the padding percentage. One scan + one tiny groupBy (≤ |ladder|
+    groups) — holds at any corpus size."""
+    docs = tables.load(spark, sf_dir, "documents")
+    n = TX.token_count(F.col("text"))
+    sized = docs.select(
+        n.alias("n_tok"), _bucket_expr_spark(n).alias("bucket")
+    )
+    return (
+        sized.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.sum(
+                F.col("bucket") - F.least(F.col("n_tok"), F.col("bucket"))
+            ).alias("pad_tokens"),
+            F.sum(
+                F.greatest(F.col("n_tok") - F.col("bucket"), F.lit(0))
+            ).alias("trunc_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            "pad_tokens",
+            "trunc_tokens",
+            F.round(
+                F.col("pad_tokens") / (F.col("n_docs") * F.col("bucket")), 6
+            ).alias("pad_pct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _length_buckets_sql() -> str:
+    bucket = _bucket_expr_sql("n_tok")
+    return rf"""
+WITH sized AS (
+  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tok,
+         {bucket} AS bucket
+  FROM documents
+),
+census AS (
+  SELECT bucket, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+         CAST(SUM(bucket - LEAST(n_tok, bucket)) AS BIGINT) AS pad_tokens,
+         CAST(SUM(GREATEST(n_tok - bucket, 0)) AS BIGINT) AS trunc_tokens
+  FROM sized GROUP BY bucket
+)
+SELECT bucket, n_docs, sum_tokens, pad_tokens, trunc_tokens,
+       ROUND(pad_tokens * 1.0 / (n_docs * bucket), 6) AS pad_pct
+FROM census ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),
@@ -556,4 +667,6 @@ QUERIES: dict[str, QueryEntry] = {
     "crp_mixture_sample": QueryEntry(crp_mixture_sample, _mixture_sample_sql()),
     "crp_manifest": QueryEntry(crp_manifest, _manifest_sql()),
     "crp_pps_sample": QueryEntry(crp_pps_sample, _pps_sql()),
+    "crp_chunk_documents": QueryEntry(crp_chunk_documents, _CHUNK_SQL),
+    "crp_length_buckets": QueryEntry(crp_length_buckets, _length_buckets_sql()),
 }

@@ -441,6 +441,59 @@ ORDER BY j.id_a, j.id_b
 """
 
 
+CONTAINMENT_DF_CAP = 20
+CONTAINMENT_THRESHOLD = 0.2
+
+
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs ≥ 0.2 — catches the short-doc-
+    inside-long-doc duplication that symmetric Jaccard misses (a quote or
+    excerpt has Jaccard |A|/|B| but containment ~1.0). Rare-shingle
+    candidate blocking (df ≤ 20) with the hot-shingle broadcast anti-join
+    as the skew guard; intersections counted only for candidate pairs
+    (functions/dedup.py::containment_pairs). Emits set sizes so the
+    asymmetry is visible in the result."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return DD.containment_pairs(
+        DD.doc_shingles(docs),
+        df_cap=CONTAINMENT_DF_CAP,
+        threshold=CONTAINMENT_THRESHOLD,
+    ).orderBy("id_a", "id_b")
+
+
+_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_CTE},
+hot AS (
+  SELECT sh64 FROM shh GROUP BY sh64 HAVING COUNT(*) > {CONTAINMENT_DF_CAP}
+),
+rsh AS (
+  SELECT s.doc_id, s.sh64 FROM shh s ANTI JOIN hot h ON s.sh64 = h.sh64
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rsh a JOIN rsh b ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shh a ON a.doc_id = c.id_a
+  JOIN shh b ON b.doc_id = c.id_b AND b.sh64 = a.sh64
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
+cont AS (
+  SELECT i.id_a, i.id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         ROUND(i.n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, n_a, n_b, containment
+FROM cont WHERE containment >= {CONTAINMENT_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 def dd_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.4. Demonstrates the exact
     all-pairs verification; at corpus scale the LSH-bucketed variant
@@ -531,6 +584,7 @@ QUERIES: dict[str, QueryEntry] = {
     "dd_jaccard_pairs": QueryEntry(dd_jaccard_pairs, _JACCARD_PAIRS_SQL),
     "dd_simhash": QueryEntry(dd_simhash, _SIMHASH_SQL),
     "dd_simhash_pairs": QueryEntry(dd_simhash_pairs, _SIMHASH_PAIRS_SQL),
+    "dd_containment_pairs": QueryEntry(dd_containment_pairs, _CONTAINMENT_SQL),
     "dd_embedding_dup_pairs": QueryEntry(dd_embedding_dup_pairs, _EMB_DUP_SQL),
     "dd_incremental_near_dup": QueryEntry(
         dd_incremental_near_dup, _INC_NEAR_DUP_SQL

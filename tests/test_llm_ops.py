@@ -572,3 +572,124 @@ def test_cms_grouped_estimates_stay_one_sided_per_group(spark):
         group_cols=["day"],
     ).collect()[0]
     assert sest.cms_estimate >= 50
+
+
+def test_containment_embedded_doc_scores_one_jaccard_low(spark):
+    """A short doc verbatim-embedded in a much longer one must reach
+    containment 1.0 while its Jaccard stays far below the near-dup
+    threshold — the exact case the asymmetric measure exists for."""
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} lorem ipsum dolor sit amet {i}" for i in range(30))
+    long_doc = filler + " " + short + " " + filler
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string"
+    )
+    sh = DD.doc_shingles(docs)
+    got = DD.containment_pairs(sh, df_cap=100, threshold=0.5).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert row.containment == 1.0
+    jac = DD.jaccard_pairs(sh, threshold=0.0).collect()[0].jaccard
+    assert jac < 0.5  # symmetric Jaccard would have missed this pair
+
+
+def test_containment_at_least_jaccard_and_bounded(spark, docs):
+    """For every pair both measures emit, containment ∈ (0, 1] and
+    containment ≥ Jaccard (n_inter/min ≥ n_inter/union always)."""
+    sh = DD.doc_shingles(docs).persist()
+    cont = DD.containment_pairs(sh, df_cap=20, threshold=0.01)
+    jac = DD.jaccard_pairs(sh, threshold=0.01)
+    joined = cont.join(jac, ["id_a", "id_b"]).collect()
+    assert joined, "no overlapping pairs — fixture degenerated"
+    for r in joined:
+        assert 0.0 < r.containment <= 1.0
+        assert r.containment >= r.jaccard - 1e-9
+    sh.unpersist()
+
+
+def test_containment_hot_shingle_cap_drops_boilerplate_only_pairs(spark):
+    """Pairs whose ONLY shared shingles are corpus-hot must not become
+    candidates (the skew guard), while rare-witness pairs survive."""
+    boiler = "copyright acme corp all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} text body number {i} " + boiler) for i in range(10)]
+        + [(100, "shared rare passage alpha beta gamma delta"),
+           (101, "shared rare passage alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    got = DD.containment_pairs(DD.doc_shingles(docs), df_cap=5, threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert (100, 101) in pairs
+    assert all(a >= 100 for a, _ in pairs), (
+        "boilerplate-only pairs leaked through the hot-shingle cap"
+    )
+
+
+def test_chunk_spans_edges_and_coverage(spark):
+    """Chunk grid edge cases: empty text → one zero-length chunk; text
+    below one window → single short chunk; stride boundary (n = stride+1)
+    → a 1-char tail chunk; and the spans always tile the text (first
+    starts at 0, consecutive starts differ by the stride, last chunk
+    ends exactly at the text end)."""
+    from sql_cdc_spark.functions.text import chunk_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "abc"),
+            (3, "x" * 150),
+            (4, "y" * 151),
+            (5, "z" * 500),
+        ],
+        "doc_id long, text string",
+    )
+    rows = chunk_spans(docs, 200, 150).orderBy("doc_id", "chunk_index").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    lens = {1: 0, 2: 3, 3: 150, 4: 151, 5: 500}
+    assert [len(by_doc[d]) for d in sorted(lens)] == [1, 1, 1, 2, 4]
+    for d, n in lens.items():
+        spans = by_doc[d]
+        assert spans[0].chunk_start == 0
+        for i, s in enumerate(spans):
+            assert s.chunk_index == i
+            assert s.chunk_start == i * 150
+            assert s.chunk_len == min(200, n - s.chunk_start)
+        last = spans[-1]
+        assert last.chunk_start + last.chunk_len == n
+    # digest is of the true substring
+    import hashlib
+
+    assert by_doc[2][0].chunk_digest == hashlib.md5(b"abc").hexdigest()
+    assert by_doc[4][1].chunk_digest == hashlib.md5(b"y").hexdigest()
+
+
+def test_length_bucket_boundaries(spark, tmp_path):
+    """Bucket ladder boundary behavior: exact powers stay in their own
+    bucket, one past a rung promotes, and past the top rung truncates
+    (pad 0, trunc > 0)."""
+    import pandas as pd
+
+    from sql_cdc_spark.queries.corpus_q import crp_length_buckets
+
+    cases = {1: 16, 16: 16, 17: 32, 32: 32, 64: 64, 99: 128, 128: 128, 200: 128}
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(cases)),
+            "text": [" ".join(["w"] * n) for n in cases],
+            "lang": ["en"] * len(cases),
+            "source": ["s"] * len(cases),
+            "n_chars": [2 * n - 1 for n in cases],
+        }
+    )
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(d + "/documents.parquet")
+    out = {r.bucket: r for r in crp_length_buckets(spark, d).collect()}
+    assert set(out) == {16, 32, 64, 128}
+    assert out[16].n_docs == 2 and out[16].pad_tokens == (16 - 1) + 0
+    assert out[32].n_docs == 2 and out[32].pad_tokens == (32 - 17)
+    assert out[128].n_docs == 3
+    assert out[128].pad_tokens == (128 - 99) + 0 + 0
+    assert out[128].trunc_tokens == 200 - 128
