@@ -711,3 +711,134 @@ def test_random_query5_matches_duckdb(spark, oracle, seed):
     rng = random.Random(13000 + seed)
     q = _gen5(rng)
     assert_matches_oracle(_to_spark5(spark, q), oracle, _to_sql5(q))
+
+
+# ---- family 6: higher-order array lambdas (transform / filter /
+# aggregate / zip_with / sort-distinct-slice / exists-forall) over the
+# embeddings table — the nested-data surface where lambda-binding and
+# null/empty-list semantics diverge between engines. All arithmetic runs
+# in the exact integer-micro domain (round(x·1e6) as bigint, the
+# sim_embedding_quantize parity trick), so comparisons are bit-exact. ----
+
+_MICRO_SPARK = None  # built per-query; embeddings are float32 → double → micros
+
+
+def _micro_col():
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1e6).cast("long"),
+    )
+
+
+_MICRO_SQL = (
+    "list_transform(embedding, x -> "
+    "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
+
+
+def _gen6(rng: random.Random) -> dict:
+    shape = rng.random()
+    if shape < 0.4:
+        # map-filter-fold: affine transform, residue filter, summed fold.
+        # The filtered list is often EMPTY — exactly the case where
+        # DuckDB's list_sum returns NULL but a fold with 0-init returns 0.
+        return {
+            "mapfold": {
+                "a": rng.randint(1, 5),
+                "b": rng.randint(-1000, 1000),
+                "m": rng.choice([3, 7, 11, 13]),
+                "r": rng.randint(0, 2),
+            }
+        }
+    if shape < 0.7:
+        # zip_with over the vector and its reverse — positional binding
+        # of a genuine two-parameter lambda (the surface where an extra
+        # defaulted parameter silently binds the element index)
+        return {"zipdot": {"lo": rng.randint(1, 32), "ln": rng.randint(4, 32)}}
+    # sort/distinct/slice + exists/forall predicates
+    return {
+        "sorttop": {"k": rng.randint(2, 8), "t": rng.randint(-900_000, 900_000)}
+    }
+
+
+def _to_spark6(spark, q: dict):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    micro = _micro_col()
+    if "mapfold" in q:
+        p = q["mapfold"]
+        mapped = F.transform(micro, lambda x: x * F.lit(p["a"]) + F.lit(p["b"]))
+        kept = F.filter(mapped, lambda x: x % p["m"] == p["r"])
+        return emb.select(
+            "vec_id",
+            F.size(kept).cast("int").alias("n_kept"),
+            F.aggregate(
+                kept, F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("s"),
+        )
+    if "zipdot" in q:
+        p = q["zipdot"]
+        win = F.slice(micro, p["lo"], p["ln"])
+        rev = F.reverse(win)
+        return emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(win, rev, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("revdot"),
+            F.size(win).cast("int").alias("w"),
+        )
+    p = q["sorttop"]
+    top = F.slice(F.reverse(F.array_sort(F.array_distinct(micro))), 1, p["k"])
+    return emb.select(
+        "vec_id",
+        F.concat_ws("-", F.transform(top, lambda x: x.cast("string"))).alias(
+            "top_str"
+        ),
+        F.exists(micro, lambda x: x > F.lit(p["t"])).cast("int").alias("has_gt"),
+        F.forall(micro, lambda x: x <= F.lit(p["t"])).cast("int").alias("all_le"),
+    )
+
+
+def _to_sql6(q: dict) -> str:
+    if "mapfold" in q:
+        p = q["mapfold"]
+        kept = (
+            f"list_filter(list_transform({_MICRO_SQL}, "
+            f"x -> x * {p['a']} + {p['b']}), x -> x % {p['m']} = {p['r']})"
+        )
+        return (
+            f"SELECT vec_id, CAST(len({kept}) AS INTEGER) AS n_kept, "
+            f"COALESCE(CAST(list_sum({kept}) AS BIGINT), 0) AS s "
+            f"FROM embeddings"
+        )
+    if "zipdot" in q:
+        p = q["zipdot"]
+        lo, hi = p["lo"], p["lo"] + p["ln"] - 1
+        win = f"({_MICRO_SQL})[{lo}:{hi}]"
+        prod = (
+            f"list_transform(range(1, len({win}) + 1), "
+            f"i -> ({win})[i] * ({win})[len({win}) - i + 1])"
+        )
+        return (
+            f"SELECT vec_id, COALESCE(CAST(list_sum({prod}) AS BIGINT), 0) "
+            f"AS revdot, CAST(len({win}) AS INTEGER) AS w FROM embeddings"
+        )
+    p = q["sorttop"]
+    top = f"(list_sort(list_distinct({_MICRO_SQL}), 'DESC'))[1:{p['k']}]"
+    return (
+        f"SELECT vec_id, "
+        f"array_to_string(list_transform({top}, x -> CAST(x AS VARCHAR)), '-') "
+        f"AS top_str, "
+        f"CAST(len(list_filter({_MICRO_SQL}, x -> x > {p['t']})) > 0 AS INTEGER) "
+        f"AS has_gt, "
+        f"CAST(len(list_filter({_MICRO_SQL}, x -> x > {p['t']})) = 0 AS INTEGER) "
+        f"AS all_le FROM embeddings"
+    )
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_query6_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(15000 + seed)
+    q = _gen6(rng)
+    assert_matches_oracle(_to_spark6(spark, q), oracle, _to_sql6(q))
