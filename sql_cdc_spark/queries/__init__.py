@@ -117,6 +117,7 @@ def _registry() -> dict[str, QueryEntry]:
         "dd_containment_pairs",          # NEW r4: asymmetric shingle containment
         "crp_chunk_documents",           # NEW r4: overlapping context chunking
         "crp_length_buckets",            # NEW r4: padding-efficiency census
+        "evt_sketch_setops",             # NEW r4: HLL union/intersection algebra
         # stalest r2-green single (last driver check: round 2)
         "cdc_flagship_changed_invoices",
         # eight more r2-green singles were budgeted here but ceded their
@@ -164,6 +165,10 @@ def _registry() -> dict[str, QueryEntry]:
         "win_lag_delta",
         "win_moving_avg",
         "win_running_total",
+        # ceded to the HLL set-algebra query: ROLLUP grouping-set shapes
+        # are randomly re-proven vs DuckDB every round by fuzzer family 2.
+        # Re-enters round 5 with the window singles above.
+        "rel_rollup_lineitem",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

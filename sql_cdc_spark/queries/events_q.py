@@ -738,9 +738,114 @@ ORDER BY exact_cnt DESC, user_id ASC
 """
 
 
+def evt_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra over event-type audiences — the sketch-side
+    union/intersection an analytics engine answers audience-overlap
+    questions with at 100 TB: per type-pair, |A∪B| from a register-level
+    merge (max per register — functions/sketches.py::merge_registers
+    algebra) and |A∩B| by inclusion-exclusion. Same hash-gated accuracy
+    contract as the HLL/CMS rows: the emitted row carries the EXACT
+    sizes plus verdict booleans that the estimates landed inside the
+    3σ propagation bounds (union: 3σ·|A∪B|; intersection: the I-E error
+    compounds, so 3σ·(|A|+|B|+|A∪B|)) — a register, merge, or estimator
+    regression flips a boolean and the driver hash. Scale shape: the
+    only corpus-sized work is one distinct + one register groupBy; every
+    pairwise step runs on ≤ |types|·2^p register rows."""
+    from sql_cdc_spark.functions import sketches as SK
+
+    ev = tables.load(spark, sf_dir, "events")
+    # the distinct audience table and the pair-intersection aggregate are
+    # each consumed by several subtrees below — persist so the corpus
+    # passes run once (the local analog of the materialized audience /
+    # overlap state tables a cluster pipeline keeps)
+    users = ev.select("event_type", "user_id").distinct().persist()
+    regs = SK.hll_registers(ev, ["event_type"], "user_id")
+    sizes = users.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ua = users.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = users.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .persist()
+    )
+    est = SK.hll_estimate(regs, ["event_type"])
+    ra = regs.select(F.col("event_type").alias("type_a"), "reg", "rho")
+    rb = regs.select(F.col("event_type").alias("type_b"), "reg", "rho")
+    pair_regs = (
+        inter.select("type_a", "type_b")
+        .join(ra, "type_a")
+        .unionByName(inter.select("type_a", "type_b").join(rb, "type_b"))
+        .groupBy("type_a", "type_b", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est_union = SK.hll_estimate(pair_regs, ["type_a", "type_b"]).select(
+        "type_a", "type_b", F.col("estimate").alias("__eu")
+    )
+    ea = est.select(
+        F.col("event_type").alias("type_a"), F.col("estimate").alias("__ea")
+    )
+    eb = est.select(
+        F.col("event_type").alias("type_b"), F.col("estimate").alias("__eb")
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    bound = SK.hll_error_bound()  # 3σ relative
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    est_inter = F.col("__ea") + F.col("__eb") - F.col("__eu")
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .join(est_union, ["type_a", "type_b"])
+        .join(ea, "type_a")
+        .join(eb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            n_union.alias("n_union"),
+            "n_inter",
+            (
+                F.abs(F.col("__eu") - n_union)
+                <= F.greatest(F.lit(2.0), F.lit(bound) * n_union)
+            ).alias("union_ok"),
+            (
+                F.abs(est_inter - F.col("n_inter"))
+                <= F.greatest(
+                    F.lit(3.0),
+                    F.lit(bound)
+                    * (F.col("n_a") + F.col("n_b") + n_union),
+                )
+            ).alias("inter_ok"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_SETOPS_SQL = """
+WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_inter
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b,
+       sa.n + sb.n - i.n_inter AS n_union, i.n_inter,
+       TRUE AS union_ok, TRUE AS inter_ok
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY type_a, type_b
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_histogram": QueryEntry(evt_histogram, _HISTOGRAM_SQL),
     "evt_heavy_hitters_cms": QueryEntry(evt_heavy_hitters_cms, _CMS_SQL),
+    "evt_sketch_setops": QueryEntry(evt_sketch_setops, _SETOPS_SQL),
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
     "evt_user_cardinality_sketch": QueryEntry(

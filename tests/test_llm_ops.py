@@ -693,3 +693,46 @@ def test_length_bucket_boundaries(spark, tmp_path):
     assert out[128].n_docs == 3
     assert out[128].pad_tokens == (128 - 99) + 0 + 0
     assert out[128].trunc_tokens == 200 - 128
+
+
+def test_hll_setops_inclusion_exclusion_bounds(spark):
+    """Register-merge union + inclusion-exclusion intersection on
+    synthetic sets with KNOWN overlap: disjoint sets estimate an
+    intersection near zero, nested sets estimate a union near the outer
+    set, and both land inside the propagated 3σ bounds."""
+    from sql_cdc_spark.functions import sketches as SK
+
+    n, shared = 3000, 1000
+    rows = (
+        [("a", f"u{i}") for i in range(n)]
+        + [("b", f"u{i}") for i in range(n - shared, 2 * n - shared)]
+        + [("c", f"v{i}") for i in range(n)]  # disjoint from a and b
+    )
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    regs = SK.hll_registers(df, ["grp"], "uid").persist()
+    est = {
+        r.grp: r.estimate
+        for r in SK.hll_estimate(regs, ["grp"]).collect()
+    }
+    bound = SK.hll_error_bound()
+
+    def union_est(g1, g2):
+        pair = (
+            regs.filter(F.col("grp").isin([g1, g2]))
+            .groupBy("reg")
+            .agg(F.max("rho").alias("rho"))
+            .withColumn("grp", F.lit("u"))
+        )
+        return SK.hll_estimate(pair, ["grp"]).collect()[0].estimate
+
+    # a∪b: 2n - shared = 5000; a∩b = shared = 1000
+    eu = union_est("a", "b")
+    assert abs(eu - (2 * n - shared)) <= bound * (2 * n - shared)
+    ei = est["a"] + est["b"] - eu
+    assert abs(ei - shared) <= bound * (2 * n + (2 * n - shared))
+    # a∪c disjoint: union 2n, intersection ~0
+    eu_ac = union_est("a", "c")
+    assert abs(eu_ac - 2 * n) <= bound * 2 * n
+    ei_ac = est["a"] + est["c"] - eu_ac
+    assert abs(ei_ac) <= bound * (2 * n + 2 * n)
+    regs.unpersist()
