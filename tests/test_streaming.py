@@ -1123,3 +1123,78 @@ def test_streaming_scd2_maintenance_equals_full_recompute(spark, tmp_path):
     got_cold = sorted(tuple(r) for r in cold.history.select(*cols).collect())
     assert got_cold == want
     final.release()
+
+
+def test_streaming_chunk_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the RAG chunk table: draining a document
+    change feed through run_chunk_maintenance ends at EXACTLY the chunk
+    spans a full re-chunk of the final corpus produces — through
+    inserts, deletes, and a same-batch double-update — and a replayed
+    batch is a no-op (idempotent rewrite)."""
+    from sql_cdc_spark.streaming import chunk_maintenance as CM
+
+    base = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+    initial = CM.build_chunk_state(base)
+    feed = str(tmp_path / "feed")
+
+    ins = base.orderBy("doc_id").limit(5).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.concat("text", F.lit(" " + "pad" * 120)).alias("text"),  # multi-chunk
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    ins.coalesce(1).write.mode("append").parquet(feed)
+
+    dels = base.orderBy("doc_id").limit(3).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_ids = base.orderBy(F.desc("doc_id")).limit(2).select("doc_id", "text")
+    upd_v2 = upd_ids.select(
+        "doc_id", F.concat("text", F.lit(" v2")).alias("text"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_v3 = upd_ids.limit(1).select(
+        "doc_id", F.concat("text", F.lit(" v3 wins")).alias("text"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    dels.unionByName(upd_v2).unionByName(upd_v3).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    final, n_batches = CM.run_chunk_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+    )
+    assert n_batches >= 1
+
+    del_ids = base.orderBy("doc_id").limit(3).select("doc_id")
+    win_upd = upd_v3.select("doc_id", "text").unionByName(
+        upd_v2.join(upd_v3.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    final_corpus = (
+        base.join(del_ids, "doc_id", "left_anti")
+        .join(win_upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(win_upd)
+        .unionByName(ins.select("doc_id", "text"))
+    )
+    want = CM.build_chunk_state(final_corpus, checkpoint=False)
+    key = lambda r: (r.doc_id, r.chunk_index, r.chunk_start, r.chunk_len, r.chunk_digest)
+    got = sorted(map(key, final.chunks.collect()))
+    assert got == sorted(map(key, want.chunks.collect()))
+    # the padded inserts genuinely produced multi-chunk docs
+    multi = (
+        final.chunks.filter(F.col("doc_id") >= 900_000)
+        .groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    assert multi == 5
+
+    # idempotent replay of batch 2
+    b2 = dels.unionByName(upd_v2).unionByName(upd_v3)
+    ups2, dels2 = CM.collapse_batch(b2)
+    replay = CM.apply_chunk_changes(final, ups2, dels2, checkpoint=False)
+    assert sorted(map(key, replay.chunks.collect())) == got
