@@ -736,3 +736,40 @@ def test_hll_setops_inclusion_exclusion_bounds(spark):
     ei_ac = est["a"] + est["c"] - eu_ac
     assert abs(ei_ac) <= bound * (2 * n + 2 * n)
     regs.unpersist()
+
+
+def test_chunk_spans_matches_python_reference_on_random_texts(spark):
+    """Randomized differential check of the chunk grid against an
+    independent pure-Python reference over adversarial texts (empty,
+    whitespace runs, multibyte chars, lengths straddling the stride)."""
+    import hashlib
+    import random
+
+    from sql_cdc_spark.functions.text import chunk_spans
+
+    rng = random.Random(4242)
+    alphabet = "ab α€💡 \t\n"
+    texts = ["", " ", "x" * 149, "y" * 150, "z" * 151, "w" * 300]
+    texts += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 400)))
+        for _ in range(40)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_index, r.chunk_start, r.chunk_len, r.chunk_digest)
+        for r in chunk_spans(docs, 200, 150).collect()
+    )
+
+    def ref(i, t):
+        n = len(t)
+        for idx, start in enumerate(range(0, max(n, 1), 150)):
+            frag = t[start : start + 200]
+            yield (
+                i, idx, start, min(200, n - start),
+                hashlib.md5(frag.encode("utf-8")).hexdigest(),
+            )
+
+    want = sorted(x for i, t in enumerate(texts) for x in ref(i, t))
+    assert got == want

@@ -1198,3 +1198,98 @@ def test_streaming_chunk_maintenance_equals_full_recompute(spark, tmp_path):
     ups2, dels2 = CM.collapse_batch(b2)
     replay = CM.apply_chunk_changes(final, ups2, dels2, checkpoint=False)
     assert sorted(map(key, replay.chunks.collect())) == got
+
+
+def _digest_embedding(chunks):
+    """Deterministic pseudo-embedding of a chunk: 8 floats from 4-hex-char
+    slices of the md5 chunk digest — a stand-in for the model call of a
+    real RAG ingest (pure column algebra, engine-independent), keyed by
+    vec_id = doc_id·10000 + chunk_index."""
+    dims = [
+        (
+            F.conv(F.substring("chunk_digest", d * 4 + 1, 4), 16, 10)
+            .cast("float")
+            / 65535.0
+        ).cast("float")
+        for d in range(8)
+    ]
+    return chunks.select(
+        (F.col("doc_id") * 10_000 + F.col("chunk_index")).alias("vec_id"),
+        F.array(*dims).alias("embedding"),
+    )
+
+
+def test_incremental_rag_index_end_to_end(spark, tmp_path):
+    """Full incremental RAG-ingest composition: document change feed →
+    chunk-table maintenance → deterministic chunk embeddings → IVF
+    posting maintenance under a frozen quantizer. The maintained index
+    must equal a from-scratch rebuild (same frozen model) over the full
+    re-chunk of the final corpus — composition of three exact
+    incremental stages is itself exact."""
+    from sql_cdc_spark.streaming import ann_maintenance as AM
+    from sql_cdc_spark.streaming import chunk_maintenance as CM
+
+    base = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    chunk_state = CM.build_chunk_state(base)
+    postings, model = AM.build_postings(
+        _digest_embedding(chunk_state.chunks), n_clusters=8
+    )
+
+    feed = str(tmp_path / "feed")
+    ins = base.orderBy("doc_id").limit(4).select(
+        (F.col("doc_id") + 800_000).alias("doc_id"),
+        F.concat("text", F.lit(" " + "tail" * 90)).alias("text"),
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    dels = base.orderBy("doc_id").limit(3).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    upd = base.orderBy(F.desc("doc_id")).limit(2).select(
+        "doc_id", F.concat("text", F.lit(" updated body")).alias("text"),
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    ins.unionByName(dels).unionByName(upd).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    # the embedding deletes come from the PRE-drain chunk snapshot, which
+    # run_chunk_maintenance releases (ownership contract) — materialize
+    # them first so they survive the release
+    touched = ins.select("doc_id").unionByName(dels.select("doc_id")).unionByName(
+        upd.select("doc_id")
+    )
+    emb_dels = (
+        _digest_embedding(chunk_state.chunks.join(touched, "doc_id", "left_semi"))
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    # stage 1: chunk maintenance through the stream
+    final_chunks, _ = CM.run_chunk_maintenance(
+        spark, feed, str(tmp_path / "chk"), chunk_state,
+    )
+    # stage 2+3: the touched docs' embedding delta drives the postings
+    emb_ups = _digest_embedding(
+        final_chunks.chunks.join(touched, "doc_id", "left_semi")
+    )
+    maintained = AM.apply_postings_changes(postings, emb_ups, emb_dels, model)
+
+    # oracle: from-scratch chunks+embeddings of the final corpus, assigned
+    # under the SAME frozen quantizer
+    del_ids = base.orderBy("doc_id").limit(3).select("doc_id")
+    final_corpus = (
+        base.join(del_ids, "doc_id", "left_anti")
+        .join(upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(upd.select("doc_id", "text"))
+        .unionByName(ins.select("doc_id", "text"))
+    )
+    want_chunks = CM.build_chunk_state(final_corpus, checkpoint=False)
+    want = AM.assign_under_model(model, _digest_embedding(want_chunks.chunks))
+    got = {(r.vec_id, r.cluster) for r in maintained.collect()}
+    assert got == {(r.vec_id, r.cluster) for r in want.collect()}
+    assert len(got) == want_chunks.chunks.count()  # one posting per chunk
