@@ -118,6 +118,7 @@ def _registry() -> dict[str, QueryEntry]:
         "crp_chunk_documents",           # NEW r4: overlapping context chunking
         "crp_length_buckets",            # NEW r4: padding-efficiency census
         "evt_sketch_setops",             # NEW r4: HLL union/intersection algebra
+        "cdc_scd2_temporal_join",        # NEW r4: as-of dimension enrichment
         # stalest r2-green single (last driver check: round 2)
         "cdc_flagship_changed_invoices",
         # eight more r2-green singles were budgeted here but ceded their
@@ -169,6 +170,10 @@ def _registry() -> dict[str, QueryEntry]:
         # are randomly re-proven vs DuckDB every round by fuzzer family 2.
         # Re-enters round 5 with the window singles above.
         "rel_rollup_lineitem",
+        # ceded to the SCD2 temporal join: PIVOT compiles to the
+        # conditional-aggregate shape family 2 fuzzes every round.
+        # Re-enters round 5 with the singles above.
+        "rel_pivot_status",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

@@ -675,6 +675,71 @@ FROM hist WHERE op <> 'D'
 """
 
 
+SCD2_PROBES = [125, 375, 625, 875]
+
+
+def cdc_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension enrichment — the query every SCD2 history
+    exists FOR: each (key, as-of version) probe joins to the dimension
+    row valid at that version (valid_from ≤ v < valid_to, open rows
+    cover everything ≥ valid_from). Probes landing before a key's first
+    change or inside a delete gap correctly yield nothing — the
+    interval-gap semantics the history build pins. Plan: equi-join on
+    the dimension key with a residual range predicate — the standard
+    temporal-join shape; per-key interval counts are small by nature, so
+    the residual filter is cheap and there is no corpus-wide sort or
+    nested loop."""
+    feed = _scd2_changes(spark, sf_dir)
+    hist = cdc.scd2_history(feed, ["invoice_id"])
+    probes = (
+        feed.select("invoice_id")
+        .distinct()
+        .select(
+            "invoice_id",
+            F.explode(
+                F.array(*[F.lit(v).cast("long") for v in SCD2_PROBES])
+            ).alias("probe_v"),
+        )
+    )
+    return (
+        probes.join(hist, "invoice_id")
+        .filter(
+            (F.col("valid_from") <= F.col("probe_v"))
+            & (F.col("valid_to").isNull() | (F.col("probe_v") < F.col("valid_to")))
+        )
+        .select("invoice_id", "probe_v", "total_c", "valid_from")
+        .orderBy("invoice_id", "probe_v")
+    )
+
+
+_SCD2_TEMPORAL_SQL = f"""
+WITH {_CHANGELOG_CTES},
+cv AS (SELECT DISTINCT invoice_id, change_version FROM all_changes),
+feed AS (
+  SELECT c.invoice_id, c.change_version,
+         CASE WHEN (c.invoice_id + c.change_version) % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) + c.change_version AS total_c
+  FROM cv c JOIN orders o ON o.o_orderkey = c.invoice_id
+),
+hist AS (
+  SELECT invoice_id, total_c, op, change_version AS valid_from,
+         LEAD(change_version) OVER (PARTITION BY invoice_id ORDER BY change_version) AS valid_to
+  FROM feed
+),
+dim AS (SELECT invoice_id, total_c, valid_from, valid_to FROM hist WHERE op <> 'D'),
+probes AS (
+  SELECT DISTINCT f.invoice_id, CAST(p.v AS BIGINT) AS probe_v
+  FROM feed f, (VALUES {", ".join(f"({v})" for v in SCD2_PROBES)}) p(v)
+)
+SELECT p.invoice_id, p.probe_v, d.total_c, d.valid_from
+FROM probes p
+JOIN dim d ON d.invoice_id = p.invoice_id
+ AND d.valid_from <= p.probe_v
+ AND (d.valid_to IS NULL OR p.probe_v < d.valid_to)
+ORDER BY p.invoice_id, p.probe_v
+"""
+
+
 def cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 maintenance (operators/cdc.py::scd2_apply): the
     history is built from the version prefix ≤ {split}, then the suffix is
@@ -757,5 +822,8 @@ QUERIES: dict[str, QueryEntry] = {
     # incremental == full recompute: the oracle is deliberately the same
     # full-history SQL, so the driver hash proves the merge identity
     "cdc_scd2_incremental": QueryEntry(cdc_scd2_incremental, _SCD2_SQL),
+    "cdc_scd2_temporal_join": QueryEntry(
+        cdc_scd2_temporal_join, _SCD2_TEMPORAL_SQL
+    ),
     "cdc_snapshot_diff": QueryEntry(cdc_snapshot_diff, _SNAPSHOT_DIFF_SQL),
 }
