@@ -738,6 +738,72 @@ ORDER BY exact_cnt DESC, user_id ASC
 """
 
 
+def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill — the
+    last-observation-carried-forward primitive every metrics/feature
+    pipeline needs and Spark has no built-in for: each user's sparse
+    daily value series is expanded to a dense per-day grid over that
+    user's own active span, missing days inherit the last observed
+    value, and ``observed`` marks real vs filled rows. Integer-exact
+    throughout (day floors in epoch micros, sums in cents).
+
+    Plan shape: one grouped agg to the sparse series, a per-user bounds
+    agg, a bounded sequence+explode for the grid (rows = users × their
+    span days — linear), and a user-partitioned running last_value
+    (ignorenulls) — no global sort, no corpus-wide window."""
+    ev = tables.load(spark, sf_dir, "events")
+    day = ((F.unix_micros(F.col("ts")) / _DAY_US).cast("long") * _DAY_US).alias(
+        "day_us"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    sparse = ev.groupBy("user_id", day).agg(F.sum(cents).alias("cents"))
+    bounds = sparse.groupBy("user_id").agg(
+        F.min("day_us").alias("lo"), F.max("day_us").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(_DAY_US).cast("long"))
+        ).alias("day_us"),
+    )
+    filled = grid.join(sparse, ["user_id", "day_us"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "day_us",
+        F.last("cents", ignorenulls=True).over(w).alias("cents_locf"),
+        F.col("cents").isNotNull().cast("int").alias("observed"),
+    ).orderBy("user_id", "day_us")
+
+
+_GAP_FILL_SQL = f"""
+WITH sparse AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} * {_DAY_US} AS day_us,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(day_us) AS lo, MAX(day_us) AS hi FROM sparse GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, {_DAY_US})) AS day_us FROM bounds
+),
+filled AS (
+  SELECT g.user_id, g.day_us, s.cents,
+         CASE WHEN s.cents IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM grid g LEFT JOIN sparse s ON s.user_id = g.user_id AND s.day_us = g.day_us
+)
+SELECT user_id, day_us,
+       CAST(LAST_VALUE(cents IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY day_us ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cents_locf,
+       observed
+FROM filled ORDER BY user_id, day_us
+"""
+
+
 def evt_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra over event-type audiences — the sketch-side
     union/intersection an analytics engine answers audience-overlap
@@ -846,6 +912,7 @@ QUERIES: dict[str, QueryEntry] = {
     "evt_histogram": QueryEntry(evt_histogram, _HISTOGRAM_SQL),
     "evt_heavy_hitters_cms": QueryEntry(evt_heavy_hitters_cms, _CMS_SQL),
     "evt_sketch_setops": QueryEntry(evt_sketch_setops, _SETOPS_SQL),
+    "evt_gap_fill_locf": QueryEntry(evt_gap_fill_locf, _GAP_FILL_SQL),
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
     "evt_user_cardinality_sketch": QueryEntry(

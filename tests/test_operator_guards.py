@@ -68,6 +68,7 @@ def test_registry_window_holds_all_round4_queries():
         "crp_length_buckets",            # NEW: padding-efficiency census
         "evt_sketch_setops",             # NEW: HLL union/intersection algebra
         "cdc_scd2_temporal_join",        # NEW: as-of dimension enrichment
+        "evt_gap_fill_locf",             # NEW: LOCF time-series gap fill
     ]
     missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
@@ -85,13 +86,14 @@ def test_registry_window_holds_all_round4_queries():
     # slots to the containment/chunking/length-bucket trio (two-round
     # overflow option; re-enter round 5 per the demote comment) — their
     # frame shapes are re-proven vs DuckDB every round by fuzzer family 4.
-    # rel_rollup_lineitem likewise ceded its slot to evt_sketch_setops and
+    # rel_rollup_lineitem likewise ceded its slot to evt_sketch_setops,
     # rel_pivot_status to cdc_scd2_temporal_join (ROLLUP and PIVOT both
     # compile to the conditional-agg shapes fuzzer family 2 re-proves
-    # every round).
+    # every round), and rel_intersect_buyers to evt_gap_fill_locf
+    # (INTERSECT is fuzzed every round by family 5).
     stale_r1 = [
         "rel_top_revenue_orders",
-        "rel_semi_join_big_spenders", "rel_intersect_buyers",
+        "rel_semi_join_big_spenders",
         "rel_cube_status_flag", "win_latest_n_per_user",
         "tpch_q10_returned_items", "rel_customer_order_stats",
         "tpch_q18_large_orders",
