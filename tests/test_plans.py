@@ -319,6 +319,12 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "cdc_snapshot_diff": 2,
     "crp_pps_sample": 1,
     "scl_bloom_pruned_join": 1,
+    "dd_containment_pairs": 29,
+    "crp_chunk_documents": 1,   # the presentation orderBy; scan is shuffle-free
+    "crp_length_buckets": 2,
+    "evt_sketch_setops": 32,    # register-table pipeline; corpus work persisted
+    "cdc_scd2_temporal_join": 9,
+    "evt_gap_fill_locf": 4,
 }
 
 
