@@ -204,6 +204,44 @@ def cms_point_estimates(
     )
 
 
+def cms_inner_product(
+    cells_a: DataFrame,
+    cells_b: DataFrame,
+    group_cols: list[str] | None = None,
+    d: int = CMS_D,
+) -> DataFrame:
+    """Equi-join cardinality estimate from two CMS cell tables — the
+    AMS/CMS inner-product estimator an optimizer uses to size a join
+    WITHOUT scanning either side: |A ⋈_k B| = Σ_v f_A(v)·f_B(v), and
+    each sketch row's Σ_col cntA·cntB overestimates that (collisions
+    only ever ADD mass), so the MIN over the d rows is a one-sided
+    estimate: always ≥ the true join size, ≤ true + (e/w)·N_A·N_B with
+    probability ≈ 1 − e^−d. Work is |cells| ≤ d·w per group — constant,
+    never touching the inputs again (the sketches are the maintained
+    state).
+
+    Returns (group…, join_size_est). A sketch row absent from the cell
+    join contributes inner product 0, making the min 0 — handled by
+    counting surviving rows per group."""
+    group_cols = group_cols or []
+    a = cells_a.select(*group_cols, "row", "col", F.col("cnt").alias("ca"))
+    b = cells_b.select(*group_cols, "row", "col", F.col("cnt").alias("cb"))
+    per_row = (
+        a.join(b, [*group_cols, "row", "col"])
+        .groupBy(*group_cols, "row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    agg = per_row.groupBy(*group_cols).agg(
+        F.min("ip").alias("__min_ip"), F.count(F.lit(1)).alias("__rows")
+    )
+    return agg.select(
+        *group_cols,
+        F.when(F.col("__rows") < d, F.lit(0).cast("long"))
+        .otherwise(F.col("__min_ip"))
+        .alias("join_size_est"),
+    )
+
+
 def distinct_within_bound(
     df: DataFrame,
     group_cols: list[str],

@@ -120,6 +120,7 @@ def _registry() -> dict[str, QueryEntry]:
         "evt_sketch_setops",             # NEW r4: HLL union/intersection algebra
         "cdc_scd2_temporal_join",        # NEW r4: as-of dimension enrichment
         "evt_gap_fill_locf",             # NEW r4: LOCF time-series gap fill
+        "evt_join_size_estimate",        # NEW r4: CMS inner-product join sizing
         # stalest r2-green single (last driver check: round 2)
         "cdc_flagship_changed_invoices",
         # eight more r2-green singles were budgeted here but ceded their
@@ -175,9 +176,11 @@ def _registry() -> dict[str, QueryEntry]:
         # conditional-aggregate shape family 2 fuzzes every round.
         # Re-enters round 5 with the singles above.
         "rel_pivot_status",
-        # ceded to the LOCF gap fill: INTERSECT set-op shapes are fuzzed
-        # every round by family 5. Re-enters round 5 with the singles above.
+        # ceded to the LOCF gap fill and the CMS join-size estimator:
+        # INTERSECT/EXCEPT set-op shapes are fuzzed every round by
+        # family 5. Both re-enter round 5 with the singles above.
         "rel_intersect_buyers",
+        "rel_except_lost_customers",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

@@ -908,11 +908,82 @@ ORDER BY type_a, type_b
 """
 
 
+JOIN_EST_TYPE_A = "purchase"
+JOIN_EST_TYPE_B = "click"
+
+
+def evt_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches — the optimizer-style
+    use of CMS state (functions/sketches.py::cms_inner_product): the
+    size of purchases ⋈_{user_id} clicks is estimated purely from the
+    two maintained cell tables (Σ_col cntA·cntB per row, min over rows)
+    without re-scanning either side. Same hash-gated accuracy contract
+    as the other sketch rows: the emitted row carries the EXACT side
+    sizes and true join size plus two verdicts — ``est_ok`` (estimate ≥
+    truth: the inner product's one-sided guarantee, deterministically
+    true) and ``bound_ok`` (estimate ≤ truth + ⌈(e/w)·N_A·N_B⌉). The
+    DuckDB oracle computes the exact side and TRUE literals, so a cell,
+    merge, or estimator regression flips a verdict and the driver
+    hash."""
+    from sql_cdc_spark.functions import sketches as SK
+
+    ev = tables.load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == JOIN_EST_TYPE_A)
+    b = ev.filter(F.col("event_type") == JOIN_EST_TYPE_B)
+    est = SK.cms_inner_product(
+        SK.cms_cells(a, [], "user_id"), SK.cms_cells(b, [], "user_id")
+    )
+    ca = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt_a"))
+    cb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt_b"))
+    exact = (
+        ca.join(cb, "user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt_a") * F.col("cnt_b")), F.lit(0))
+            .cast("long")
+            .alias("true_join_size")
+        )
+        .crossJoin(a.agg(F.count(F.lit(1)).alias("n_a")))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+    )
+    slack = F.ceil(
+        F.lit(math.e / SK.CMS_W) * F.col("n_a") * F.col("n_b")
+    ).cast("long")
+    return exact.crossJoin(est).select(
+        "n_a",
+        "n_b",
+        "true_join_size",
+        (F.col("join_size_est") >= F.col("true_join_size")).alias("est_ok"),
+        (F.col("join_size_est") <= F.col("true_join_size") + slack).alias(
+            "bound_ok"
+        ),
+    )
+
+
+_JOIN_EST_SQL = f"""
+WITH a AS (
+  SELECT user_id, COUNT(*) AS c FROM events
+  WHERE event_type = '{JOIN_EST_TYPE_A}' GROUP BY 1
+),
+b AS (
+  SELECT user_id, COUNT(*) AS c FROM events
+  WHERE event_type = '{JOIN_EST_TYPE_B}' GROUP BY 1
+)
+SELECT
+  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM a) AS n_a,
+  (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM b) AS n_b,
+  (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT)
+   FROM a JOIN b ON a.user_id = b.user_id) AS true_join_size,
+  TRUE AS est_ok,
+  TRUE AS bound_ok
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_histogram": QueryEntry(evt_histogram, _HISTOGRAM_SQL),
     "evt_heavy_hitters_cms": QueryEntry(evt_heavy_hitters_cms, _CMS_SQL),
     "evt_sketch_setops": QueryEntry(evt_sketch_setops, _SETOPS_SQL),
     "evt_gap_fill_locf": QueryEntry(evt_gap_fill_locf, _GAP_FILL_SQL),
+    "evt_join_size_estimate": QueryEntry(evt_join_size_estimate, _JOIN_EST_SQL),
     "evt_tumbling_hourly": QueryEntry(evt_tumbling_hourly, _TUMBLING_SQL),
     "evt_value_percentiles": QueryEntry(evt_value_percentiles, _PERCENTILES_SQL),
     "evt_user_cardinality_sketch": QueryEntry(

@@ -773,3 +773,32 @@ def test_chunk_spans_matches_python_reference_on_random_texts(spark):
 
     want = sorted(x for i, t in enumerate(texts) for x in ref(i, t))
     assert got == want
+
+
+def test_cms_inner_product_one_sided_and_bounded(spark):
+    """AMS/CMS join-size estimation: estimate ≥ true join size always
+    (collisions only add mass), ≤ true + (e/w)·N_A·N_B on fixed data —
+    checked on a heavy-key overlap and on fully disjoint key sets."""
+    import math
+
+    from sql_cdc_spark.functions import sketches as SK
+
+    a = spark.createDataFrame(
+        [("k",)] * 100 + [(f"a{i}",) for i in range(50)], "key string"
+    )
+    b = spark.createDataFrame(
+        [("k",)] * 200 + [(f"b{i}",) for i in range(50)], "key string"
+    )
+    est = SK.cms_inner_product(
+        SK.cms_cells(a, [], "key"), SK.cms_cells(b, [], "key")
+    ).collect()[0].join_size_est
+    true = 100 * 200
+    assert est >= true
+    assert est <= true + math.ceil(math.e / SK.CMS_W * 150 * 250)
+
+    xs = spark.createDataFrame([(f"x{i}",) for i in range(100)], "key string")
+    ys = spark.createDataFrame([(f"y{i}",) for i in range(100)], "key string")
+    est0 = SK.cms_inner_product(
+        SK.cms_cells(xs, [], "key"), SK.cms_cells(ys, [], "key")
+    ).collect()[0].join_size_est
+    assert 0 <= est0 <= math.ceil(math.e / SK.CMS_W * 100 * 100)

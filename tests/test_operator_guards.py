@@ -69,6 +69,7 @@ def test_registry_window_holds_all_round4_queries():
         "evt_sketch_setops",             # NEW: HLL union/intersection algebra
         "cdc_scd2_temporal_join",        # NEW: as-of dimension enrichment
         "evt_gap_fill_locf",             # NEW: LOCF time-series gap fill
+        "evt_join_size_estimate",        # NEW: CMS inner-product join sizing
     ]
     missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
@@ -90,14 +91,15 @@ def test_registry_window_holds_all_round4_queries():
     # rel_pivot_status to cdc_scd2_temporal_join (ROLLUP and PIVOT both
     # compile to the conditional-agg shapes fuzzer family 2 re-proves
     # every round), and rel_intersect_buyers to evt_gap_fill_locf
-    # (INTERSECT is fuzzed every round by family 5).
+    # (INTERSECT is fuzzed every round by family 5), as did
+    # rel_except_lost_customers to evt_join_size_estimate (EXCEPT is in
+    # the same family-5 rotation).
     stale_r1 = [
         "rel_top_revenue_orders",
         "rel_semi_join_big_spenders",
         "rel_cube_status_flag", "win_latest_n_per_user",
         "tpch_q10_returned_items", "rel_customer_order_stats",
         "tpch_q18_large_orders",
-        "rel_except_lost_customers",
         "fn_invoice_numbering", "fn_json_extract", "win_order_ranks",
         "rel_pricing_summary", "rel_header_line_view",
         "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
