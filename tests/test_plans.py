@@ -325,6 +325,7 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "evt_sketch_setops": 32,    # register-table pipeline; corpus work persisted
     "cdc_scd2_temporal_join": 9,
     "evt_gap_fill_locf": 4,
+    "evt_join_size_estimate": 14,  # two sketch builds + exact verdict side
 }
 
 
