@@ -187,6 +187,40 @@ def lsh_candidate_pairs(
     )
 
 
+def _candidate_intersections(
+    hashed: DataFrame, candidates: DataFrame, id_col: str
+) -> DataFrame:
+    """(id_a, id_b, n_inter) for the given candidate pairs only:
+    candidate-first expansion by id_a's shingles, kept where id_b also
+    has them — O(|candidates| × shingles/doc), never the full
+    shared-shingle pair space. Shared by Jaccard and containment so the
+    intersection path cannot diverge between the two measures."""
+    fa = hashed.select(F.col(id_col).alias("id_a"), "sh64")
+    fb = hashed.select(F.col(id_col).alias("id_b"), "sh64")
+    return (
+        candidates.join(fa, "id_a")
+        .join(fb, ["id_b", "sh64"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
+def _attach_sizes(
+    inter: DataFrame,
+    hashed: DataFrame,
+    id_col: str,
+    sizes: DataFrame | None,
+) -> DataFrame:
+    """Join per-doc distinct-shingle counts onto (id_a, id_b, n_inter)
+    as n_a/n_b; ``sizes`` (id_col, n_sh) reuses a count already produced
+    elsewhere (minhash_signatures with_sizes=True)."""
+    if sizes is None:
+        sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
 def jaccard_pairs(
     shingled: DataFrame,
     candidates: DataFrame | None = None,
@@ -198,38 +232,21 @@ def jaccard_pairs(
     only verifies those (the LSH path — linear-ish work); without, blocks
     on shared shingles (still avoids the full cross join: pairs sharing
     zero shingles are never generated). Input is doc_shingles' hashed
-    (id, sh64) form — joins compare 8-byte ints, never shingle strings.
-
-    ``sizes`` (id_col, n_sh) lets callers reuse a count already produced
-    elsewhere (minhash_signatures with_sizes=True) and skip this
-    function's own groupBy over the exploded shingle table."""
+    (id, sh64) form — joins compare 8-byte ints, never shingle strings."""
     hashed = shingled.select(F.col(id_col), "sh64")
-    a = hashed.select(F.col(id_col).alias("id_a"), "sh64")
-    b = hashed.select(F.col(id_col).alias("id_b"), "sh64")
     if candidates is not None:
-        # candidate-first: expand candidates by id_a's shingles, then keep
-        # those id_b also has — work is O(|candidates| × shingles/doc),
-        # never the full shared-shingle pair space
-        inter = (
-            candidates.join(a, "id_a")
-            .join(b, ["id_b", "sh64"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
+        inter = _candidate_intersections(hashed, candidates, id_col)
     else:
+        a = hashed.select(F.col(id_col).alias("id_a"), "sh64")
+        b = hashed.select(F.col(id_col).alias("id_b"), "sh64")
         inter = (
             a.join(b, ["sh64"])
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-    if sizes is None:
-        sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        _attach_sizes(inter, hashed, id_col, sizes)
         .select(
             "id_a",
             "id_b",
@@ -288,21 +305,9 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    fa = hashed.select(F.col(id_col).alias("id_a"), "sh64")
-    fb = hashed.select(F.col(id_col).alias("id_b"), "sh64")
-    inter = (
-        cands.join(fa, "id_a")
-        .join(fb, ["id_b", "sh64"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    if sizes is None:
-        sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    inter = _candidate_intersections(hashed, cands, id_col)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        _attach_sizes(inter, hashed, id_col, sizes)
         .select(
             "id_a",
             "id_b",

@@ -222,7 +222,9 @@ def cms_inner_product(
 
     Returns (group…, join_size_est). A sketch row absent from the cell
     join contributes inner product 0, making the min 0 — handled by
-    counting surviving rows per group."""
+    counting surviving rows per group; a group present in only ONE
+    sketch (or sketches with zero overlapping cells) still gets its
+    0-estimate row, from the group universe of both inputs."""
     group_cols = group_cols or []
     a = cells_a.select(*group_cols, "row", "col", F.col("cnt").alias("ca"))
     b = cells_b.select(*group_cols, "row", "col", F.col("cnt").alias("cb"))
@@ -231,14 +233,24 @@ def cms_inner_product(
         .groupBy(*group_cols, "row")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
+    est = F.when(
+        F.coalesce(F.col("__rows"), F.lit(0)) < d, F.lit(0).cast("long")
+    ).otherwise(F.col("__min_ip"))
+    if not group_cols:
+        # global agg always emits exactly one row (min=null, count=0 on
+        # empty input), so the 0-estimate row survives disjoint sketches
+        agg = per_row.agg(
+            F.min("ip").alias("__min_ip"), F.count(F.lit(1)).alias("__rows")
+        )
+        return agg.select(est.alias("join_size_est"))
+    universe = (
+        cells_a.select(*group_cols).union(cells_b.select(*group_cols)).distinct()
+    )
     agg = per_row.groupBy(*group_cols).agg(
         F.min("ip").alias("__min_ip"), F.count(F.lit(1)).alias("__rows")
     )
-    return agg.select(
-        *group_cols,
-        F.when(F.col("__rows") < d, F.lit(0).cast("long"))
-        .otherwise(F.col("__min_ip"))
-        .alias("join_size_est"),
+    return universe.join(agg, group_cols, "left").select(
+        *group_cols, est.alias("join_size_est")
     )
 
 

@@ -142,9 +142,16 @@ def language_id(col: Column) -> Column:
     return expr
 
 
+# the context-window chunk grid — single source of truth for the batch
+# query (queries/corpus_q.py::crp_chunk_documents) and the streaming
+# chunk-table maintenance (streaming/chunk_maintenance.py)
+CHUNK_CHARS = 200   # chunk window (chars — the char-domain stand-in for tokens)
+CHUNK_STRIDE = 150  # stride; CHUNK_CHARS - CHUNK_STRIDE chars of overlap
+
+
 def chunk_spans(
-    docs, chunk_chars: int, stride: int, text_col: str = "text",
-    id_col: str = "doc_id",
+    docs, chunk_chars: int = CHUNK_CHARS, stride: int = CHUNK_STRIDE,
+    text_col: str = "text", id_col: str = "doc_id",
 ):
     """Overlapping fixed-window chunk spans per document: windows of
     ``chunk_chars`` chars every ``stride`` chars. Emits one row per chunk

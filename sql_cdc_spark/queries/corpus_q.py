@@ -545,8 +545,10 @@ def _pps_sql() -> str:
     )
 
 
-CHUNK_CHARS = 200   # chunk window (chars — the char-domain stand-in for tokens)
-CHUNK_STRIDE = 150  # stride; CHUNK_CHARS - CHUNK_STRIDE chars of overlap
+# chunk grid constants live beside chunk_spans (functions/text.py) so
+# the batch query and the streaming maintenance can never drift
+CHUNK_CHARS = TX.CHUNK_CHARS
+CHUNK_STRIDE = TX.CHUNK_STRIDE
 
 
 def crp_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

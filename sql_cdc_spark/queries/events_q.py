@@ -752,9 +752,9 @@ def evt_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     span days — linear), and a user-partitioned running last_value
     (ignorenulls) — no global sort, no corpus-wide window."""
     ev = tables.load(spark, sf_dir, "events")
-    day = ((F.unix_micros(F.col("ts")) / _DAY_US).cast("long") * _DAY_US).alias(
-        "day_us"
-    )
+    # integer floor division (div), NOT double-divide + cast: truncation
+    # toward zero diverges from the oracle's // on pre-1970 timestamps
+    day = (F.expr(f"unix_micros(ts) div {_DAY_US}") * _DAY_US).alias("day_us")
     cents = F.round(F.col("value") * 100).cast("long")
     sparse = ev.groupBy("user_id", day).agg(F.sum(cents).alias("cents"))
     bounds = sparse.groupBy("user_id").agg(
@@ -820,13 +820,19 @@ def evt_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_cdc_spark.functions import sketches as SK
 
     ev = tables.load(spark, sf_dir, "events")
-    # the distinct audience table and the pair-intersection aggregate are
-    # each consumed by several subtrees below — persist so the corpus
-    # passes run once (the local analog of the materialized audience /
-    # overlap state tables a cluster pipeline keeps)
+    # the distinct audience table feeds both exact aggregates; cache it
+    # for the duration of THIS function, materialize the two tiny
+    # derived tables (≤ |types| and ≤ |types|² rows) eagerly, then free
+    # the corpus-sized cache — a query must not leak cache entries into
+    # the session (plan-matching CacheManager would substitute them into
+    # unrelated later plans)
     users = ev.select("event_type", "user_id").distinct().persist()
     regs = SK.hll_registers(ev, ["event_type"], "user_id")
-    sizes = users.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sizes = (
+        users.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     ua = users.select(F.col("event_type").alias("type_a"), "user_id")
     ub = users.select(F.col("event_type").alias("type_b"), "user_id")
     inter = (
@@ -834,8 +840,9 @@ def evt_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    users.unpersist()
     est = SK.hll_estimate(regs, ["event_type"])
     ra = regs.select(F.col("event_type").alias("type_a"), "reg", "rho")
     rb = regs.select(F.col("event_type").alias("type_b"), "reg", "rho")

@@ -40,11 +40,10 @@ __all__ = [
     "run_chunk_maintenance",
 ]
 
-# the crp_chunk_documents grid (queries/corpus_q.py): 200-char windows
-# every 150 chars; imported constants would be circular, so the grid is
-# a parameter with the same defaults
-CHUNK_CHARS = 200
-CHUNK_STRIDE = 150
+# the chunk grid is owned by functions/text.py next to chunk_spans —
+# one constant pair serves the batch query and this maintenance module
+CHUNK_CHARS = TX.CHUNK_CHARS
+CHUNK_STRIDE = TX.CHUNK_STRIDE
 
 
 class ChunkState(NamedTuple):

@@ -802,3 +802,28 @@ def test_cms_inner_product_one_sided_and_bounded(spark):
         SK.cms_cells(xs, [], "key"), SK.cms_cells(ys, [], "key")
     ).collect()[0].join_size_est
     assert 0 <= est0 <= math.ceil(math.e / SK.CMS_W * 100 * 100)
+
+
+def test_cms_inner_product_grouped_emits_zero_for_one_sided_groups(spark):
+    """Grouped estimation contract (self-review r4): a group present in
+    only ONE sketch — or whose sketches share no cells — must still get
+    its 0-estimate row, not silently vanish from the result."""
+    from sql_cdc_spark.functions import sketches as SK
+
+    a = spark.createDataFrame(
+        [("d1", "k"), ("d1", "k"), ("d2", "only_a")], "day string, key string"
+    )
+    b = spark.createDataFrame(
+        [("d1", "k"), ("d3", "only_b")], "day string, key string"
+    )
+    est = {
+        r.day: r.join_size_est
+        for r in SK.cms_inner_product(
+            SK.cms_cells(a, ["day"], "key"),
+            SK.cms_cells(b, ["day"], "key"),
+            group_cols=["day"],
+        ).collect()
+    }
+    assert set(est) == {"d1", "d2", "d3"}
+    assert est["d1"] >= 2          # true f_A(k)·f_B(k) = 2·1
+    assert est["d2"] == 0 and est["d3"] == 0

@@ -322,7 +322,7 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "dd_containment_pairs": 29,
     "crp_chunk_documents": 1,   # the presentation orderBy; scan is shuffle-free
     "crp_length_buckets": 2,
-    "evt_sketch_setops": 32,    # register-table pipeline; corpus work persisted
+    "evt_sketch_setops": 16,    # register pipeline; exact side checkpointed
     "cdc_scd2_temporal_join": 9,
     "evt_gap_fill_locf": 4,
     "evt_join_size_estimate": 14,  # two sketch builds + exact verdict side
