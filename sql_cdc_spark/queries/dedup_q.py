@@ -152,7 +152,12 @@ def dd_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     # the shingle explode feeds three subtrees (signatures + both Jaccard
     # sides): persist so it is computed once per execution — the local
-    # analog of materializing the shingle table at corpus scale
+    # analog of materializing the shingle table at corpus scale. Kept
+    # after an r4 A/B at sf0.1 (persist 1.67 s vs lazy 2.13 s best-of-3:
+    # here the re-read work past the shuffle is heavy enough to win,
+    # unlike evt_sketch_setops where lazy won). The cache residue is
+    # bounded — CacheManager keys by plan, so repeated invocations reuse
+    # ONE entry pair — and the budget gate measures on a cleared cache.
     shingled = DD.doc_shingles(docs).persist()
     # one aggregate produces signatures AND set sizes: the Jaccard stage
     # reuses n_sh instead of a second groupBy over the shingle table

@@ -322,7 +322,8 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "dd_containment_pairs": 29,
     "crp_chunk_documents": 1,   # the presentation orderBy; scan is shuffle-free
     "crp_length_buckets": 2,
-    "evt_sketch_setops": 16,    # register pipeline; exact side checkpointed
+    "evt_sketch_setops": 29,    # fully-lazy register pipeline (A/B: faster
+                                # than persist; shuffle map stages reused)
     "cdc_scd2_temporal_join": 9,
     "evt_gap_fill_locf": 4,
     "evt_join_size_estimate": 14,  # two sketch builds + exact verdict side
