@@ -234,14 +234,23 @@ def incremental_apply_scaling(spark, sf_dir: str) -> dict:
     out = {}
     for tag, corpus in (("1x", docs), ("10x", tenx)):
         state = DD.build_near_dup_state(corpus, max_bucket_size=50)
-        t0 = perf_counter()
-        new_state = DD.apply_near_dup_changes(
-            state, batch, deletes, max_bucket_size=50
-        )
-        n_pairs = new_state.pairs.count()
-        out[f"apply_seconds_{tag}"] = round(perf_counter() - t0, 3)
+        # best-of-2 applies with a probe per pass: one apply landing in a
+        # host-contention window otherwise records a bogus ratio (an r4
+        # single-pass run measured apply_1x 19 s vs apply_10x 7.6 s —
+        # ratio 0.4 — purely from a window hitting the 1x pass)
+        best, probes = float("inf"), []
+        for _ in range(2):
+            probes.append(_cpu_probe_ms())
+            t0 = perf_counter()
+            new_state = DD.apply_near_dup_changes(
+                state, batch, deletes, max_bucket_size=50
+            )
+            n_pairs = new_state.pairs.count()
+            best = min(best, perf_counter() - t0)
+            new_state.release()
+        out[f"apply_seconds_{tag}"] = round(best, 3)
         out[f"pairs_{tag}"] = n_pairs
-        new_state.release()
+        out[f"probe_ms_{tag}"] = probes
         state.release()
     out["ratio_10x_over_1x"] = round(
         out["apply_seconds_10x"] / max(out["apply_seconds_1x"], 1e-9), 2

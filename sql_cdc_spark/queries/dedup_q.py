@@ -451,13 +451,15 @@ CONTAINMENT_THRESHOLD = 0.2
 
 
 def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric shingle-containment pairs ≥ 0.2 — catches the short-doc-
-    inside-long-doc duplication that symmetric Jaccard misses (a quote or
-    excerpt has Jaccard |A|/|B| but containment ~1.0). Rare-shingle
-    candidate blocking (df ≤ 20) with the hot-shingle broadcast anti-join
-    as the skew guard; intersections counted only for candidate pairs
-    (functions/dedup.py::containment_pairs). Emits set sizes so the
-    asymmetry is visible in the result."""
+    """Asymmetric shingle-containment pairs ≥ 0.2 over the rare-shingle
+    domain (df ≤ 20) — catches the short-doc-inside-long-doc duplication
+    that symmetric Jaccard misses (a quote or excerpt has Jaccard
+    |A|/|B| but containment ~1.0), judged by DISTINCTIVE shingles only
+    (boilerplate does not count toward containment; hot-shingle
+    broadcast anti-join is the skew guard). One self-join aggregated
+    straight to pair intersections — no candidate materialization
+    (functions/dedup.py::containment_pairs). Emits rare-set sizes so
+    the asymmetry is visible in the result."""
     docs = tables.load(spark, sf_dir, "documents")
     return DD.containment_pairs(
         DD.doc_shingles(docs),
@@ -474,18 +476,12 @@ hot AS (
 rsh AS (
   SELECT s.doc_id, s.sh64 FROM shh s ANTI JOIN hot h ON s.sh64 = h.sh64
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM rsh a JOIN rsh b ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
-),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
 inter AS (
-  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-  FROM cand c
-  JOIN shh a ON a.doc_id = c.id_a
-  JOIN shh b ON b.doc_id = c.id_b AND b.sh64 = a.sh64
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM rsh a JOIN rsh b ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
 cont AS (
   SELECT i.id_a, i.id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
          ROUND(i.n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment

@@ -596,9 +596,11 @@ def test_containment_embedded_doc_scores_one_jaccard_low(spark):
 
 def test_containment_at_least_jaccard_and_bounded(spark, docs):
     """For every pair both measures emit, containment ∈ (0, 1] and
-    containment ≥ Jaccard (n_inter/min ≥ n_inter/union always)."""
+    containment ≥ Jaccard (n_inter/min ≥ n_inter/union always). The
+    df_cap is set above every shingle's df so both measures run on the
+    SAME (full) domain — the inequality only holds domain-for-domain."""
     sh = DD.doc_shingles(docs).persist()
-    cont = DD.containment_pairs(sh, df_cap=20, threshold=0.01)
+    cont = DD.containment_pairs(sh, df_cap=10**9, threshold=0.01)
     jac = DD.jaccard_pairs(sh, threshold=0.01)
     joined = cont.join(jac, ["id_a", "id_b"]).collect()
     assert joined, "no overlapping pairs — fixture degenerated"

@@ -319,7 +319,7 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "cdc_snapshot_diff": 2,
     "crp_pps_sample": 1,
     "scl_bloom_pruned_join": 1,
-    "dd_containment_pairs": 29,
+    "dd_containment_pairs": 31,  # rare-domain direct aggregation (r4 rewrite)
     "crp_chunk_documents": 1,   # the presentation orderBy; scan is shuffle-free
     "crp_length_buckets": 2,
     "evt_sketch_setops": 29,    # fully-lazy register pipeline (A/B: faster
