@@ -181,6 +181,9 @@ def _registry() -> dict[str, QueryEntry]:
         # family 5. Both re-enter round 5 with the singles above.
         "rel_intersect_buyers",
         "rel_except_lost_customers",
+        # ceded to rel_unpivot_measures (the semi-join EXISTS shape is
+        # fuzzed every round by family 5). Re-enters round 5.
+        "rel_semi_join_big_spenders",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

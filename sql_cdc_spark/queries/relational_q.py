@@ -397,6 +397,47 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of rel_pivot_status: the per-flag
+    wide aggregate (qty, cents, row count as exact bigints) is stacked
+    into long (l_returnflag, measure, value) form via the native
+    ``stack`` table generator — the shape BI tools and chart layers
+    consume. Scan + one grouped agg + a scan-local generator: the
+    unpivot itself never shuffles."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'qty', qty, 'cents', cents, 'n_rows', n_rows) "
+            "AS (measure, value)"
+        ),
+    ).orderBy("l_returnflag", "measure")
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+         COUNT(*) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value FROM (
+  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM wide
+  UNION ALL SELECT l_returnflag, 'cents', cents FROM wide
+  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM wide
+)
+ORDER BY l_returnflag, measure
+"""
+
+
 def rel_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery extension: orders at least 1.5× the global average
     price — the scalar aggregate is broadcast as a 1-row join (no driver
@@ -508,5 +549,6 @@ QUERIES: dict[str, QueryEntry] = {
     "rel_union_all_segments": QueryEntry(rel_union_all_segments, _UNION_ALL_SQL),
     "rel_rollup_lineitem": QueryEntry(rel_rollup_lineitem, _ROLLUP_SQL),
     "rel_pivot_status": QueryEntry(rel_pivot_status, _PIVOT_SQL),
+    "rel_unpivot_measures": QueryEntry(rel_unpivot_measures, _UNPIVOT_SQL),
     "rel_above_avg_orders": QueryEntry(rel_above_avg_orders, _ABOVE_AVG_SQL),
 }

@@ -70,6 +70,7 @@ def test_registry_window_holds_all_round4_queries():
         "cdc_scd2_temporal_join",        # NEW: as-of dimension enrichment
         "evt_gap_fill_locf",             # NEW: LOCF time-series gap fill
         "evt_join_size_estimate",        # NEW: CMS inner-product join sizing
+        "rel_unpivot_measures",          # NEW: stack()-based UNPIVOT/melt
     ]
     missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
@@ -92,11 +93,11 @@ def test_registry_window_holds_all_round4_queries():
     # compile to the conditional-agg shapes fuzzer family 2 re-proves
     # every round), and rel_intersect_buyers to evt_gap_fill_locf
     # (INTERSECT is fuzzed every round by family 5), as did
-    # rel_except_lost_customers to evt_join_size_estimate (EXCEPT is in
-    # the same family-5 rotation).
+    # rel_except_lost_customers to evt_join_size_estimate and
+    # rel_semi_join_big_spenders to rel_unpivot_measures (EXCEPT and the
+    # EXISTS semi shape are in the same family-5 rotation).
     stale_r1 = [
         "rel_top_revenue_orders",
-        "rel_semi_join_big_spenders",
         "rel_cube_status_flag", "win_latest_n_per_user",
         "tpch_q10_returned_items", "rel_customer_order_stats",
         "tpch_q18_large_orders",

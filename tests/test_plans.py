@@ -327,6 +327,7 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "cdc_scd2_temporal_join": 9,
     "evt_gap_fill_locf": 4,
     "evt_join_size_estimate": 14,  # two sketch builds + exact verdict side
+    "rel_unpivot_measures": 2,     # grouped agg + presentation sort; stack is scan-local
 }
 
 
