@@ -101,3 +101,86 @@ def prepare_training_corpus(
     return SP.with_split(kept, "doc_id", test_frac, val_frac).select(
         "doc_id", "lang", "source", "n_tokens", "quality", "digest", "split"
     )
+
+
+def assign_shards(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_buckets: int = 64,
+    salt: str = "shard",
+) -> DataFrame:
+    """Token-budgeted shard assignment — the output-planning step of a
+    corpus run: documents are laid end-to-end along a hash-defined total
+    order and cut into ``tokens_per_shard``-token shards (shard = the
+    bin the document STARTS in, the crp_pack_sequences rule at corpus
+    granularity). Deterministic and layout-independent: the order is a
+    pure function of ids, so the same shard map comes out on any
+    cluster, any partitioning, any run.
+
+    Scale: the global cumulative sum is two-phase — a per-bucket window
+    (PARTITIONED by the hash bucket, never partition-less) plus bucket
+    offsets from an ``n_buckets``-row grouped aggregate collected to the
+    driver (the pps_systematic_sample pattern; the collect is bounded by
+    the constant bucket count). Returns the input plus ``shard``."""
+    from pyspark.sql.window import Window
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    bucketed = docs.withColumn("__b", bucket)
+    bsums = {
+        r["__b"]: r["w"]
+        for r in bucketed.groupBy("__b")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += bsums.get(b, 0)
+    off_map = F.create_map(
+        *[lit for b in range(n_buckets) for lit in (F.lit(b), F.lit(offsets[b]))]
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(weight_col).over(w) + off_map[F.col("__b")]
+    return bucketed.withColumn(
+        "shard",
+        ((cum - F.col(weight_col)) / tokens_per_shard).cast("long"),
+    ).drop("__b")
+
+
+def write_sharded_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    tokens_per_shard: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> int:
+    """Write the corpus as one directory partition per token-budgeted
+    shard (``shard=N/``) — the layout a training job consumes shard-by-
+    shard. Returns the shard count. The shuffle is one repartition on
+    the shard id so each shard's files are written together; everything
+    upstream is the deterministic assign_shards map."""
+    sharded = assign_shards(docs, tokens_per_shard, id_col, weight_col)
+    (
+        sharded.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return sharded.sparkSession.read.parquet(out_dir).select(
+        "shard"
+    ).distinct().count()

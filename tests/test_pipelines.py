@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from sql_cdc_spark import tables
 from sql_cdc_spark.functions import dedup as DD
 from sql_cdc_spark.pipelines.corpus import prepare_training_corpus
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_SMALL
 
 
 @pytest.fixture(scope="module")
@@ -80,3 +80,61 @@ def test_prepare_corpus_releases_caches(spark):
     assert len(after2 - before) <= 2, (
         f"two runs leaked {len(after2 - before)} persisted RDDs"
     )
+
+
+def test_assign_shards_budget_and_determinism(spark):
+    """Shard token totals honor the budget (every non-final shard ends
+    within one max-doc of the budget boundary), assignment is identical
+    across partitioning layouts, and shards are contiguous 0..K."""
+    from sql_cdc_spark.functions import text as TX
+    from sql_cdc_spark.pipelines.corpus import assign_shards
+
+    docs = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .withColumn("n_tokens", TX.token_count(F.col("text")))
+    )
+    budget = 500
+    got = assign_shards(docs, budget)
+    rows = got.select("doc_id", "n_tokens", "shard").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    k = max(by_shard)
+    assert set(by_shard) == set(range(k + 1)), "shards must be contiguous"
+    max_doc = max(r.n_tokens for r in rows)
+    for s, members in by_shard.items():
+        tot = sum(r.n_tokens for r in members)
+        if s < k:
+            # a shard closes when its running sum crosses the budget, so
+            # it holds at least budget - (max_doc - 1) tokens and at most
+            # budget + max_doc - 1 (the straddling doc stays in it)
+            assert budget - max_doc < tot <= budget + max_doc, (s, tot)
+    # layout independence: a different partitioning yields the same map
+    again = assign_shards(docs.repartition(13), budget)
+    assert sorted((r.doc_id, r.shard) for r in again.collect()) == sorted(
+        (r.doc_id, r.shard) for r in rows
+    )
+
+
+def test_write_sharded_corpus_layout(spark, tmp_path):
+    """The sharded writer produces one shard=N/ directory per shard and
+    round-trips every document exactly once."""
+    from sql_cdc_spark.functions import text as TX
+    from sql_cdc_spark.pipelines.corpus import write_sharded_corpus
+
+    docs = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .withColumn("n_tokens", TX.token_count(F.col("text")))
+    )
+    out = str(tmp_path / "shards")
+    n_shards = write_sharded_corpus(docs, out, tokens_per_shard=500)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    assert back.select("shard").distinct().count() == n_shards
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(dirs) == n_shards
