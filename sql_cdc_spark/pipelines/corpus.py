@@ -123,7 +123,16 @@ def assign_shards(
     (PARTITIONED by the hash bucket, never partition-less) plus bucket
     offsets from an ``n_buckets``-row grouped aggregate collected to the
     driver (the pps_systematic_sample pattern; the collect is bounded by
-    the constant bucket count). Returns the input plus ``shard``."""
+    the constant bucket count). Returns the input plus ``shard``.
+
+    Contract notes: shard ids are monotone along the hash order but may
+    be SPARSE — a document heavier than the budget fills more than one
+    budget's worth, and the skipped ids are exactly that overflow (each
+    emitted shard still lands within one max-doc of the boundary).
+    Consumers list the shard partitions that exist rather than iterating
+    0..K. Null weights count as 0 (the doc still gets a shard). All grid
+    arithmetic is bigint (``div``), never double — exact at any corpus
+    size."""
     from pyspark.sql.window import Window
 
     bucket = (
@@ -136,17 +145,16 @@ def assign_shards(
         ).cast("long")
         % n_buckets
     )
-    bucketed = docs.withColumn("__b", bucket)
+    wgt = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    bucketed = docs.withColumn("__b", bucket).withColumn("__w", wgt)
     bsums = {
         r["__b"]: r["w"]
-        for r in bucketed.groupBy("__b")
-        .agg(F.sum(weight_col).alias("w"))
-        .collect()
+        for r in bucketed.groupBy("__b").agg(F.sum("__w").alias("w")).collect()
     }
     offsets, acc = {}, 0
     for b in range(n_buckets):
         offsets[b] = acc
-        acc += bsums.get(b, 0)
+        acc += bsums.get(b, 0) or 0
     off_map = F.create_map(
         *[lit for b in range(n_buckets) for lit in (F.lit(b), F.lit(offsets[b]))]
     )
@@ -155,11 +163,12 @@ def assign_shards(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(weight_col).over(w) + off_map[F.col("__b")]
-    return bucketed.withColumn(
-        "shard",
-        ((cum - F.col(weight_col)) / tokens_per_shard).cast("long"),
-    ).drop("__b")
+    cum = F.sum("__w").over(w) + off_map[F.col("__b")]
+    return (
+        bucketed.withColumn("__start", cum - F.col("__w"))
+        .withColumn("shard", F.expr(f"__start div {int(tokens_per_shard)}"))
+        .drop("__b", "__w", "__start")
+    )
 
 
 def write_sharded_corpus(
@@ -171,9 +180,12 @@ def write_sharded_corpus(
 ) -> int:
     """Write the corpus as one directory partition per token-budgeted
     shard (``shard=N/``) — the layout a training job consumes shard-by-
-    shard. Returns the shard count. The shuffle is one repartition on
-    the shard id so each shard's files are written together; everything
-    upstream is the deterministic assign_shards map."""
+    shard. Returns the shard count (0 for an empty corpus — the write
+    still produces the empty output directory). The shuffle is one
+    repartition on the shard id so each shard's files are written
+    together; everything upstream is the deterministic assign_shards
+    map. The count comes from the computed map, never a re-read of the
+    output (the compact_documents double-scan lesson)."""
     sharded = assign_shards(docs, tokens_per_shard, id_col, weight_col)
     (
         sharded.repartition("shard")
@@ -181,6 +193,4 @@ def write_sharded_corpus(
         .partitionBy("shard")
         .parquet(out_dir)
     )
-    return sharded.sparkSession.read.parquet(out_dir).select(
-        "shard"
-    ).distinct().count()
+    return sharded.select("shard").distinct().count()

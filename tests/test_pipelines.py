@@ -101,7 +101,10 @@ def test_assign_shards_budget_and_determinism(spark):
     for r in rows:
         by_shard.setdefault(r.shard, []).append(r)
     k = max(by_shard)
-    assert set(by_shard) == set(range(k + 1)), "shards must be contiguous"
+    # every doc here is far below the budget, so ids must be contiguous
+    # (sparseness only arises from docs heavier than the budget — the
+    # separate heavy-doc test below)
+    assert set(by_shard) == set(range(k + 1))
     max_doc = max(r.n_tokens for r in rows)
     for s, members in by_shard.items():
         tot = sum(r.n_tokens for r in members)
@@ -138,3 +141,29 @@ def test_write_sharded_corpus_layout(spark, tmp_path):
 
     dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
     assert len(dirs) == n_shards
+
+
+def test_assign_shards_heavy_doc_null_weight_and_empty(spark, tmp_path):
+    """Edge contract (self-review r4): a doc heavier than the budget
+    yields SPARSE monotone shard ids (the skipped ids are its overflow);
+    null weights count as 0 and still get a shard; an empty corpus
+    writes cleanly and reports 0 shards."""
+    from sql_cdc_spark.pipelines.corpus import assign_shards, write_sharded_corpus
+
+    rows = [(1, 1200), (2, 100), (3, None), (4, 100)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    got = {r.doc_id: r.shard for r in assign_shards(docs, 500).collect()}
+    assert None not in got.values(), "null weight must not produce shard NULL"
+    assert len(got) == 4
+    # the 1200-token doc spans >2 budgets: the id right after it is skipped
+    shards = sorted(set(got.values()))
+    assert shards[0] == 0 and shards == sorted(shards)
+    totals = {}
+    weights = dict(rows)
+    for d, s in got.items():
+        totals[s] = totals.get(s, 0) + (weights[d] or 0)
+    assert any(t > 500 for t in totals.values())  # the heavy doc's shard
+
+    empty = docs.filter("doc_id < 0")
+    out = str(tmp_path / "empty_shards")
+    assert write_sharded_corpus(empty, out, tokens_per_shard=500) == 0
