@@ -842,3 +842,97 @@ def test_random_query6_matches_duckdb(spark, oracle, seed):
     rng = random.Random(15000 + seed)
     q = _gen6(rng)
     assert_matches_oracle(_to_spark6(spark, q), oracle, _to_sql6(q))
+
+
+# ---- family 7: date/timestamp field extraction, day arithmetic, and
+# interval shifts over orders.o_orderdate — the calendar surface where
+# engine conventions classically diverge (field numbering, diff sign,
+# truncation types). All outputs are plain integers (year*100+month
+# keys, day counts, cents), never engine-native DATE/TIMESTAMP values.
+# Deliberately avoided: dayofweek (Spark 1=Sunday vs DuckDB 0=Sunday). ----
+
+_F7_FIELDS = ["year", "month", "quarter", "day"]
+_F7_ANCHORS = ["1995-06-01", "1996-01-15", "1997-09-30"]
+
+
+def _gen7(rng: random.Random) -> dict:
+    shape = rng.random()
+    if shape < 0.4:
+        return {"extract": {"field": rng.choice(_F7_FIELDS)}}
+    if shape < 0.7:
+        return {
+            "lagbucket": {
+                "anchor": rng.choice(_F7_ANCHORS),
+                "width": rng.choice([7, 30, 90]),
+            }
+        }
+    return {"shift": {"days": rng.randint(-400, 400)}}
+
+
+def _to_spark7(spark, q: dict):
+    orders = tables.load(spark, SF_DIR, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    if "extract" in q:
+        fld = q["extract"]["field"]
+        col = {
+            "year": F.year, "month": F.month,
+            "quarter": F.quarter, "day": F.dayofmonth,
+        }[fld](F.col("o_orderdate")).cast("int")
+        return orders.groupBy(col.alias("f")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+        )
+    if "lagbucket" in q:
+        p = q["lagbucket"]
+        lag = F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(p["anchor"]).cast("date")
+        )
+        bucket = F.expr(
+            f"CAST(datediff(CAST(o_orderdate AS DATE), DATE'{p['anchor']}') "
+            f"div {p['width']} AS BIGINT)"
+        )
+        return orders.groupBy(bucket.alias("b")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(lag).cast("int").alias("min_lag"),
+            F.max(lag).cast("int").alias("max_lag"),
+        )
+    d = q["shift"]["days"]
+    shifted = F.date_add(F.col("o_orderdate").cast("date"), d)
+    ym = (F.year(shifted) * 100 + F.month(shifted)).cast("int")
+    return orders.groupBy(ym.alias("ym")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+    )
+
+
+def _to_sql7(q: dict) -> str:
+    cents = "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)"
+    if "extract" in q:
+        fld = q["extract"]["field"]
+        return (
+            f"SELECT CAST(EXTRACT({fld} FROM o_orderdate) AS INTEGER) AS f, "
+            f"COUNT(*) AS n, {cents} AS cents FROM orders GROUP BY f"
+        )
+    if "lagbucket" in q:
+        p = q["lagbucket"]
+        lag = f"date_diff('day', DATE '{p['anchor']}', CAST(o_orderdate AS DATE))"
+        return (
+            f"SELECT CAST({lag} // {p['width']} AS BIGINT) AS b, COUNT(*) AS n, "
+            f"CAST(MIN({lag}) AS INTEGER) AS min_lag, "
+            f"CAST(MAX({lag}) AS INTEGER) AS max_lag "
+            f"FROM orders GROUP BY b"
+        )
+    d = q["shift"]["days"]
+    # DuckDB's INTERVAL literal rejects negative/parenthesized counts —
+    # multiply a unit interval instead
+    sh = f"(CAST(o_orderdate AS DATE) + ({d}) * INTERVAL 1 DAY)"
+    return (
+        f"SELECT CAST(EXTRACT(year FROM {sh}) * 100 + EXTRACT(month FROM {sh}) "
+        f"AS INTEGER) AS ym, COUNT(*) AS n, {cents} AS cents "
+        f"FROM orders GROUP BY ym"
+    )
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_query7_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(17000 + seed)
+    q = _gen7(rng)
+    assert_matches_oracle(_to_spark7(spark, q), oracle, _to_sql7(q))
