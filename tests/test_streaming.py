@@ -741,11 +741,16 @@ def test_poison_record_without_error_dir_fails_batch(spark, tmp_path):
     )
     with pytest.raises(Exception):
         pl.write_documents(docs, str(tmp_path / "o1"))
-    # with error_dir: one delivered, one segregated
+    # with error_dir: one delivered, one segregated. Diagnostics in every
+    # assert: this test failed exactly once in a full-suite run under a
+    # heavy host-contention window and never reproduced (4 standalone + 2
+    # full-suite retries) — if it flakes again, the listings say how.
     n = pl.write_documents(docs, str(tmp_path / "o2"), str(tmp_path / "e2"))
-    assert n == 1
-    assert sorted(os.listdir(tmp_path / "o2")) == ["a.json"]
-    assert sorted(os.listdir(tmp_path / "e2")) == ["b.json.error"]
+    o2 = sorted(os.listdir(tmp_path / "o2"))
+    e2 = sorted(os.listdir(tmp_path / "e2"))
+    assert n == 1, f"delivered={n}, o2={o2}, e2={e2}"
+    assert o2 == ["a.json"], f"o2={o2}, e2={e2}"
+    assert e2 == ["b.json.error"], f"o2={o2}, e2={e2}"
 
 
 def test_streaming_dedup_maintenance_equals_full_recompute(spark, tmp_path):
