@@ -266,10 +266,10 @@ nested AS (
          to_json(list(struct_pack(
            l_linenumber := l_linenumber,
            l_partkey := l_partkey,
-           qty := CAST(l_quantity AS BIGINT),
+           qty := CAST(ROUND(l_quantity, 0) AS BIGINT),
            extprice_cents := CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),
            discount_pct := CAST(ROUND(l_discount * 100, 0) AS BIGINT)
-         ) ORDER BY l_linenumber, l_partkey, CAST(l_quantity AS BIGINT),
+         ) ORDER BY l_linenumber, l_partkey, CAST(ROUND(l_quantity, 0) AS BIGINT),
                     CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT),
                     CAST(ROUND(l_discount * 100, 0) AS BIGINT)
          )) AS lines_json

@@ -406,7 +406,10 @@ def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpivot itself never shuffles."""
     li = tables.load(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        # round-then-cast (repo rule): Spark cast('long') truncates while
+        # DuckDB CAST rounds to nearest — identical only while quantities
+        # stay integral; rounding first pins one rule on both engines
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
             "cents"
         ),
@@ -424,7 +427,7 @@ def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_SQL = """
 WITH wide AS (
   SELECT l_returnflag,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS qty,
          CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
          COUNT(*) AS n_rows
   FROM lineitem GROUP BY l_returnflag

@@ -668,7 +668,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     sel = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    qty = F.col("l_quantity").cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
     per_part = sel.groupBy("p_partkey").agg(
         F.sum(qty).alias("__s"), F.count(F.lit(1)).alias("__n")
     ).withColumnRenamed("p_partkey", "__pk")
@@ -685,7 +685,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 
 _Q17_SQL = f"""
 WITH pp AS (
-  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS s, COUNT(*) AS n
+  SELECT l_partkey, SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS s, COUNT(*) AS n
   FROM lineitem GROUP BY 1
 )
 SELECT SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly,
@@ -829,7 +829,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp")
     )
-    qty = F.col("l_quantity").cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
     base_c = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_c = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
@@ -860,11 +860,11 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
        SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
        SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0 AS sum_disc_price,
        SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100, 0) AS BIGINT)) / 100.0 AS sum_charge,
-       ROUND(SUM(CAST(l_quantity AS BIGINT)) / COUNT(*), 4) AS avg_qty,
+       ROUND(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) / COUNT(*), 4) AS avg_qty,
        ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_price,
        ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_disc,
        COUNT(*) AS count_order
@@ -986,7 +986,7 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     cost_c = (
         F.round(F.col("p_retailprice") * 100).cast("long")
-        * F.col("l_quantity").cast("long")
+        * F.round(F.col("l_quantity")).cast("long")
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1217,7 +1217,7 @@ def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = tables.load(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
     in_year = (
         (F.col("l_shipdate") >= F.lit(_Q20_YEAR_LO).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(_Q20_YEAR_HI).cast("timestamp"))
