@@ -936,3 +936,177 @@ def test_random_query7_matches_duckdb(spark, oracle, seed):
     rng = random.Random(17000 + seed)
     q = _gen7(rng)
     assert_matches_oracle(_to_spark7(spark, q), oracle, _to_sql7(q))
+
+
+# ---- family 8: correlated and nested subquery shapes — the
+# decorrelation surface. A correlated scalar subquery is what Catalyst
+# rewrites to a join-on-aggregate; this family renders the SUBQUERY form
+# to DuckDB and the DECORRELATED join form to Spark, so a divergence in
+# empty-group null semantics (COUNT over no rows = 0, SUM/MAX = NULL),
+# filter-vs-join placement, or window-over-aggregate evaluation order
+# trips a seed. All outputs are exact integers. ----
+
+_F8_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _gen8(rng: random.Random) -> dict:
+    shape = rng.random()
+    if shape < 0.28:
+        return {
+            "scalar_proj": {
+                "fn": rng.choice(["count", "sum", "max", "min"]),
+                "pivot": rng.randint(500, 4000),
+            }
+        }
+    if shape < 0.55:
+        return {
+            "corr_filter": {
+                "factor": rng.randint(2, 9),
+                "status": rng.choice(["O", "F", "P"]),
+            }
+        }
+    if shape < 0.8:
+        return {"agg_of_agg": {"priority": rng.choice(_F8_PRIORITIES)}}
+    return {"win_over_agg": {"desc": rng.random() < 0.5}}
+
+
+_QTY_INT_SQL = "CAST(ROUND(l_quantity, 0) AS BIGINT)"
+
+
+def _to_spark8(spark, q: dict):
+    orders = tables.load(spark, SF_DIR, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    if "scalar_proj" in q:
+        p = q["scalar_proj"]
+        li = tables.load(spark, SF_DIR, "lineitem")
+        agg = {
+            "count": F.count(F.lit(1)),
+            "sum": F.sum(F.round(F.col("l_quantity")).cast("long")),
+            "max": F.max(F.col("l_linenumber").cast("long")),
+            "min": F.min(F.col("l_partkey").cast("long")),
+        }[p["fn"]]
+        per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+            agg.alias("__s")
+        )
+        # correlated COUNT(*) over no rows is 0; SUM/MAX/MIN are NULL —
+        # the decorrelated left join must coalesce to the same values
+        sentinel = 0 if p["fn"] == "count" else -1
+        return (
+            orders.filter(F.col("o_orderkey") < p["pivot"])
+            .join(per_order, ["o_orderkey"], "left")
+            .select(
+                "o_orderkey",
+                F.coalesce(F.col("__s"), F.lit(sentinel)).cast("long").alias("sval"),
+            )
+        )
+    if "corr_filter" in q:
+        p = q["corr_filter"]
+        li = tables.load(spark, SF_DIR, "lineitem")
+        line_cents = (
+            li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+            .agg(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                    "__lc"
+                )
+            )
+        )
+        kept = (
+            orders.filter(F.col("o_orderstatus") == p["status"])
+            .join(line_cents, ["o_orderkey"])
+            .filter(cents * p["factor"] > F.col("__lc"))
+        )
+        return kept.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("hdr_cents")
+        )
+    if "agg_of_agg" in q:
+        p = q["agg_of_agg"]
+        cust = tables.load(spark, SF_DIR, "customer")
+        filtered = orders.filter(F.col("o_orderpriority") == p["priority"])
+        per_cust = (
+            cust.join(
+                filtered.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+                ["c_custkey"],
+                "left",
+            )
+            .groupBy("c_custkey")
+            .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+    from pyspark.sql import Window
+
+    p = q["win_over_agg"]
+    grouped = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("grp_cents")
+    )
+    order_col = (
+        F.col("grp_cents").desc() if p["desc"] else F.col("grp_cents").asc()
+    )
+    w_rank = Window.partitionBy("o_orderstatus").orderBy(
+        order_col, F.col("o_orderpriority")
+    )
+    w_tot = Window.partitionBy("o_orderstatus")
+    return grouped.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n",
+        "grp_cents",
+        F.rank().over(w_rank).cast("long").alias("rnk"),
+        F.sum("grp_cents").over(w_tot).cast("long").alias("status_cents"),
+    )
+
+
+def _to_sql8(q: dict) -> str:
+    cents = "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+    if "scalar_proj" in q:
+        p = q["scalar_proj"]
+        sub = {
+            "count": "COUNT(*)",
+            "sum": f"SUM({_QTY_INT_SQL})",
+            "max": "MAX(CAST(l_linenumber AS BIGINT))",
+            "min": "MIN(CAST(l_partkey AS BIGINT))",
+        }[p["fn"]]
+        sentinel = 0 if p["fn"] == "count" else -1
+        return (
+            f"SELECT o_orderkey, CAST(COALESCE((SELECT {sub} FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey), {sentinel}) AS BIGINT) AS sval "
+            f"FROM orders o WHERE o_orderkey < {p['pivot']}"
+        )
+    if "corr_filter" in q:
+        p = q["corr_filter"]
+        return (
+            f"SELECT o_orderpriority, COUNT(*) AS n, "
+            f"CAST(SUM({cents}) AS BIGINT) AS hdr_cents "
+            f"FROM orders o WHERE o_orderstatus = '{p['status']}' "
+            f"AND {cents} * {p['factor']} > "
+            f"(SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) "
+            f"FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) "
+            f"GROUP BY o_orderpriority"
+        )
+    if "agg_of_agg" in q:
+        p = q["agg_of_agg"]
+        return (
+            f"SELECT c_count, COUNT(*) AS custdist FROM ("
+            f"SELECT c_custkey, COUNT(o_orderkey) AS c_count "
+            f"FROM customer LEFT JOIN orders "
+            f"ON c_custkey = o_custkey AND o_orderpriority = '{p['priority']}' "
+            f"GROUP BY c_custkey) t GROUP BY c_count"
+        )
+    p = q["win_over_agg"]
+    direction = "DESC" if p["desc"] else "ASC"
+    return (
+        f"SELECT o_orderstatus, o_orderpriority, n, grp_cents, "
+        f"CAST(RANK() OVER (PARTITION BY o_orderstatus "
+        f"ORDER BY grp_cents {direction}, o_orderpriority) AS BIGINT) AS rnk, "
+        f"CAST(SUM(grp_cents) OVER (PARTITION BY o_orderstatus) AS BIGINT) "
+        f"AS status_cents FROM ("
+        f"SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        f"CAST(SUM({cents}) AS BIGINT) AS grp_cents "
+        f"FROM orders GROUP BY o_orderstatus, o_orderpriority) g"
+    )
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_query8_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(19000 + seed)
+    q = _gen8(rng)
+    assert_matches_oracle(_to_spark8(spark, q), oracle, _to_sql8(q))
