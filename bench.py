@@ -63,6 +63,7 @@ EXTENDED = [
     "dd_containment_pairs",     # asymmetric containment (rare-shingle blocked)
     "crp_chunk_documents",      # zero-shuffle context-window chunking
     "evt_sketch_setops",        # HLL register-merge set algebra
+    "dd_incremental_containment",  # rarity-flip-exact containment upkeep
 ]
 
 

@@ -649,6 +649,217 @@ def apply_near_dup_changes(
     return NearDupState(sh_new, sig_new, b_new, sizes_new, pairs_new)
 
 
+class ContainmentState(NamedTuple):
+    """Materialized incremental containment-dedup state — the
+    containment analog of NearDupState. Four frames, lineage-cut when
+    built with ``checkpoint=True`` (at cluster scale these are parquet
+    state tables maintained between daily CDC batches)."""
+
+    shingles: DataFrame  # (doc_id, sh64) distinct hashed shingles
+    dfreq: DataFrame     # (sh64, df) corpus-wide document frequency
+    sizes: DataFrame     # (doc_id, n_rare) rare-domain set size
+    pairs: DataFrame     # (id_a, id_b, n_a, n_b, containment) ≥ threshold
+
+    def release(self, keep_pairs: bool = False) -> None:
+        frames = [self.shingles, self.dfreq, self.sizes]
+        if not keep_pairs:
+            frames.append(self.pairs)
+        for df in frames:
+            release_local_checkpoint(df)
+
+
+def build_containment_state(
+    docs: DataFrame,
+    df_cap: int = 20,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> ContainmentState:
+    """Full containment computation that ALSO materializes the tables
+    ``apply_containment_changes`` maintains incrementally. Same
+    semantics as ``containment_pairs`` (rare domain = df ≤ ``df_cap``,
+    emit pairs with containment ≥ ``threshold``)."""
+    shingled = _ckpt(doc_shingles(docs, text_col, id_col), checkpoint)
+    dfreq = _ckpt(
+        shingled.groupBy("sh64").agg(F.count(F.lit(1)).alias("df")),
+        checkpoint,
+    )
+    hot = dfreq.filter(F.col("df") > df_cap).select("sh64")
+    rare = shingled.join(F.broadcast(hot), ["sh64"], "left_anti")
+    sizes = _ckpt(
+        rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_rare")),
+        checkpoint,
+    )
+    pairs = _ckpt(
+        containment_pairs(shingled, id_col, df_cap, threshold), checkpoint
+    )
+    return ContainmentState(shingled, dfreq, sizes, pairs)
+
+
+def apply_containment_changes(
+    state: ContainmentState,
+    upserts: DataFrame,
+    deletes: DataFrame,
+    df_cap: int = 20,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint: bool = True,
+) -> ContainmentState:
+    """Incremental containment-dedup maintenance through a CDC batch —
+    the containment twin of ``apply_near_dup_changes``, with one extra
+    wrinkle the LSH path doesn't have: the rare-shingle domain is
+    GLOBAL state. A batch that adds or removes occurrences of a shingle
+    can push its document frequency across ``df_cap`` in either
+    direction, which changes intersection counts and rare-set sizes for
+    pairs of documents the batch never touched. Result is guaranteed
+    equal to a full recompute over the post-change corpus
+    (tests/test_llm_ops.py proves it through insert / update / delete,
+    including engineered rarity flips in both directions).
+
+    Exactness argument. Let D* = touched docs ∪ holders of any shingle
+    whose df crossed the cap this batch ("flipped"). For a pair (A, B)
+    with BOTH endpoints outside D*: neither doc's shingle set changed
+    (untouched) and none of their shingles flipped (a holder of a
+    flipped shingle is in D*), so their rare sets, sizes, and
+    intersection are all unchanged — the stored row stands. Every other
+    pair has an endpoint in D*, and is re-derived from the new rare
+    postings: joining the FULL new rare sets of D* docs against the
+    whole rare table emits every shared rare shingle of every such
+    pair, so the re-aggregated n_inter is complete, and sizes come from
+    the maintained sizes table (changed only for D* docs). This also
+    catches pairs that ENTER the result because an endpoint's rare set
+    shrank (n_inter unchanged, min-size down, containment up) — a case
+    pure pair-rescoring would miss.
+
+    Work per batch (the 100 TB story): shingling is O(|batch|); the df
+    delta, flip set, and D* are batch-bounded (a flipped shingle has
+    df ≤ cap + |batch occurrences|, so its posting list is small by
+    construction); pair regeneration touches only D* postings × the
+    rare table on 8-byte int keys; the corpus-sized state tables are
+    each rewritten by one broadcast anti-join + union — at cluster
+    scale an incremental parquet/Delta write, never a re-shingle."""
+    touched = (
+        upserts.select(id_col).union(deletes.select(id_col)).distinct()
+    )
+    tb = F.broadcast(touched)
+    sh_u = doc_shingles(upserts, text_col, id_col)
+    sh_old_t = state.shingles.join(tb, [id_col])
+    # df delta over the batch's shingle occurrences (batch-sized)
+    rem = sh_old_t.groupBy("sh64").agg(F.count(F.lit(1)).alias("__rem"))
+    add = sh_u.groupBy("sh64").agg(F.count(F.lit(1)).alias("__add"))
+    delta = _ckpt(
+        rem.join(add, ["sh64"], "full").select(
+            "sh64",
+            F.coalesce(F.col("__rem"), F.lit(0)).alias("__rem"),
+            F.coalesce(F.col("__add"), F.lit(0)).alias("__add"),
+        ),
+        checkpoint,
+    )
+    dkeys = F.broadcast(delta.select("sh64"))
+    # old df rows for the delta keys only (small: inner broadcast join)
+    aff_df_old = state.dfreq.join(dkeys, ["sh64"])
+    merged = _ckpt(
+        delta.join(aff_df_old, ["sh64"], "left").select(
+            "sh64",
+            F.coalesce(F.col("df"), F.lit(0)).alias("__old_df"),
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                - F.col("__rem")
+                + F.col("__add")
+            ).alias("__new_df"),
+        ),
+        checkpoint,
+    )
+    flipped = merged.filter(
+        (F.col("__old_df") > df_cap) != (F.col("__new_df") > df_cap)
+    ).select("sh64")
+    dfreq_new = _ckpt(
+        state.dfreq.join(dkeys, ["sh64"], "left_anti").unionByName(
+            merged.filter(F.col("__new_df") > 0).select(
+                "sh64", F.col("__new_df").alias("df")
+            )
+        ),
+        checkpoint,
+    )
+    sh_new = _ckpt(
+        state.shingles.join(tb, [id_col], "left_anti").unionByName(sh_u),
+        checkpoint,
+    )
+    # D*: touched docs + every holder of a flipped shingle
+    d_star = _ckpt(
+        touched.unionByName(
+            sh_new.join(F.broadcast(flipped), ["sh64"]).select(id_col)
+        ).distinct(),
+        checkpoint,
+    )
+    db = F.broadcast(d_star)
+    hot_new = dfreq_new.filter(F.col("df") > df_cap).select("sh64")
+    rare_new = sh_new.join(F.broadcast(hot_new), ["sh64"], "left_anti")
+    ra = _ckpt(rare_new.join(db, [id_col]), checkpoint)
+    sz_star = ra.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_rare"))
+    sizes_new = _ckpt(
+        state.sizes.join(db, [id_col], "left_anti").unionByName(sz_star),
+        checkpoint,
+    )
+    # re-derived pairs: every shared rare shingle between a D* doc and
+    # ANY doc. Both-in-D* pairs generate once from each side — the
+    # distinct on (id_a, id_b, sh64) collapses the double count.
+    cand = (
+        ra.select(F.col(id_col).alias("__ia"), "sh64")
+        .join(
+            rare_new.select(F.col(id_col).alias("__ib"), "sh64"), ["sh64"]
+        )
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            F.least("__ia", "__ib").alias("id_a"),
+            F.greatest("__ia", "__ib").alias("id_b"),
+            "sh64",
+        )
+        .distinct()
+    )
+    inter = cand.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("__n_inter")
+    )
+    sa = sizes_new.select(
+        F.col(id_col).alias("id_a"), F.col("n_rare").alias("n_a")
+    )
+    sb = sizes_new.select(
+        F.col(id_col).alias("id_b"), F.col("n_rare").alias("n_b")
+    )
+    fresh = (
+        sa.join(F.broadcast(inter), ["id_a"])
+        .join(sb, ["id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("__n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    d_a = d_star.select(F.col(id_col).alias("id_a"))
+    d_b = d_star.select(F.col(id_col).alias("id_b"))
+    pairs_new = _ckpt(
+        state.pairs.join(F.broadcast(d_a), ["id_a"], "left_anti")
+        .join(F.broadcast(d_b), ["id_b"], "left_anti")
+        # the second USING join moved id_b to the front — restore the
+        # containment_pairs column order before the union
+        .select(*state.pairs.columns)
+        .unionByName(fresh.select(*state.pairs.columns)),
+        checkpoint,
+    )
+    if checkpoint:
+        # all consumers of the scratch snapshots are now materialized
+        for scratch in (delta, merged, ra):
+            release_local_checkpoint(scratch)
+    return ContainmentState(sh_new, dfreq_new, sizes_new, pairs_new)
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the smallest doc_id in the component. This is the

@@ -108,6 +108,7 @@ def _registry() -> dict[str, QueryEntry]:
         "evt_histogram",                 # CHANGED r4: floor-div binning
         "dd_lsh_candidate_pairs",        # CHANGED r4: fold-overflow guard
         "dd_incremental_near_dup",       # NEW r4: CDC-driven dedup maintenance
+        "dd_incremental_containment",    # NEW r4: global-rarity-exact twin
         "cdc_replica_as_of",             # NEW r4: point-in-time reconstruction
         "cdc_incremental_join_view",     # NEW r4: delta join-view maintenance
         "dd_duplicate_spans",            # NEW r4: cross-doc substring census
@@ -126,13 +127,18 @@ def _registry() -> dict[str, QueryEntry]:
         "cdc_scd2_temporal_join",        # NEW r4: as-of dimension enrichment
         "evt_gap_fill_locf",             # NEW r4: LOCF time-series gap fill
         "evt_join_size_estimate",        # NEW r4: CMS inner-product join sizing
-        # stalest r2-green single (last driver check: round 2)
-        "cdc_flagship_changed_invoices",
-        # eight more r2-green singles were budgeted here but ceded their
+        # the stalest r2-green single (cdc_flagship_changed_invoices) was
+        # budgeted for the final slot but ceded it to the incremental-
+        # containment query (new queries MUST be window-checked the round
+        # they land); it now HEADS the round-5 stale list below. Its
+        # change-collapse semantics stay covered this round by the local
+        # oracle suite and by cdc_flagship_documents (in-window, same
+        # _all_changes path).
+        # Eight more r2-green singles were budgeted here but ceded their
         # slots to the seven TPC-H completions (q1/q2/q9/q11/q15/q16/q20
-        # enter via the front tpch module; new queries MUST be
-        # window-checked the round they land) and the as-of query.
-        # Round-5 stale list, in order: txt_token_stats, mm_media_catalog,
+        # enter via the front tpch module) and the as-of query.
+        # Round-5 stale list, in order: cdc_flagship_changed_invoices,
+        # txt_token_stats, mm_media_catalog,
         # scl_salted_pricing, dd_exact, evt_value_percentiles,
         # evt_sliding_windows, evt_late_data_filter, evt_top_users_per_day,
         # cdc_changes_scan, dd_minhash_signatures, sim_topk_cosine, then

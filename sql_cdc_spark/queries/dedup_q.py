@@ -468,8 +468,10 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-_CONTAINMENT_SQL = f"""
-WITH {_SHINGLES_CTE},
+# the hot→rsh→sizes→inter→cont chain over whatever `shh` the prefix
+# CTEs produced — shared by the full-corpus query and the incremental-
+# maintenance oracle (which shingles the post-change corpus instead)
+_CONTAINMENT_BODY = f"""
 hot AS (
   SELECT sh64 FROM shh GROUP BY sh64 HAVING COUNT(*) > {CONTAINMENT_DF_CAP}
 ),
@@ -493,6 +495,52 @@ SELECT id_a, id_b, n_a, n_b, containment
 FROM cont WHERE containment >= {CONTAINMENT_THRESHOLD}
 ORDER BY id_a, id_b
 """
+
+_CONTAINMENT_SQL = f"WITH {_SHINGLES_CTE}, {_CONTAINMENT_BODY}"
+
+
+def dd_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental containment-dedup maintenance through a CDC batch —
+    build the materialized containment state, apply the same
+    deletes/updates/inserts as dd_incremental_near_dup via
+    apply_containment_changes, and emit the maintained pair set. Beyond
+    the near-dup analog, this maintains GLOBAL state exactly: a batch
+    shifting a shingle's document frequency across df_cap changes
+    pairs of documents the batch never touched, and the affected-doc
+    closure (touched ∪ holders of flipped shingles) re-derives exactly
+    those. The DuckDB oracle is a FULL RECOMPUTE of containment over
+    the post-change corpus, so a green row proves incremental ==
+    from-scratch on real data."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    is_del = (F.col("doc_id") % INC_DEL[0]) == INC_DEL[1]
+    is_upd = ((F.col("doc_id") % INC_UPD[0]) == INC_UPD[1]) & ~is_del
+    is_ins = (F.col("doc_id") % INC_INS[0]) == INC_INS[1]
+    deletes = docs.filter(is_del).select("doc_id")
+    updates = docs.filter(is_upd).select(
+        "doc_id", F.concat(F.col("text"), F.lit(INC_SUFFIX)).alias("text")
+    )
+    inserts = docs.filter(is_ins).select(
+        (F.col("doc_id") + INC_ID_OFFSET).alias("doc_id"), "text"
+    )
+    state = DD.build_containment_state(
+        docs, df_cap=CONTAINMENT_DF_CAP, threshold=CONTAINMENT_THRESHOLD
+    )
+    new_state = DD.apply_containment_changes(
+        state,
+        updates.unionByName(inserts),
+        deletes,
+        df_cap=CONTAINMENT_DF_CAP,
+        threshold=CONTAINMENT_THRESHOLD,
+    )
+    state.release()
+    new_state.release(keep_pairs=True)
+    return new_state.pairs.orderBy("id_a", "id_b")
+
+
+_INC_CONTAINMENT_SQL = (
+    f"WITH {_INC_NEW_DOCS_CTE}, {shingles_cte('new_docs')}, "
+    f"{_CONTAINMENT_BODY}"
+)
 
 
 def dd_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,5 +637,8 @@ QUERIES: dict[str, QueryEntry] = {
     "dd_embedding_dup_pairs": QueryEntry(dd_embedding_dup_pairs, _EMB_DUP_SQL),
     "dd_incremental_near_dup": QueryEntry(
         dd_incremental_near_dup, _INC_NEAR_DUP_SQL
+    ),
+    "dd_incremental_containment": QueryEntry(
+        dd_incremental_containment, _INC_CONTAINMENT_SQL
     ),
 }

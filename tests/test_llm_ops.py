@@ -416,6 +416,146 @@ def test_incremental_near_dup_random_rounds_property(spark, docs):
     assert got_sizes == want_sizes
 
 
+def _cpairs_set(df):
+    return {
+        (r.id_a, r.id_b, r.n_a, r.n_b, r.containment) for r in df.collect()
+    }
+
+
+def test_incremental_containment_equals_full_recompute(spark, docs):
+    """apply_containment_changes == build_containment_state on the
+    post-change corpus through inserts / updates / deletes, at the
+    registry's df_cap and threshold. The maintained state tables (df
+    census, rare sizes) must match a fresh build too — they feed the
+    next batch."""
+    base = docs.select("doc_id", "text").orderBy("doc_id").limit(200)
+    deletes = base.filter((F.col("doc_id") % 7) == 2).select("doc_id")
+    updates = base.filter((F.col("doc_id") % 7) == 3).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" containment rewrite")).alias("text"),
+    )
+    inserts = base.filter((F.col("doc_id") % 7) == 4).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    upserts = updates.unionByName(inserts)
+
+    state = DD.build_containment_state(base, df_cap=20, threshold=0.2)
+    got = DD.apply_containment_changes(
+        state, upserts, deletes, df_cap=20, threshold=0.2
+    )
+    new_corpus = (
+        base.join(deletes, "doc_id", "left_anti")
+        .join(updates.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(upserts)
+    )
+    want = DD.build_containment_state(new_corpus, df_cap=20, threshold=0.2)
+    assert _cpairs_set(got.pairs) == _cpairs_set(want.pairs)
+    assert {(r.sh64, r.df) for r in got.dfreq.collect()} == {
+        (r.sh64, r.df) for r in want.dfreq.collect()
+    }
+    assert {(r.doc_id, r.n_rare) for r in got.sizes.collect()} == {
+        (r.doc_id, r.n_rare) for r in want.sizes.collect()
+    }
+
+
+def test_incremental_containment_rarity_flip_exact(spark):
+    """The global-rarity edge the LSH path doesn't have: a batch pushing
+    a shingle's document frequency across df_cap must retire pairs of
+    UNTOUCHED docs (shingle newly hot) and create them (shingle newly
+    rare), exactly as a full recompute would. Three-word texts carry
+    exactly one shingle, so df is simply the copy count."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    p, q = "aa bb cc", "dd ee ff"
+    base = mk([(1, p), (2, p), (3, q), (4, q), (5, q)])
+
+    # cap=2: df(p)=2 rare → pair (1,2); df(q)=3 hot → no q pairs
+    st = DD.build_containment_state(base, df_cap=2, threshold=0.2)
+    assert {(a, b) for a, b, *_ in _cpairs_set(st.pairs)} == {(1, 2)}
+
+    # insert doc 6 with p (df 3 → hot: untouched pair (1,2) retires),
+    # delete doc 5 (df(q) 2 → rare: untouched pair (3,4) appears)
+    got = DD.apply_containment_changes(
+        st,
+        mk([(6, p)]),
+        spark.createDataFrame([(5,)], "doc_id long"),
+        df_cap=2,
+        threshold=0.2,
+    )
+    want = DD.build_containment_state(
+        mk([(1, p), (2, p), (3, q), (4, q), (6, p)]), df_cap=2, threshold=0.2
+    )
+    assert _cpairs_set(got.pairs) == _cpairs_set(want.pairs)
+    assert {(a, b) for a, b, *_ in _cpairs_set(got.pairs)} == {(3, 4)}
+
+
+def test_incremental_containment_entering_pair_via_size_shrink(spark):
+    """A pair can ENTER the result without its intersection changing:
+    an endpoint's rare set shrinks (one of its shingles flips hot), the
+    min-size drops, containment rises past the threshold. Pure
+    rescoring of STORED pairs would miss it — the pair was never stored.
+    Doc texts: A = [p r], B = [r s]; five other docs carry p. Before:
+    containment(A,B) = 1/min(2,2) = 0.5 < 0.7. Batch inserts nothing
+    touching A or B but pushes p hot → A's rare set = {r}, containment
+    = 1/1 = 1.0 ≥ 0.7."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    # k=3 shingles: "aa bb cc dd" → shingles {aa bb cc, bb cc dd}
+    a_text = "aa bb cc dd"      # shingles: P=(aa bb cc), R=(bb cc dd)
+    b_text = "bb cc dd ee"      # shingles: R=(bb cc dd), S=(cc dd ee)
+    base = mk([(1, a_text), (2, b_text), (3, "aa bb cc")])
+    st = DD.build_containment_state(base, df_cap=2, threshold=0.7)
+    # df(P)=2 rare, so A={P,R}, B={R,S}: containment(1,2) = 1/2 — below
+    # 0.7. Doc 3 = {P} ⊂ A pairs with A at 1/min(2,1) = 1.0.
+    assert {(a, b) for a, b, *_ in _cpairs_set(st.pairs)} == {(1, 3)}
+
+    got = DD.apply_containment_changes(
+        st,
+        mk([(10, "aa bb cc")]),  # df(P)=3 → hot; docs 1,2 untouched
+        spark.createDataFrame([], "doc_id long"),
+        df_cap=2,
+        threshold=0.7,
+    )
+    want = DD.build_containment_state(
+        mk([(1, a_text), (2, b_text), (3, "aa bb cc"), (10, "aa bb cc")]),
+        df_cap=2,
+        threshold=0.7,
+    )
+    assert _cpairs_set(got.pairs) == _cpairs_set(want.pairs)
+    assert {(a, b) for a, b, *_ in _cpairs_set(got.pairs)} == {(1, 2)}
+
+
+def test_incremental_containment_chained_batches(spark, docs):
+    """Two consecutive batches end at the same state as one full
+    recompute of the final corpus — the state tables are valid inputs
+    for the next round."""
+    base = docs.select("doc_id", "text").orderBy("doc_id").limit(120)
+    st = DD.build_containment_state(base, df_cap=10, threshold=0.2)
+    ins1 = base.orderBy("doc_id").limit(8).withColumn(
+        "doc_id", F.col("doc_id") + 700_000
+    )
+    st1 = DD.apply_containment_changes(
+        st, ins1, ins1.select("doc_id").limit(0), df_cap=10, threshold=0.2
+    )
+    dels = base.orderBy("doc_id").limit(4).select("doc_id")
+    upd = (
+        base.orderBy(F.desc("doc_id"))
+        .limit(4)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"))
+    )
+    st2 = DD.apply_containment_changes(
+        st1, upd, dels, df_cap=10, threshold=0.2
+    )
+    st.release()
+    st1.release()
+    final = (
+        base.join(dels, "doc_id", "left_anti")
+        .join(upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(upd)
+        .unionByName(ins1)
+    )
+    want = DD.build_containment_state(final, df_cap=10, threshold=0.2)
+    assert _cpairs_set(st2.pairs) == _cpairs_set(want.pairs)
+
+
 # ---- product quantization (PQ) ANN ----
 
 

@@ -42,6 +42,7 @@ def test_registry_window_holds_all_round4_queries():
         "tpch_q8_market_share",          # NEW: two-level market share
         "tpch_q21_waiting_suppliers",    # NEW: decorrelated EXISTS chain
         "dd_incremental_near_dup",       # NEW: CDC-driven dedup maintenance
+        "dd_incremental_containment",    # NEW: global-rarity-exact twin
         "tpch_q13_customer_distribution",  # NEW: outer-join count dist
         "tpch_q17_small_quantity_revenue", # NEW: decorrelated avg subquery
         "tpch_q22_global_sales_opportunity",  # NEW: scalar subq + anti join
