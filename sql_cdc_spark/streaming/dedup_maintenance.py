@@ -85,3 +85,34 @@ def run_dedup_maintenance(
         lambda s: s.release(),
         max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
     )
+
+
+def run_containment_maintenance(
+    spark: SparkSession,
+    feed_dir: str,
+    checkpoint: str,
+    initial: DD.ContainmentState,
+    *,
+    df_cap: int = 20,
+    threshold: float = 0.2,
+    max_files_per_trigger: int | None = 1,
+    timeout_s: int = 300,
+) -> tuple[DD.ContainmentState, int]:
+    """Containment twin of ``run_dedup_maintenance``: the same change
+    feed maintains the rare-shingle containment state
+    (functions/dedup.ContainmentState) per micro-batch through
+    ``apply_containment_changes`` — including the global-rarity flips a
+    batch can cause for documents it never touched. Same ownership
+    contract: superseded states are released, the returned state is
+    live and caller-owned."""
+    def _apply(prev: DD.ContainmentState, batch_df: DataFrame) -> DD.ContainmentState:
+        upserts, deletes = collapse_batch(batch_df)
+        return DD.apply_containment_changes(
+            prev, upserts, deletes, df_cap=df_cap, threshold=threshold
+        )
+
+    return FEED.drain_feed(
+        spark, feed_dir, CHANGE_SCHEMA, checkpoint, initial, _apply,
+        lambda s: s.release(),
+        max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
+    )

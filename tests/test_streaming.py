@@ -839,6 +839,87 @@ def test_streaming_dedup_maintenance_equals_full_recompute(spark, tmp_path):
     assert replay_pairs == got_pairs
 
 
+def test_streaming_containment_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the containment state: draining the SAME
+    document change-feed shape through run_containment_maintenance
+    (foreachBatch → apply_containment_changes per micro-batch) ends at
+    exactly the pair set a full containment recompute of the final
+    corpus produces — clones shift shingle document frequencies, so the
+    drain exercises the global-rarity maintenance path, and the in-batch
+    double-update collapse must pick the winning text. Replaying the
+    last batch is a no-op (idempotent)."""
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import dedup as DD
+    from sql_cdc_spark.streaming import dedup_maintenance as DM
+
+    base = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(150)
+    )
+    initial = DD.build_containment_state(base, df_cap=10, threshold=0.2)
+
+    feed = str(tmp_path / "feed")
+    b1 = (
+        base.orderBy("doc_id").limit(8)
+        .select(
+            (F.col("doc_id") + 900_000).alias("doc_id"),
+            "text",
+            F.lit("I").alias("op"),
+            F.lit(1).cast("long").alias("change_version"),
+        )
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    dels = base.orderBy("doc_id").limit(4).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_ids = base.orderBy(F.desc("doc_id")).limit(2).select("doc_id", "text")
+    upd_v2 = upd_ids.select(
+        "doc_id", F.concat("text", F.lit(" draft")).alias("text"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_v3 = upd_ids.limit(1).select(
+        "doc_id", F.concat("text", F.lit(" final")).alias("text"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    dels.unionByName(upd_v2).unionByName(upd_v3).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    final, n_batches = DM.run_containment_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial, df_cap=10, threshold=0.2
+    )
+    assert n_batches >= 1
+
+    del_ids = base.orderBy("doc_id").limit(4).select("doc_id")
+    win_upd = upd_v3.select("doc_id", "text").unionByName(
+        upd_v2.join(upd_v3.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    final_corpus = (
+        base.join(del_ids, "doc_id", "left_anti")
+        .join(win_upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(win_upd)
+        .unionByName(b1.select("doc_id", "text"))
+    )
+    want = DD.build_containment_state(final_corpus, df_cap=10, threshold=0.2)
+    key = lambda r: (r.id_a, r.id_b, r.n_a, r.n_b, r.containment)
+    got_pairs = {key(r) for r in final.pairs.collect()}
+    assert got_pairs == {key(r) for r in want.pairs.collect()}
+
+    # idempotent replay: re-apply batch 2 to the final state → unchanged
+    b2 = spark.createDataFrame([], DM.CHANGE_SCHEMA).unionByName(
+        dels.unionByName(upd_v2).unionByName(upd_v3)
+    )
+    ups2, dels2 = DM.collapse_batch(b2)
+    replay = DD.apply_containment_changes(
+        final, ups2, dels2, df_cap=10, threshold=0.2
+    )
+    assert {key(r) for r in replay.pairs.collect()} == got_pairs
+
+
 def test_streaming_ann_maintenance_equals_full_reassign(spark, tmp_path):
     """Stream-equals-batch for the ANN index: draining an embedding
     change feed through run_ann_maintenance (foreachBatch →
