@@ -195,6 +195,10 @@ def _registry() -> dict[str, QueryEntry]:
         # ceded to rel_unpivot_measures (the semi-join EXISTS shape is
         # fuzzed every round by family 5). Re-enters round 5.
         "rel_semi_join_big_spenders",
+        # ceded to rel_dq_audit (the TakeOrdered top-k shape stays
+        # window-checked via tpch_q3/q10 and fuzzed by family 1's topk
+        # branch every round). Re-enters round 5 with the singles above.
+        "rel_top_revenue_orders",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

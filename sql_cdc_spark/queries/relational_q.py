@@ -530,7 +530,149 @@ EXCEPT
 SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
 """
 
+def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the star schema — the expectation suite a
+    warehouse runs before publishing a snapshot (the engine-side analog
+    of the reference's NOT NULL/FK DDL constraints,
+    sqls/setup-invoice-db.sql: the reference delegates integrity to SQL
+    Server; a lake table must CHECK it). One row per rule with its
+    violation count: referential orphans both directions (anti-joins),
+    domain rules (non-positive quantity, discount outside [0,1]),
+    primary-key duplicates, and two cross-table consistency rules that
+    genuinely fire on this corpus — lines shipped before their order
+    date, and header totals that disagree with the cents-exact line
+    rollup. Scale shape: one conditional-aggregation pass per table,
+    anti-joins for RI, and ONE orders⨝lineitem join shared by both
+    cross-table rules via a per-order pre-aggregate."""
+    orders = tables.load(spark, sf_dir, "orders")
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    customer = tables.load(spark, sf_dir, "customer")
+
+    def one(rule: str, df_count) -> DataFrame:
+        return df_count.select(
+            F.lit(rule).alias("rule"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    li_domain = lineitem.agg(
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1
+            ).otherwise(0)
+        ).alias("bad_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("bad_disc"),
+    )
+    orphan_lines = (
+        lineitem.join(orders.select("o_orderkey"),
+                      lineitem.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_orders = (
+        orders.join(customer.select("c_custkey"),
+                    orders.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    line_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax")) * 100
+    ).cast("long")
+    per_order = (
+        lineitem.join(
+            orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("early_ships"),
+            F.sum(line_cents).alias("lines_cents"),
+            F.min(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("hdr_cents"),
+        )
+    )
+    cross = per_order.agg(
+        F.sum("early_ships").alias("ship_before_order"),
+        F.sum(
+            F.when(F.col("hdr_cents") != F.col("lines_cents"), 1).otherwise(0)
+        ).alias("total_mismatch"),
+    )
+    out = (
+        one("orphan_lineitems", orphan_lines)
+        .unionByName(one("orphan_orders", orphan_orders))
+        .unionByName(one(
+            "nonpositive_quantity",
+            li_domain.select(F.col("bad_qty").alias("n")),
+        ))
+        .unionByName(one(
+            "discount_out_of_range",
+            li_domain.select(F.col("bad_disc").alias("n")),
+        ))
+        .unionByName(one("duplicate_order_pk", dup_pk))
+        .unionByName(one(
+            "ship_before_order",
+            cross.select(F.col("ship_before_order").alias("n")),
+        ))
+        .unionByName(one(
+            "header_total_mismatch",
+            cross.select(F.col("total_mismatch").alias("n")),
+        ))
+    )
+    return out.orderBy("rule")
+
+
+_DQ_AUDIT_SQL = """
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS early_ships,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax) * 100, 0) AS BIGINT)) AS lines_cents,
+         CAST(ROUND(MIN(o.o_totalprice) * 100, 0) AS BIGINT) AS hdr_cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_orderkey
+)
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+  SELECT 'orphan_lineitems' AS rule,
+         (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+           ON l.l_orderkey = o.o_orderkey) AS n_violations
+  UNION ALL
+  SELECT 'orphan_orders',
+         (SELECT COUNT(*) FROM orders o ANTI JOIN customer c
+           ON o.o_custkey = c.c_custkey)
+  UNION ALL
+  SELECT 'nonpositive_quantity',
+         (SELECT COUNT(*) FROM lineitem
+           WHERE l_quantity IS NULL OR l_quantity <= 0)
+  UNION ALL
+  SELECT 'discount_out_of_range',
+         (SELECT COUNT(*) FROM lineitem
+           WHERE l_discount < 0 OR l_discount > 1)
+  UNION ALL
+  SELECT 'duplicate_order_pk',
+         (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+           GROUP BY o_orderkey HAVING COUNT(*) > 1) d)
+  UNION ALL
+  SELECT 'ship_before_order',
+         (SELECT SUM(early_ships) FROM per_order)
+  UNION ALL
+  SELECT 'header_total_mismatch',
+         (SELECT COUNT(*) FROM per_order WHERE hdr_cents <> lines_cents)
+) t ORDER BY rule
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
+    "rel_dq_audit": QueryEntry(rel_dq_audit, _DQ_AUDIT_SQL),
     "rel_pricing_summary": QueryEntry(rel_pricing_summary, _PRICING_SQL),
     "rel_cube_status_flag": QueryEntry(rel_cube_status_flag, _CUBE_SQL),
     "rel_intersect_buyers": QueryEntry(rel_intersect_buyers, _INTERSECT_SQL),

@@ -27,14 +27,57 @@ def ckpt(df: DataFrame, enabled: bool) -> DataFrame:
 def read_feed(
     spark: SparkSession,
     feed_dir: str,
-    schema: str,
+    schema,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming source over a parquet change-feed directory."""
+    """Streaming source over a parquet change-feed directory. ``schema``
+    is a DDL string or StructType; files written BEFORE a column was
+    added to the feed simply read it as null (parquet by-name column
+    resolution), which is the engine's schema-evolution contract — see
+    ``discover_feed_schema`` for deriving the evolved schema from the
+    directory instead of hardcoding it."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return reader.parquet(feed_dir)
+
+
+def discover_feed_schema(spark: SparkSession, feed_dir: str, required: str):
+    """Schema evolution for change feeds: a long-lived feed gains payload
+    columns over time (the upstream table got a new column mid-stream),
+    and a streaming reader needs ONE schema covering every file present.
+    This merges all parquet footers in the directory
+    (``mergeSchema=true`` — a footer-only scan, no data read) and
+    validates that the feed CONTRACT columns (``required``, DDL string:
+    key/op/version at minimum) survived the evolution; a feed that
+    dropped or retyped a contract column fails loudly here rather than
+    as nulls downstream. Rows from pre-evolution files expose the added
+    columns as null — the same convention SQL Server CT consumers get
+    when they ALTER TABLE ADD a column.
+
+    Returns the merged StructType to pass to ``read_feed``."""
+    from pyspark.sql import types as T
+
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(feed_dir).schema
+    )
+    req = T._parse_datatype_string(required)
+    by_name = {f.name: f for f in merged.fields}
+    problems = []
+    for f in req.fields:
+        got = by_name.get(f.name)
+        if got is None:
+            problems.append(f"missing contract column {f.name}")
+        elif got.dataType != f.dataType:
+            problems.append(
+                f"contract column {f.name} retyped "
+                f"{f.dataType.simpleString()} -> {got.dataType.simpleString()}"
+            )
+    if problems:
+        raise ValueError(
+            f"feed at {feed_dir} violates its contract: {'; '.join(problems)}"
+        )
+    return merged
 
 
 def collapse_latest(

@@ -753,6 +753,94 @@ def test_poison_record_without_error_dir_fails_batch(spark, tmp_path):
     assert e2 == ["b.json.error"], f"o2={o2}, e2={e2}"
 
 
+def test_feed_schema_evolution_contract(spark, tmp_path):
+    """A long-lived change feed gains a payload column mid-stream (the
+    upstream table was ALTERed): discover_feed_schema merges the parquet
+    footers into ONE evolved schema, pre-evolution rows read the added
+    column as null, and a feed that dropped or retyped a CONTRACT column
+    fails loudly instead of producing nulls downstream."""
+    from sql_cdc_spark.streaming import feed as FEED
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, "one", "I", 1), (2, "two", "I", 2)],
+        "doc_id long, text string, op string, change_version long",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    # evolution: a `lang` payload column appears in later files
+    spark.createDataFrame(
+        [(2, "two v2", "en", "U", 3), (3, "three", "fr", "I", 4)],
+        "doc_id long, text string, lang string, op string, change_version long",
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    merged = FEED.discover_feed_schema(
+        spark, feed, "doc_id long, op string, change_version long"
+    )
+    assert "lang" in merged.fieldNames()
+    rows = {
+        r.doc_id: (r.text, r.lang)
+        for r in spark.read.schema(merged)
+        .parquet(feed)
+        .filter("change_version <= 2")
+        .collect()
+    }
+    assert rows == {1: ("one", None), 2: ("two", None)}
+    with pytest.raises(ValueError, match="missing contract column"):
+        FEED.discover_feed_schema(spark, feed, "nonexistent_key long")
+    with pytest.raises(ValueError, match="retyped"):
+        FEED.discover_feed_schema(spark, feed, "doc_id string")
+
+
+def test_feed_schema_evolution_stream_drain(spark, tmp_path):
+    """The evolved schema drives a real availableNow drain: a replica
+    maintained through collapse_latest over a struct-packed payload ends
+    correct across format generations — pre-evolution upserts carry the
+    added column as null, post-evolution upserts carry its value, and a
+    LATE old-format file (a writer not yet upgraded, interleaved after
+    the evolution) still applies, its missing column null."""
+    from sql_cdc_spark.streaming import feed as FEED
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(1, "one", "I", 1), (2, "two", "I", 2)],
+        "doc_id long, text string, op string, change_version long",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    spark.createDataFrame(
+        [(2, "two v2", "en", "U", 3), (3, "three", "fr", "I", 4)],
+        "doc_id long, text string, lang string, op string, change_version long",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    # a straggler writer still emits the OLD format: delete doc 1,
+    # upsert doc 4 without the new column
+    spark.createDataFrame(
+        [(1, None, "D", 5), (4, "four", "I", 6)],
+        "doc_id long, text string, op string, change_version long",
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    merged = FEED.discover_feed_schema(
+        spark, feed, "doc_id long, op string, change_version long"
+    )
+
+    def _apply(state: dict, batch_df) -> dict:
+        packed = batch_df.withColumn("payload", F.struct("text", "lang"))
+        ups, dels = FEED.collapse_latest(packed, "doc_id", "payload")
+        nxt = dict(state)
+        for r in dels.collect():
+            nxt.pop(r.doc_id, None)
+        for r in ups.collect():
+            nxt[r.doc_id] = (r.payload.text, r.payload.lang)
+        return nxt
+
+    final, n_batches = FEED.drain_feed(
+        spark, feed, merged, str(tmp_path / "chk"), {}, _apply,
+        lambda s: None, max_files_per_trigger=1,
+    )
+    assert n_batches >= 1
+    assert final == {
+        2: ("two v2", "en"),
+        3: ("three", "fr"),
+        4: ("four", None),
+    }
+
+
 def test_streaming_dedup_maintenance_equals_full_recompute(spark, tmp_path):
     """Stream-equals-batch for the dedup state: draining a document
     change feed through run_dedup_maintenance (foreachBatch →
