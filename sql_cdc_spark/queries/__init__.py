@@ -109,6 +109,7 @@ def _registry() -> dict[str, QueryEntry]:
         "dd_lsh_candidate_pairs",        # CHANGED r4: fold-overflow guard
         "dd_incremental_near_dup",       # NEW r4: CDC-driven dedup maintenance
         "dd_incremental_containment",    # NEW r4: global-rarity-exact twin
+        "sim_random_projection",         # NEW r4: JL ±1 projection, int-exact
         "cdc_replica_as_of",             # NEW r4: point-in-time reconstruction
         "cdc_incremental_join_view",     # NEW r4: delta join-view maintenance
         "dd_duplicate_spans",            # NEW r4: cross-doc substring census
@@ -199,6 +200,11 @@ def _registry() -> dict[str, QueryEntry]:
         # window-checked via tpch_q3/q10 and fuzzed by family 1's topk
         # branch every round). Re-enters round 5 with the singles above.
         "rel_top_revenue_orders",
+        # ceded to sim_random_projection (CUBE compiles to the same
+        # grouping-set/conditional-agg family fuzzer family 2 re-proves
+        # every round, like rel_rollup_lineitem above). Re-enters round 5
+        # with the singles above.
+        "rel_cube_status_flag",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

@@ -566,7 +566,83 @@ SELECT {TOP_K} AS k, {SIM.PQ_M} AS m_subspaces, {PQ_SHORTLIST} AS shortlist, TRU
 """
 
 
+RP_DIM = 64     # source embedding dimensionality
+RP_K = 16       # projected dimensionality (4× compression)
+
+
+def _rp_signs() -> list[list[int]]:
+    """The ±1 Achlioptas projection matrix, derived ONCE from md5 of
+    the (row, dim) coordinates — a deterministic constant baked into
+    BOTH the Spark plan and the oracle SQL (same-constants discipline:
+    the two engines cannot drift because neither computes the matrix).
+    At cluster scale the matrix is a few KiB of literals shipped inside
+    the plan — no broadcast, no side table."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"rp{j}-{d}".encode()).digest()[0] & 1 else -1
+            for d in range(RP_DIM)
+        ]
+        for j in range(RP_K)
+    ]
+
+
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims — the
+    dimensionality-reduction scale path for ANN indexing (store/search
+    the sketch, re-rank survivors in the full space; JL bounds the
+    pairwise-distance distortion). Signs are ±1 (Achlioptas), so the
+    projection is pure integer addition in the exact micro domain:
+    y_j = Σ_d s_jd · micro_d, |y_j| ≤ 64·|micro|max ≪ 2^63, making every
+    projected coordinate hash-comparable bit-for-bit across engines.
+    Scan-local column algebra: zero shuffles, zero UDFs, one pass."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    signs = _rp_signs()
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("micro"),
+                F.array(*[F.lit(s).cast("long") for s in signs[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias(f"y{j:02d}")
+        for j in range(RP_K)
+    ]
+    return (
+        emb.withColumn("micro", micro)
+        .select("vec_id", *proj_cols)
+        .orderBy("vec_id")
+    )
+
+
+def _rp_sql() -> str:
+    signs = _rp_signs()
+    cols = ",\n       ".join(
+        "CAST(list_dot_product(micro, ["
+        + ", ".join(str(s) for s in signs[j])
+        + f"]) AS BIGINT) AS y{j:02d}"
+        for j in range(RP_K)
+    )
+    return f"""
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS micro
+  FROM embeddings
+)
+SELECT vec_id,
+       {cols}
+FROM m ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
+    "sim_random_projection": QueryEntry(sim_random_projection, _rp_sql()),
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_pq_topk": QueryEntry(sim_pq_topk, _PQ_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),

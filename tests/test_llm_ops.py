@@ -556,6 +556,47 @@ def test_incremental_containment_chained_batches(spark, docs):
     assert _cpairs_set(st2.pairs) == _cpairs_set(want.pairs)
 
 
+def test_random_projection_preserves_distances_statistically(spark):
+    """The JL point of sim_random_projection: squared distances in the
+    16-dim sketch, rescaled by dim/k, approximate the 64-dim squared
+    distances. ±1 projections at k=16 have real variance, so the
+    assertion is statistical — the MEDIAN ratio over sampled pairs sits
+    near 1, and no ratio collapses to 0 or explodes (which is what a
+    sign-matrix drift between engines or a broken element alignment
+    would produce)."""
+    import statistics
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.queries.similarity_q import RP_K, sim_random_projection
+
+    emb = (
+        tables.load(spark, SF_DIR_SMALL, "embeddings")
+        .orderBy("vec_id")
+        .limit(40)
+        .collect()
+    )
+    proj = {
+        r.vec_id: [r[f"y{j:02d}"] for j in range(RP_K)]
+        for r in sim_random_projection(spark, SF_DIR_SMALL)
+        .filter(F.col("vec_id") < 40)
+        .collect()
+    }
+    orig = {
+        r.vec_id: [round(float(x) * 1e6) for x in r.embedding] for r in emb
+    }
+    ratios = []
+    ids = sorted(orig)
+    for a, b in zip(ids, ids[20:]):
+        d_orig = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_proj = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+        if d_orig:
+            ratios.append(d_proj / RP_K / (d_orig / 1))
+    # E[d_proj per coord] = d_orig, so ratio = d_proj/(k·d_orig) ≈ 1
+    med = statistics.median(ratios)
+    assert 0.4 < med < 2.5, f"median JL ratio off: {med}"
+    assert all(r > 0.01 for r in ratios), "a pair collapsed to zero"
+
+
 # ---- product quantization (PQ) ANN ----
 
 

@@ -73,6 +73,7 @@ def test_registry_window_holds_all_round4_queries():
         "evt_join_size_estimate",        # NEW: CMS inner-product join sizing
         "rel_unpivot_measures",          # NEW: stack()-based UNPIVOT/melt
         "rel_dq_audit",                  # NEW: star-schema DQ expectation suite
+        "sim_random_projection",         # NEW: JL ±1 projection, int-exact
     ]
     missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
@@ -100,9 +101,12 @@ def test_registry_window_holds_all_round4_queries():
     # EXISTS semi shape are in the same family-5 rotation).
     # rel_top_revenue_orders ceded its slot to rel_dq_audit late in r4
     # (top-k shape stays window-checked via tpch_q3/q10 and fuzzed by
-    # family 1's topk branch); re-enters round 5 with the singles above.
+    # family 1's topk branch), and rel_cube_status_flag to
+    # sim_random_projection (CUBE is the grouping-set/conditional-agg
+    # family fuzzer family 2 re-proves); both re-enter round 5 with the
+    # singles above.
     stale_r1 = [
-        "rel_cube_status_flag", "win_latest_n_per_user",
+        "win_latest_n_per_user",
         "tpch_q10_returned_items", "rel_customer_order_stats",
         "tpch_q18_large_orders",
         "fn_invoice_numbering", "fn_json_extract", "win_order_ranks",
