@@ -64,6 +64,8 @@ EXTENDED = [
     "crp_chunk_documents",      # zero-shuffle context-window chunking
     "evt_sketch_setops",        # HLL register-merge set algebra
     "dd_incremental_containment",  # rarity-flip-exact containment upkeep
+    "rel_dq_audit",             # star-schema expectation suite
+    "sim_random_projection",    # JL 64→16 sketch, scan-local
 ]
 
 
