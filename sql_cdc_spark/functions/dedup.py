@@ -828,9 +828,10 @@ def apply_containment_changes(
     sb = sizes_new.select(
         F.col(id_col).alias("id_b"), F.col("n_rare").alias("n_b")
     )
+    # both size attachments broadcast the batch-sized side, so the
+    # corpus-sized sizes table is only ever scanned, never shuffled
     fresh = (
-        sa.join(F.broadcast(inter), ["id_a"])
-        .join(sb, ["id_b"])
+        sb.join(F.broadcast(sa.join(F.broadcast(inter), ["id_a"])), ["id_b"])
         .select(
             "id_a",
             "id_b",
