@@ -60,16 +60,18 @@ def _registry() -> dict[str, QueryEntry]:
     # (fold-overflow guard), the three new TPC-H shapes (q7/q8/q21) and
     # the incremental near-dup maintenance query. Remaining slots go to
     # the stalest r2-greens (evt/cdc/dd/sim/txt/mm/scl singles).
-    # Round-5 plan (publish per VERDICT r3 #2): FIRST the eighteen
-    # r1-green singles that ceded r4 slots to new operators, in this
+    # Round-5 plan (publish per VERDICT r3 #2): FIRST the twenty-one
+    # r1/r2-green singles that ceded r4 slots to new operators, in this
     # order — rel_sample_avg, rel_distinct_flags, fn_date_arithmetic,
     # fn_timestamp_format, fn_hash_bucket, rel_cross_join_small,
     # rel_derived_columns, rel_filter_composite, rel_union_all_segments,
     # rel_multi_hop_dims, win_lag_delta, win_moving_avg,
     # win_running_total, rel_rollup_lineitem, rel_pivot_status,
     # rel_intersect_buyers, rel_except_lost_customers,
-    # rel_semi_join_big_spenders (each individually justified in the
-    # demote list below; all stay pytest-oracle + fuzzer-family covered
+    # rel_semi_join_big_spenders, rel_top_revenue_orders,
+    # rel_cube_status_flag, cdc_flagship_changed_invoices (each
+    # individually justified in the demote list below; all stay
+    # pytest-oracle + fuzzer-family covered
     # meanwhile) — then txt_token_stats,
     # mm_media_catalog, scl_salted_pricing (bumped from the r4 window by
     # the late tpch additions), then the rest of the r2-green
