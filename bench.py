@@ -210,6 +210,39 @@ def dedup_10x_stress(spark, sf_dir: str) -> dict:
     }
 
 
+def containment_10x_stress(spark, sf_dir: str) -> dict:
+    """Measured 10× scale point for the containment path — the heaviest
+    single operator in the extended list (2.7 s at 1×): the full
+    shingle → df census → rare-domain self-join → pair aggregation over
+    the same synthesized 10× corpus the near-dup stress uses. The
+    rare-shingle blocking claim is that cost grows ~linearly in corpus
+    size (clones push shared shingles over df_cap and OUT of the rare
+    domain, so the pair fanout cannot go quadratic); a clean-window run
+    measured 24.3 s ≈ 9× the 1× time for 10× the docs."""
+    from time import perf_counter
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import dedup as DD
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    tenx = _tenx_corpus(docs)
+    n_docs = tenx.count()
+    probe = _cpu_probe_ms()
+    t0 = perf_counter()
+    pairs = DD.containment_pairs(
+        DD.doc_shingles(tenx), df_cap=20, threshold=0.2
+    )
+    n_pairs = pairs.count()
+    dt = perf_counter() - t0
+    return {
+        "input_docs": n_docs,
+        "containment_pairs": n_pairs,
+        "seconds": round(dt, 3),
+        "docs_per_second": round(n_docs / dt, 1),
+        "probe_ms": probe,
+    }
+
+
 def incremental_apply_scaling(spark, sf_dir: str) -> dict:
     """The incremental-maintenance claim as a measured number: applying
     the same 50-doc change batch to a 1× near-dup state vs a 10× state.
@@ -345,6 +378,10 @@ def main() -> None:
         # bogus 2-4× scale number; per-pass probes make each attributable
         "dd_near_dup_pairs_10x": min(
             (dedup_10x_stress(spark, sf_dir) for _ in range(2)),
+            key=lambda r: r["seconds"],
+        ),
+        "dd_containment_pairs_10x": min(
+            (containment_10x_stress(spark, sf_dir) for _ in range(2)),
             key=lambda r: r["seconds"],
         ),
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
