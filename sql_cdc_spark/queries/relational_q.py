@@ -541,58 +541,36 @@ def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     primary-key duplicates, and two cross-table consistency rules that
     genuinely fire on this corpus — lines shipped before their order
     date, and header totals that disagree with the cents-exact line
-    rollup. Scale shape: one conditional-aggregation pass per table,
-    anti-joins for RI, and ONE orders⨝lineitem join shared by both
-    cross-table rules via a per-order pre-aggregate."""
+    rollup. Scale shape: exactly TWO fact passes — one lineitem⟕orders
+    join whose per-key groupBy reuses the join partitioning and feeds
+    all five line-side rules (a null orders side IS the orphan marker),
+    and one orders⟕distinct-customer-keys join feeding both order-side
+    rules (distinct so a dim duplicate can never multiply order rows);
+    the 7-rule report is a stack() over the two 1-row aggregates."""
     orders = tables.load(spark, sf_dir, "orders")
     lineitem = tables.load(spark, sf_dir, "lineitem")
     customer = tables.load(spark, sf_dir, "customer")
 
-    def one(rule: str, df_count) -> DataFrame:
-        return df_count.select(
-            F.lit(rule).alias("rule"),
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_violations"),
-        )
-
-    li_domain = lineitem.agg(
-        F.sum(
-            F.when(
-                F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1
-            ).otherwise(0)
-        ).alias("bad_qty"),
-        F.sum(
-            F.when(
-                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
-            ).otherwise(0)
-        ).alias("bad_disc"),
-    )
-    orphan_lines = (
-        lineitem.join(orders.select("o_orderkey"),
-                      lineitem.l_orderkey == F.col("o_orderkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    orphan_orders = (
-        orders.join(customer.select("c_custkey"),
-                    orders.o_custkey == F.col("c_custkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    dup_pk = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     line_cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         * (1 + F.col("l_tax")) * 100
     ).cast("long")
+    # lineitem pass: ONE left join to orders feeds every line-side rule —
+    # a null orders side marks an orphan line; the join output is already
+    # partitioned on the key, so the per-order groupBy adds no exchange
     per_order = (
         lineitem.join(
-            orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
-            lineitem.l_orderkey == F.col("o_orderkey"),
+            orders.select(
+                F.col("o_orderkey").alias("__ok"), "o_orderdate", "o_totalprice"
+            ),
+            lineitem.l_orderkey == F.col("__ok"),
+            "left",
         )
-        .groupBy("o_orderkey")
+        .groupBy("l_orderkey")
         .agg(
+            F.sum(
+                F.when(F.col("__ok").isNull(), 1).otherwise(0)
+            ).alias("orphans"),
             F.sum(
                 F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
             ).alias("early_ships"),
@@ -600,36 +578,68 @@ def rel_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(
                 F.round(F.col("o_totalprice") * 100).cast("long")
             ).alias("hdr_cents"),
+            F.sum(
+                F.when(
+                    F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0), 1
+                ).otherwise(0)
+            ).alias("bad_qty"),
+            F.sum(
+                F.when(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                ).otherwise(0)
+            ).alias("bad_disc"),
         )
     )
-    cross = per_order.agg(
+    lin = per_order.agg(
+        F.sum("orphans").alias("orphan_lineitems"),
         F.sum("early_ships").alias("ship_before_order"),
         F.sum(
-            F.when(F.col("hdr_cents") != F.col("lines_cents"), 1).otherwise(0)
-        ).alias("total_mismatch"),
+            F.when(
+                F.col("hdr_cents").isNotNull()
+                & (F.col("hdr_cents") != F.col("lines_cents")),
+                1,
+            ).otherwise(0)
+        ).alias("header_total_mismatch"),
+        F.sum("bad_qty").alias("nonpositive_quantity"),
+        F.sum("bad_disc").alias("discount_out_of_range"),
     )
-    out = (
-        one("orphan_lineitems", orphan_lines)
-        .unionByName(one("orphan_orders", orphan_orders))
-        .unionByName(one(
-            "nonpositive_quantity",
-            li_domain.select(F.col("bad_qty").alias("n")),
-        ))
-        .unionByName(one(
-            "discount_out_of_range",
-            li_domain.select(F.col("bad_disc").alias("n")),
-        ))
-        .unionByName(one("duplicate_order_pk", dup_pk))
-        .unionByName(one(
-            "ship_before_order",
-            cross.select(F.col("ship_before_order").alias("n")),
-        ))
-        .unionByName(one(
-            "header_total_mismatch",
-            cross.select(F.col("total_mismatch").alias("n")),
-        ))
+    # orders pass: ONE left join to the DISTINCT customer keys (distinct
+    # so a dim dup can never multiply order rows) feeds both order-side
+    # rules from the same per-key groupBy
+    per_ok = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(
+            customer.select(F.col("c_custkey").alias("__ck")).distinct(),
+            orders.o_custkey == F.col("__ck"),
+            "left",
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("__ck").isNotNull().cast("int")).alias("matched"),
+        )
     )
-    return out.orderBy("rule")
+    ords = per_ok.agg(
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("duplicate_order_pk"),
+        F.sum(
+            F.when(F.col("matched") == 0, F.col("n")).otherwise(0)
+        ).alias("orphan_orders"),
+    )
+    stacked = lin.crossJoin(ords).selectExpr(
+        "stack(7, "
+        "'orphan_lineitems', orphan_lineitems, "
+        "'orphan_orders', orphan_orders, "
+        "'nonpositive_quantity', nonpositive_quantity, "
+        "'discount_out_of_range', discount_out_of_range, "
+        "'duplicate_order_pk', duplicate_order_pk, "
+        "'ship_before_order', ship_before_order, "
+        "'header_total_mismatch', header_total_mismatch"
+        ") AS (rule, n_violations)"
+    )
+    return stacked.select(
+        "rule",
+        F.coalesce(F.col("n_violations"), F.lit(0)).cast("long").alias("n_violations"),
+    ).orderBy("rule")
 
 
 _DQ_AUDIT_SQL = """

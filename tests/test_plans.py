@@ -328,8 +328,8 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "evt_gap_fill_locf": 4,
     "evt_join_size_estimate": 14,  # two sketch builds + exact verdict side
     "rel_unpivot_measures": 2,     # grouped agg + presentation sort; stack is scan-local
-    "rel_dq_audit": 14,            # 7 rules: per-rule final agg + RI anti-join
-                                   # + the shared orders⨝lineitem pre-agg
+    "rel_dq_audit": 8,             # two fact passes (lineitem⟕orders,
+                                   # orders⟕customer-keys) + final aggs
     "sim_random_projection": 1,    # presentation orderBy; projection is scan-local
 }
 
