@@ -56,12 +56,12 @@ def discover_feed_schema(spark: SparkSession, feed_dir: str, required: str):
     when they ALTER TABLE ADD a column.
 
     Returns the merged StructType to pass to ``read_feed``."""
-    from pyspark.sql import types as T
+    from pyspark.sql.types import StructType
 
     merged = (
         spark.read.option("mergeSchema", "true").parquet(feed_dir).schema
     )
-    req = T._parse_datatype_string(required)
+    req = StructType.fromDDL(required)
     by_name = {f.name: f for f in merged.fields}
     problems = []
     for f in req.fields:
