@@ -343,3 +343,35 @@ def test_bloom_probe_never_drops_members_and_prunes(spark):
     got = sorted(map(tuple, passed.join(dim, "k").collect()))
     want = sorted(map(tuple, fact.join(dim, "k").collect()))
     assert got == want
+
+
+def test_expectations_one_pass_and_null_as_violation(spark):
+    """functions/quality.expectations: every rule folded into one
+    aggregate pass (single scan), null rule verdicts count as
+    violations, and the gate form raises listing exactly the failed
+    rules with counts."""
+    import pytest as _pytest
+
+    from sql_cdc_spark.functions import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -3.0, "B"), (3, None, "A"), (4, 7.0, None)],
+        "id long, amount double, seg string",
+    )
+    rules = {
+        "amount_positive": F.col("amount") > 0,       # row 2 fails, row 3 null
+        "seg_known": F.col("seg").isin("A", "B"),     # row 4 null
+        "id_present": F.col("id").isNotNull(),        # all pass
+    }
+    got = {r.rule: r.n_violations for r in Q.expectations(df, rules).collect()}
+    assert got == {"amount_positive": 2, "seg_known": 1, "id_present": 0}
+
+    # one pass: the plan contains exactly one Aggregate over the input
+    plan = Q.expectations(df, rules)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1, plan
+
+    with _pytest.raises(ValueError, match="amount_positive"):
+        Q.assert_expectations(df, rules)
+    Q.assert_expectations(df, {"id_present": F.col("id").isNotNull()})
+    with _pytest.raises(ValueError, match="alphanumeric"):
+        Q.expectations(df, {"bad'name": F.col("id").isNotNull()})
