@@ -364,6 +364,11 @@ def main() -> None:
         r["partitioned_sink_invoices_per_second"] for r in runs
     )
 
+    nd_passes, ct_passes = [], []
+    for _ in range(2):
+        nd_passes.append(dedup_10x_stress(spark, sf_dir))
+        ct_passes.append(containment_10x_stress(spark, sf_dir))
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",
@@ -376,14 +381,13 @@ def main() -> None:
         # best-of-2 for the one-shot scale blocks: a single pass landing
         # in a host-contention window (probe 2×+ baseline) would record a
         # bogus 2-4× scale number; per-pass probes make each attributable
-        "dd_near_dup_pairs_10x": min(
-            (dedup_10x_stress(spark, sf_dir) for _ in range(2)),
-            key=lambda r: r["seconds"],
-        ),
-        "dd_containment_pairs_10x": min(
-            (containment_10x_stress(spark, sf_dir) for _ in range(2)),
-            key=lambda r: r["seconds"],
-        ),
+        # INTERLEAVED best-of-2 for the stress blocks: back-to-back
+        # passes of one block can both land inside a single multi-minute
+        # contention window (measured: 51.9 s twice in one run vs 5.5 s
+        # clean); alternating the blocks spreads each block's two
+        # samples minutes apart, same defense as the query passes
+        "dd_near_dup_pairs_10x": min(nd_passes, key=lambda r: r["seconds"]),
+        "dd_containment_pairs_10x": min(ct_passes, key=lambda r: r["seconds"]),
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
         "cpu_probe_ms": [probe0, _cpu_probe_ms()],
     }
