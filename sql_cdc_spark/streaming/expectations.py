@@ -1,0 +1,104 @@
+"""Streaming data-quality expectations — functions/quality.expectations
+run per micro-batch over a change feed, with violations parked in a
+side-sink instead of wedging the stream (the quality analog of the
+per-record sink's failed-document error dir, streaming/pipeline.py:
+a bad batch must leave evidence and keep the feed draining).
+
+Violations land as parquet rows (rule, n_violations, batch_id) under
+``violations_dir/b<N>/`` written with overwrite, so foreachBatch's
+replay-on-restart rewrites the same directory — effectively-exactly-once
+evidence without a transaction log. Clean batches write nothing. (The
+directory is deliberately NOT ``batch_id=N``: batch_id travels as a data
+column, and a partition-style name would collide with it at read time.)
+
+Scale stance: the expectation evaluation is ONE aggregate pass over each
+micro-batch (see functions/quality.py); the sink writes at most |rules|
+rows per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_cdc_spark.functions.quality import expectations
+from sql_cdc_spark.streaming import feed as FEED
+
+
+def check_batch(
+    batch_df: DataFrame,
+    rules: dict[str, Column],
+    violations_dir: str,
+    batch_id: int,
+) -> dict[str, int]:
+    """Evaluate the rules against one batch; persist non-zero rows under
+    ``violations_dir/b<N>/`` (overwrite → replay-idempotent).
+    Returns {rule: n_violations} for the FAILED rules only."""
+    failed = {
+        r.rule: r.n_violations
+        for r in expectations(batch_df, rules).collect()
+        if r.n_violations
+    }
+    if failed:
+        rows = [(rule, n, int(batch_id)) for rule, n in sorted(failed.items())]
+        batch_df.sparkSession.createDataFrame(
+            rows, "rule string, n_violations long, batch_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(violations_dir, f"b{int(batch_id)}")
+        )
+    return failed
+
+
+def run_streaming_expectations(
+    spark: SparkSession,
+    feed_dir: str,
+    schema,
+    checkpoint: str,
+    rules: dict[str, Column],
+    violations_dir: str,
+    *,
+    max_files_per_trigger: int | None = 1,
+    timeout_s: int = 300,
+) -> tuple[dict[str, int], int]:
+    """Drain the feed with trigger(availableNow), checking every
+    micro-batch against the rules; violations are parked per batch and
+    the stream CONTINUES (a quality gate that halts ingestion is a
+    different policy — compose ``assert_expectations`` into the apply
+    path for that). Returns (total violations per rule across batches,
+    n_batches)."""
+    totals: dict[str, int] = {}
+
+    def _apply(state: dict, batch_df: DataFrame) -> dict:
+        for rule, n in check_batch(
+            batch_df, rules, violations_dir, state["next_id"]
+        ).items():
+            state["tot"][rule] = state["tot"].get(rule, 0) + n
+        # foreachBatch gives drain_feed's apply no batch id — number the
+        # batches ourselves (deterministic under availableNow replay
+        # only from a fresh checkpoint; the per-batch overwrite keys on
+        # this counter)
+        return {"tot": state["tot"], "next_id": state["next_id"] + 1}
+
+    final, n_batches = FEED.drain_feed(
+        spark, feed_dir, schema, checkpoint,
+        {"tot": totals, "next_id": 0}, _apply, lambda s: None,
+        max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
+    )
+    return final["tot"], n_batches
+
+
+def read_violations(spark: SparkSession, violations_dir: str) -> DataFrame:
+    """The parked evidence as a DataFrame (rule, n_violations, batch_id);
+    empty-but-typed when no batch ever violated."""
+    try:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(violations_dir)
+            .select("rule", "n_violations", F.col("batch_id").cast("long"))
+        )
+    except Exception:
+        return spark.createDataFrame(
+            [], "rule string, n_violations long, batch_id long"
+        )

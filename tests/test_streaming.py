@@ -841,6 +841,62 @@ def test_feed_schema_evolution_stream_drain(spark, tmp_path):
     }
 
 
+def test_streaming_expectations_parks_violations_and_continues(spark, tmp_path):
+    """Streaming quality gate: a batch with bad rows leaves (rule,
+    count, batch_id) evidence in the violations sink and the drain
+    CONTINUES through later clean batches; clean batches write nothing;
+    totals aggregate across batches; re-checking a batch overwrites the
+    same directory (replay-idempotent)."""
+    from sql_cdc_spark.streaming import expectations as EX
+
+    feed = str(tmp_path / "feed")
+    schema = "doc_id long, amount double, op string, change_version long"
+    # batch 0: clean
+    spark.createDataFrame(
+        [(1, 5.0, "I", 1), (2, 9.0, "I", 2)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    # batch 1: two negative amounts + one null doc? (null doc_id breaks
+    # the key rule too)
+    spark.createDataFrame(
+        [(3, -1.0, "I", 3), (4, -2.5, "U", 4), (None, 7.0, "I", 5)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    # batch 2: clean again — the stream must have kept going
+    spark.createDataFrame(
+        [(6, 1.0, "I", 6)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    rules = {
+        "amount_positive": F.col("amount") > 0,
+        "key_present": F.col("doc_id").isNotNull(),
+    }
+    vdir = str(tmp_path / "violations")
+    totals, n_batches = EX.run_streaming_expectations(
+        spark, feed, schema, str(tmp_path / "chk"), rules, vdir
+    )
+    assert n_batches == 3
+    assert totals == {"amount_positive": 2, "key_present": 1}
+
+    v = EX.read_violations(spark, vdir)
+    got = {(r.rule, r.n_violations, r.batch_id) for r in v.collect()}
+    assert got == {("amount_positive", 2, 1), ("key_present", 1, 1)}
+
+    # replay-idempotent: re-checking the poison batch rewrites in place
+    bad = spark.createDataFrame(
+        [(3, -1.0, "I", 3), (4, -2.5, "U", 4), (None, 7.0, "I", 5)], schema
+    )
+    failed = EX.check_batch(bad, rules, vdir, 1)
+    assert failed == {"amount_positive": 2, "key_present": 1}
+    again = {
+        (r.rule, r.n_violations, r.batch_id)
+        for r in EX.read_violations(spark, vdir).collect()
+    }
+    assert again == got
+
+    # a fully-clean feed leaves the sink typed but empty
+    empty = EX.read_violations(spark, str(tmp_path / "nothing"))
+    assert empty.count() == 0 and len(empty.columns) == 3
+
+
 def test_streaming_dedup_maintenance_equals_full_recompute(spark, tmp_path):
     """Stream-equals-batch for the dedup state: draining a document
     change feed through run_dedup_maintenance (foreachBatch →
