@@ -60,7 +60,7 @@ def _registry() -> dict[str, QueryEntry]:
     # (fold-overflow guard), the three new TPC-H shapes (q7/q8/q21) and
     # the incremental near-dup maintenance query. Remaining slots go to
     # the stalest r2-greens (evt/cdc/dd/sim/txt/mm/scl singles).
-    # Round-5 plan (publish per VERDICT r3 #2): FIRST the twenty-one
+    # Round-5 plan (publish per VERDICT r3 #2): FIRST the twenty-two
     # r1/r2-green singles that ceded r4 slots to new operators, in this
     # order — rel_sample_avg, rel_distinct_flags, fn_date_arithmetic,
     # fn_timestamp_format, fn_hash_bucket, rel_cross_join_small,
@@ -69,7 +69,8 @@ def _registry() -> dict[str, QueryEntry]:
     # win_running_total, rel_rollup_lineitem, rel_pivot_status,
     # rel_intersect_buyers, rel_except_lost_customers,
     # rel_semi_join_big_spenders, rel_top_revenue_orders,
-    # rel_cube_status_flag, cdc_flagship_changed_invoices (each
+    # rel_cube_status_flag, win_latest_n_per_user,
+    # cdc_flagship_changed_invoices (each
     # individually justified in the demote list below; all stay
     # pytest-oracle + fuzzer-family covered
     # meanwhile) — then txt_token_stats,
@@ -112,6 +113,7 @@ def _registry() -> dict[str, QueryEntry]:
         "dd_incremental_near_dup",       # NEW r4: CDC-driven dedup maintenance
         "dd_incremental_containment",    # NEW r4: global-rarity-exact twin
         "sim_random_projection",         # NEW r4: JL ±1 projection, int-exact
+        "evt_rate_anomaly",              # NEW r4: exact integer z² rate flags
         "cdc_replica_as_of",             # NEW r4: point-in-time reconstruction
         "cdc_incremental_join_view",     # NEW r4: delta join-view maintenance
         "dd_duplicate_spans",            # NEW r4: cross-doc substring census
@@ -207,6 +209,10 @@ def _registry() -> dict[str, QueryEntry]:
         # every round, like rel_rollup_lineitem above). Re-enters round 5
         # with the singles above.
         "rel_cube_status_flag",
+        # ceded to evt_rate_anomaly (the per-key ranked top-n shape stays
+        # covered by win_order_ranks in-window and family 1's window
+        # branch). Re-enters round 5 with the singles above.
+        "win_latest_n_per_user",
         "rel_invoice_view_rollup",
         "rel_anti_join_no_orders",
         "rel_above_avg_orders",

@@ -979,7 +979,88 @@ SELECT
 """
 
 
+ANOM_W = 24   # trailing window: the 24 observed hours before this one
+ANOM_K = 3    # flag at |n − μ| > 3σ
+
+
+def evt_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly flags — the monitoring query every ingestion
+    pipeline runs on its own feed: per event_type, each hour's count is
+    compared against the trailing {W}-observed-hour window, flagged when
+    (n − μ)² > k²·σ². All arithmetic is EXACT integer cross-
+    multiplication — (W·n − Σn)² > k²·(W·Σn² − (Σn)²) is the z² test
+    with every division cleared — so the flag is bit-identical across
+    engines (no float mean/stddev anywhere). Early hours with an
+    incomplete trailing window are never flagged; the trailing sum rides
+    along (−1 when incomplete) so the hash pins the window arithmetic,
+    not just the verdicts. Scale shape: one groupBy to hourly counts
+    (map-side combined), one key-partitioned ROWS window over |types|×
+    |hours| rows — the window input is the AGGREGATE, corpus-size
+    independent."""
+    ev = tables.load(spark, sf_dir, "events")
+    hour_us = F.expr(f"unix_micros(ts) div {_HOUR_US}") * _HOUR_US
+    hourly = ev.groupBy("event_type", hour_us.alias("hour_us")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(-ANOM_W, -1)
+    )
+    t = hourly.select(
+        "event_type",
+        "hour_us",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("n").over(w).alias("c"),
+    )
+    dev = F.lit(ANOM_W) * F.col("n") - F.col("s")
+    var_num = F.lit(ANOM_W) * F.col("s2") - F.col("s") * F.col("s")
+    return t.select(
+        "event_type",
+        F.timestamp_micros(F.col("hour_us")).alias("window_start"),
+        "n",
+        F.coalesce(F.col("s"), F.lit(-1)).cast("long").alias("trail_sum"),
+        F.when(
+            (F.col("c") == ANOM_W)
+            & (dev * dev > F.lit(ANOM_K * ANOM_K) * var_num),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_anomaly"),
+    ).orderBy("event_type", "window_start")
+
+
+_ANOMALY_SQL = f"""
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // {_HOUR_US} * {_HOUR_US} AS hour_us,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, hour_us, n,
+         SUM(n) OVER w AS s,
+         SUM(n * n) OVER w AS s2,
+         COUNT(n) OVER w AS c
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_us
+               ROWS BETWEEN {ANOM_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, make_timestamp(hour_us) AS window_start, n,
+       CAST(COALESCE(s, -1) AS BIGINT) AS trail_sum,
+       CAST(CASE WHEN c = {ANOM_W}
+                  AND ({ANOM_W} * n - s) * ({ANOM_W} * n - s)
+                      > {ANOM_K * ANOM_K} * ({ANOM_W} * s2 - s * s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM t
+ORDER BY event_type, window_start
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
+    "evt_rate_anomaly": QueryEntry(evt_rate_anomaly, _ANOMALY_SQL),
     "evt_histogram": QueryEntry(evt_histogram, _HISTOGRAM_SQL),
     "evt_heavy_hitters_cms": QueryEntry(evt_heavy_hitters_cms, _CMS_SQL),
     "evt_sketch_setops": QueryEntry(evt_sketch_setops, _SETOPS_SQL),

@@ -74,6 +74,7 @@ def test_registry_window_holds_all_round4_queries():
         "rel_unpivot_measures",          # NEW: stack()-based UNPIVOT/melt
         "rel_dq_audit",                  # NEW: star-schema DQ expectation suite
         "sim_random_projection",         # NEW: JL ±1 projection, int-exact
+        "evt_rate_anomaly",              # NEW: exact integer z² rate flags
     ]
     missing = [n for n in round4_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
@@ -104,9 +105,10 @@ def test_registry_window_holds_all_round4_queries():
     # family 1's topk branch), and rel_cube_status_flag to
     # sim_random_projection (CUBE is the grouping-set/conditional-agg
     # family fuzzer family 2 re-proves); both re-enter round 5 with the
-    # singles above.
+    # singles above. win_latest_n_per_user ceded to evt_rate_anomaly
+    # (ranked top-n per key stays covered by win_order_ranks in-window
+    # and family 1's window branch); re-enters round 5.
     stale_r1 = [
-        "win_latest_n_per_user",
         "tpch_q10_returned_items", "rel_customer_order_stats",
         "tpch_q18_large_orders",
         "fn_invoice_numbering", "fn_json_extract", "win_order_ranks",

@@ -331,6 +331,8 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "rel_dq_audit": 8,             # two fact passes (lineitem⟕orders,
                                    # orders⟕customer-keys) + final aggs
     "sim_random_projection": 1,    # presentation orderBy; projection is scan-local
+    "evt_rate_anomaly": 3,         # hourly groupBy + per-type window + orderBy;
+                                   # the window input is the aggregate, not events
 }
 
 
