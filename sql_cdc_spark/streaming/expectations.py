@@ -68,25 +68,23 @@ def run_streaming_expectations(
     different policy — compose ``assert_expectations`` into the apply
     path for that). Returns (total violations per rule across batches,
     n_batches)."""
-    totals: dict[str, int] = {}
-
-    def _apply(state: dict, batch_df: DataFrame) -> dict:
+    def _apply(state: dict, batch_df: DataFrame, batch_id: int) -> dict:
+        # the REAL foreachBatch id (third-parameter form of drain_feed's
+        # apply contract): checkpoint-persisted, so evidence directories
+        # stay stable across restart/replay and a resumed drain keeps
+        # numbering instead of restarting at 0 and colliding
         for rule, n in check_batch(
-            batch_df, rules, violations_dir, state["next_id"]
+            batch_df, rules, violations_dir, batch_id
         ).items():
-            state["tot"][rule] = state["tot"].get(rule, 0) + n
-        # foreachBatch gives drain_feed's apply no batch id — number the
-        # batches ourselves (deterministic under availableNow replay
-        # only from a fresh checkpoint; the per-batch overwrite keys on
-        # this counter)
-        return {"tot": state["tot"], "next_id": state["next_id"] + 1}
+            state[rule] = state.get(rule, 0) + n
+        return dict(state)
 
     final, n_batches = FEED.drain_feed(
         spark, feed_dir, schema, checkpoint,
-        {"tot": totals, "next_id": 0}, _apply, lambda s: None,
+        {}, _apply, lambda s: None,
         max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
     )
-    return final["tot"], n_batches
+    return final, n_batches
 
 
 def read_violations(spark: SparkSession, violations_dir: str) -> DataFrame:

@@ -122,12 +122,24 @@ def drain_feed(
     moment its successor exists — callers must not reuse the passed-in
     state after this returns; the returned state is live and
     caller-owned. An apply that returns the SAME object (a no-op batch,
-    e.g. fully replayed under a watermark cursor) releases nothing."""
+    e.g. fully replayed under a watermark cursor) releases nothing.
+
+    An ``apply_fn`` declaring a THIRD parameter also receives the real
+    foreachBatch batch id — the one the checkpoint persists, so it is
+    stable across restart/replay and keeps numbering across a resumed
+    drain (a caller-side counter would restart at 0 and collide)."""
+    import inspect
+
+    wants_id = len(inspect.signature(apply_fn).parameters) >= 3
     holder: dict = {"state": initial, "batches": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         prev = holder["state"]
-        nxt = apply_fn(prev, batch_df)
+        nxt = (
+            apply_fn(prev, batch_df, int(batch_id))
+            if wants_id
+            else apply_fn(prev, batch_df)
+        )
         if nxt is not prev:
             release_fn(prev)
         holder["state"] = nxt

@@ -896,6 +896,23 @@ def test_streaming_expectations_parks_violations_and_continues(spark, tmp_path):
     empty = EX.read_violations(spark, str(tmp_path / "nothing"))
     assert empty.count() == 0 and len(empty.columns) == 3
 
+    # RESUME from the same checkpoint: a new poison batch appended after
+    # the first drain gets the REAL continuing foreachBatch id (3), so
+    # its evidence lands in a fresh directory and batch 1's stands —
+    # a restarted counter would have collided with b0
+    spark.createDataFrame(
+        [(7, -9.0, "I", 7)], schema
+    ).coalesce(1).write.mode("append").parquet(feed)
+    totals2, n2 = EX.run_streaming_expectations(
+        spark, feed, schema, str(tmp_path / "chk"), rules, vdir
+    )
+    assert n2 == 1 and totals2 == {"amount_positive": 1}
+    resumed = {
+        (r.rule, r.n_violations, r.batch_id)
+        for r in EX.read_violations(spark, vdir).collect()
+    }
+    assert resumed == got | {("amount_positive", 1, 3)}
+
 
 def test_streaming_dedup_maintenance_equals_full_recompute(spark, tmp_path):
     """Stream-equals-batch for the dedup state: draining a document
