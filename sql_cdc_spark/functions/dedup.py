@@ -289,6 +289,28 @@ def containment_pairs(
     same data in ~3 s, and an A/B showed caching the rare table buys
     nothing — the cost IS the pair-aggregation shuffle). All joins
     compare 8-byte ints."""
+    return (
+        _containment_base(shingled, id_col, df_cap)
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def _containment_base(
+    shingled: DataFrame, id_col: str, df_cap: int
+) -> DataFrame:
+    """The unthresholded containment pair table (id_a, id_b, n_a, n_b,
+    n_inter) over the rare-shingle domain — the shared heavy stage of
+    ``containment_pairs`` and ``containment_sweep`` (hot anti-join, one
+    self-join aggregated straight to intersections, sizes attached)."""
     hashed = shingled.select(F.col(id_col), "sh64")
     hot = (
         hashed.groupBy("sh64")
@@ -305,18 +327,54 @@ def containment_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return _attach_sizes(inter, rare_sh, id_col, None)
+
+
+def containment_sweep(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 20,
+    thresholds_pct: tuple[int, ...] = (10, 20, 50),
+) -> DataFrame:
+    """Operating-point sweep for containment dedup: per integer-percent
+    threshold, how many pairs fire and how many distinct docs they touch
+    — the report a corpus owner reads to CHOOSE the threshold before
+    committing a dedup pass, computed from ONE shared intersection table
+    (the expensive rare-domain self-join runs once; each extra threshold
+    adds only a literal row to a generator, never a second corpus scan).
+
+    Thresholds are integer percents and the test is cleared of division
+    — ``100·n_inter ≥ pct·min(n_a, n_b)`` — so pair membership is
+    bit-identical integer arithmetic on any engine (no ROUND boundary,
+    unlike the 6-dp rounded score ``containment_pairs`` emits for
+    human consumption). Returns (threshold_pct, n_pairs, n_docs) sorted
+    by threshold; a threshold matching zero pairs emits no row.
+
+    Scale shape: everything after the shared base operates on the PAIR
+    table (corpus-size independent); the sweep explode multiplies pairs
+    by |thresholds|, and the single aggregation carries a count plus a
+    distinct-doc count per threshold. No second shuffle of corpus data.
+    """
+    base = _containment_base(shingled, id_col, df_cap)
+    sw = base.select(
+        F.explode(
+            F.array(*[F.lit(int(p)) for p in thresholds_pct])
+        ).alias("threshold_pct"),
+        "id_a",
+        "id_b",
+        "n_inter",
+        F.least(F.col("n_a"), F.col("n_b")).alias("__m"),
+    ).filter(F.col("n_inter") * 100 >= F.col("threshold_pct") * F.col("__m"))
+    ids = sw.select(
+        "threshold_pct", F.explode(F.array("id_a", "id_b")).alias("__d")
+    )
     return (
-        _attach_sizes(inter, rare_sh, id_col, None)
-        .select(
-            "id_a",
-            "id_b",
-            "n_a",
-            "n_b",
-            F.round(
-                F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 6
-            ).alias("containment"),
+        ids.groupBy("threshold_pct")
+        .agg(
+            (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_pairs"),
+            F.countDistinct("__d").alias("n_docs"),
         )
-        .filter(F.col("containment") >= threshold)
+        .orderBy("threshold_pct")
     )
 
 

@@ -469,9 +469,10 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the hot→rsh→sizes→inter→cont chain over whatever `shh` the prefix
-# CTEs produced — shared by the full-corpus query and the incremental-
+# CTEs produced — shared by the full-corpus query, the incremental-
 # maintenance oracle (which shingles the post-change corpus instead)
-_CONTAINMENT_BODY = f"""
+# and the threshold sweep (which consumes cont's raw n_inter)
+_CONTAINMENT_CHAIN = f"""
 hot AS (
   SELECT sh64 FROM shh GROUP BY sh64 HAVING COUNT(*) > {CONTAINMENT_DF_CAP}
 ),
@@ -485,18 +486,64 @@ inter AS (
   GROUP BY 1, 2
 ),
 cont AS (
-  SELECT i.id_a, i.id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+  SELECT i.id_a, i.id_b, sa.n_sh AS n_a, sb.n_sh AS n_b, i.n_inter,
          ROUND(i.n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.id_a
   JOIN sizes sb ON sb.doc_id = i.id_b
 )
+"""
+
+_CONTAINMENT_BODY = f"""{_CONTAINMENT_CHAIN}
 SELECT id_a, id_b, n_a, n_b, containment
 FROM cont WHERE containment >= {CONTAINMENT_THRESHOLD}
 ORDER BY id_a, id_b
 """
 
 _CONTAINMENT_SQL = f"WITH {_SHINGLES_CTE}, {_CONTAINMENT_BODY}"
+
+# integer percents; the sweep predicate is 100·n_inter ≥ pct·min(n_a,n_b),
+# cleared of division/rounding so membership is bit-identical on any engine
+CONTAINMENT_SWEEP_PCTS = (10, 20, 50)
+
+
+def dd_containment_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment operating-point sweep: for each threshold percent,
+    the pair count and the distinct-doc count those pairs touch — the
+    report that picks the dedup threshold BEFORE committing a pass. One
+    shared rare-domain intersection table feeds every threshold
+    (functions/dedup.py::containment_sweep); extra thresholds never add
+    a corpus scan.
+
+    Registry status: implemented and oracle-parity-gated in pytest this
+    round; enters the driver window FIRST in round 5 (the r4 window was
+    fully committed to the published rotation — see queries/__init__.py).
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    return DD.containment_sweep(
+        DD.doc_shingles(docs),
+        df_cap=CONTAINMENT_DF_CAP,
+        thresholds_pct=CONTAINMENT_SWEEP_PCTS,
+    )
+
+
+_SWEEP_VALUES = ", ".join(f"({p})" for p in CONTAINMENT_SWEEP_PCTS)
+
+_CONTAINMENT_SWEEP_SQL = f"""
+WITH {_SHINGLES_CTE}, {_CONTAINMENT_CHAIN},
+sw AS (
+  SELECT t.pct, c.id_a, c.id_b
+  FROM cont c CROSS JOIN (VALUES {_SWEEP_VALUES}) t(pct)
+  WHERE 100 * c.n_inter >= t.pct * LEAST(c.n_a, c.n_b)
+),
+ids AS (
+  SELECT pct, id_a AS d FROM sw UNION ALL SELECT pct, id_b AS d FROM sw
+)
+SELECT pct AS threshold_pct,
+       COUNT(*) // 2 AS n_pairs,
+       COUNT(DISTINCT d) AS n_docs
+FROM ids GROUP BY pct ORDER BY threshold_pct
+"""
 
 
 def dd_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -556,6 +556,71 @@ def test_incremental_containment_chained_batches(spark, docs):
     assert _cpairs_set(st2.pairs) == _cpairs_set(want.pairs)
 
 
+def test_containment_sweep_engineered_fixture(spark):
+    """Known-geometry corpus: doc2 fully embedded in doc1 (containment
+    100%), doc3 shares exactly one of its three shingles with doc1
+    (33%), doc4 disjoint. The sweep reports the per-threshold pair and
+    doc counts that geometry implies, and each threshold's pair count
+    agrees with a containment_pairs run at the same cutoff."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (2, "w1 w2 w3 w4 w5"),
+            (3, "w6 w7 w8 x1 x2"),
+            (4, "y1 y2 y3 y4 y5"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = DD.doc_shingles(corpus)
+    got = {
+        r.threshold_pct: (r.n_pairs, r.n_docs)
+        for r in DD.containment_sweep(
+            sh, df_cap=100, thresholds_pct=(10, 50, 100)
+        ).collect()
+    }
+    # pct 10: (1,2) at 100% and (1,3) at 1/3 both fire -> 2 pairs, 3 docs
+    # pct 50 and 100: only the embedded pair survives
+    assert got == {10: (2, 3), 50: (1, 2), 100: (1, 2)}
+    for pct in (10, 50, 100):
+        same = DD.containment_pairs(
+            sh, df_cap=100, threshold=pct / 100
+        ).count()
+        assert same == got[pct][0]
+
+
+def test_containment_sweep_monotone_and_consistent(spark, docs):
+    """On real data: counts are non-increasing in the threshold, and the
+    20% row agrees with the registry containment_pairs query's pair set
+    (same df_cap, same corpus — the sweep is the multi-threshold view of
+    the same base table)."""
+    sh = DD.doc_shingles(docs.select("doc_id", "text"))
+    rows = DD.containment_sweep(
+        sh, df_cap=20, thresholds_pct=(10, 20, 50)
+    ).collect()
+    by_pct = {r.threshold_pct: r for r in rows}
+    pcts = sorted(by_pct)
+    for lo, hi in zip(pcts, pcts[1:]):
+        assert by_pct[lo].n_pairs >= by_pct[hi].n_pairs
+        assert by_pct[lo].n_docs >= by_pct[hi].n_docs
+    if 20 in by_pct:
+        pairs_20 = DD.containment_pairs(sh, df_cap=20, threshold=0.2)
+        assert by_pct[20].n_pairs == pairs_20.count()
+
+
+def test_containment_sweep_matches_oracle(spark, oracle):
+    """Oracle-parity gate for dd_containment_sweep ahead of its round-5
+    driver-window entry (the r4 window was already fully committed) —
+    the same comparison the driver runs, at the same sf0.01."""
+    from sql_cdc_spark.queries.dedup_q import (
+        _CONTAINMENT_SWEEP_SQL,
+        dd_containment_sweep,
+    )
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = dd_containment_sweep(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _CONTAINMENT_SWEEP_SQL)
+
+
 def test_random_projection_preserves_distances_statistically(spark):
     """The JL point of sim_random_projection: squared distances in the
     16-dim sketch, rescaled by dim/k, approximate the 64-dim squared
