@@ -468,14 +468,21 @@ def expire_changelog(
 
     from sql_cdc_spark.streaming import changelog as cl
 
-    kept = cl.read_changelog(spark, log_dir).filter(
-        F.col("change_version") >= min_version
+    from pyspark.sql import Observation
+
+    obs = Observation("expire_kept")
+    kept = (
+        cl.read_changelog(spark, log_dir)
+        .filter(F.col("change_version") >= min_version)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
     )
     parent = os.path.dirname(os.path.abspath(log_dir.rstrip("/")))
     tmp = tempfile.mkdtemp(prefix="changelog_compact_", dir=parent)
     new_dir = os.path.join(tmp, "log")
     kept.write.parquet(new_dir)
-    n = spark.read.parquet(new_dir).count()
+    # retained-row count rides the write job itself (same single-pass
+    # pattern as compact_documents) — no second scan of the new log
+    n = obs.get["n"]
     old = log_dir.rstrip("/") + ".expired"
     if os.path.exists(old):
         shutil.rmtree(old)
