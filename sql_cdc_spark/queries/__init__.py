@@ -143,13 +143,15 @@ def _registry() -> dict[str, QueryEntry]:
         # slots to the seven TPC-H completions (q1/q2/q9/q11/q15/q16/q20
         # enter via the front tpch module) and the as-of query.
             # dd_containment_sweep (functions/dedup.py::containment_sweep)
-        # was built late in r4 AFTER the window closed: it is fully
+        # and crp_fuzzy_contamination (corpus_q.fuzzy_contamination_pairs)
+        # were built late in r4 AFTER the window closed: both are fully
         # implemented and oracle-parity-gated in pytest
-        # (tests/test_llm_ops.py::test_containment_sweep_matches_oracle
-        # runs the exact driver comparison at sf0.01), but its registry
-        # entry is deliberately deferred to round 5 so the published
+        # (test_llm_ops.py::test_containment_sweep_matches_oracle,
+        # test_pipelines.py::test_fuzzy_contamination_matches_oracle run
+        # the exact driver comparison at sf0.01), but their registry
+        # entries are deliberately deferred to round 5 so the published
         # invariant "every registry query added or changed in round N is
-        # driver-checked in round N" stays true. It enters the r5 window
+        # driver-checked in round N" stays true. They enter the r5 window
         # alongside the stale list below.
     # Round-5 stale list, in order: cdc_flagship_changed_invoices,
         # txt_token_stats, mm_media_catalog,

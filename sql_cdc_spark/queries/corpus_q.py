@@ -658,6 +658,92 @@ FROM census ORDER BY bucket
 """
 
 
+def crp_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/test contamination: test-split documents that are
+    MinHash-LSH NEAR-duplicates of some train document — the
+    paraphrase/near-copy leakage the exact 8-gram scan
+    (crp_contamination) structurally misses (one edited token breaks
+    every 8-gram through it, but barely moves Jaccard). The standard
+    second pass of an eval-set decontamination.
+
+    Composition, all existing primitives: shingle → MinHash signatures →
+    capped LSH bands → candidate pairs RESTRICTED to cross-split
+    (train, test) orientation BEFORE the expensive exact-Jaccard verify
+    (split is a pure hash function of doc_id, so orientation is a
+    scan-local expression — no label join). Verify is candidate-first:
+    O(|cross candidates| × shingles/doc), never doc×doc. Emits
+    (test_doc_id, train_doc_id, jaccard ≥ 0.5) — the evidence rows an
+    eval owner reviews before dropping test docs.
+
+    Registry status: oracle-parity-gated in pytest this round
+    (tests/test_pipelines.py); enters the driver window in round 5 with
+    dd_containment_sweep (the r4 window was fully committed)."""
+    return fuzzy_contamination_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+def fuzzy_contamination_pairs(docs: DataFrame) -> DataFrame:
+    """The (test_doc_id, train_doc_id, jaccard) cross-split near-dup scan
+    over any (doc_id, text) corpus — see crp_fuzzy_contamination."""
+    from sql_cdc_spark.functions import dedup as DD
+    from sql_cdc_spark.queries.dedup_q import LSH_MAX_BUCKET, NEAR_DUP_THRESHOLD
+
+    sh = DD.doc_shingles(docs)
+    sigs = DD.minhash_signatures(sh)
+    cands = DD.lsh_candidate_pairs(sigs, max_bucket_size=LSH_MAX_BUCKET)
+
+    def is_test(c):
+        return SP.hash_unit(c, "split") < TEST_FRAC
+
+    def is_train(c):
+        return SP.hash_unit(c, "split") >= TEST_FRAC + VAL_FRAC
+
+    a, b = F.col("id_a"), F.col("id_b")
+    cross = cands.filter(
+        (is_test(a) & is_train(b)) | (is_test(b) & is_train(a))
+    )
+    verified = DD.jaccard_pairs(
+        sh, candidates=cross, threshold=NEAR_DUP_THRESHOLD
+    )
+    return verified.select(
+        F.when(is_test(a), a).otherwise(b).alias("test_doc_id"),
+        F.when(is_test(a), b).otherwise(a).alias("train_doc_id"),
+        "jaccard",
+    ).orderBy("test_doc_id", "train_doc_id")
+
+
+def _fuzzy_contamination_sql() -> str:
+    from sql_cdc_spark.queries.dedup_q import (
+        _BANDED_CTE,
+        _CANDIDATES_CTE,
+        _JACCARD_CTE,
+        _SHINGLES_CTE,
+        _SIGS_CTE,
+        NEAR_DUP_THRESHOLD,
+    )
+
+    def is_test(e: str) -> str:
+        return f"{SP.unit_sql(e, 'split')} < {TEST_FRAC}"
+
+    def is_train(e: str) -> str:
+        return f"{SP.unit_sql(e, 'split')} >= {TEST_FRAC + VAL_FRAC}"
+
+    return f"""
+WITH {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE},
+xc AS (
+  SELECT id_a, id_b,
+         CASE WHEN {is_test('id_a')} THEN id_a ELSE id_b END AS test_doc_id,
+         CASE WHEN {is_test('id_a')} THEN id_b ELSE id_a END AS train_doc_id
+  FROM cands
+  WHERE ({is_test('id_a')} AND {is_train('id_b')})
+     OR ({is_test('id_b')} AND {is_train('id_a')})
+)
+SELECT xc.test_doc_id, xc.train_doc_id, j.jaccard
+FROM jac j JOIN xc ON j.id_a = xc.id_a AND j.id_b = xc.id_b
+WHERE j.jaccard >= {NEAR_DUP_THRESHOLD}
+ORDER BY test_doc_id, train_doc_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),

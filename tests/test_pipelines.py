@@ -167,3 +167,68 @@ def test_assign_shards_heavy_doc_null_weight_and_empty(spark, tmp_path):
     empty = docs.filter("doc_id < 0")
     out = str(tmp_path / "empty_shards")
     assert write_sharded_corpus(empty, out, tokens_per_shard=500) == 0
+
+
+def test_fuzzy_contamination_matches_oracle(spark, oracle):
+    """Oracle-parity gate for crp_fuzzy_contamination ahead of its
+    round-5 driver-window entry — the driver comparison at sf0.01."""
+    from sql_cdc_spark.queries.corpus_q import (
+        _fuzzy_contamination_sql,
+        crp_fuzzy_contamination,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    df = crp_fuzzy_contamination(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _fuzzy_contamination_sql())
+    # de-trivialized: the sf0.01 corpus genuinely leaks (verified rows
+    # exist), so the gate is not vacuously green on an empty result
+    assert df.count() >= 1
+
+
+def test_fuzzy_contamination_catches_planted_leaks(spark):
+    """Plant exact copies of train docs under ids that hash into the
+    test split; every planted (test, train) pair must surface with
+    jaccard 1.0. Also: pairs never orient test->test or train->train."""
+    import hashlib
+
+    from sql_cdc_spark.functions.sampling import _HASH_SPAN
+    from sql_cdc_spark.queries.corpus_q import (
+        TEST_FRAC,
+        VAL_FRAC,
+        fuzzy_contamination_pairs,
+    )
+
+    def unit(i):
+        h = hashlib.md5(("split" + str(i)).encode()).hexdigest()[:15]
+        return int(h, 16) / _HASH_SPAN
+
+    docs = tables.load(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    train_ids = [
+        i for (i,) in docs.select("doc_id").orderBy("doc_id").limit(200).collect()
+        if unit(i) >= TEST_FRAC + VAL_FRAC
+    ][:5]
+    # synthetic ids that land in the test split under the same hash
+    test_ids, probe = [], 9_000_000
+    while len(test_ids) < len(train_ids):
+        if unit(probe) < TEST_FRAC:
+            test_ids.append(probe)
+        probe += 1
+    src = docs.filter(F.col("doc_id").isin(train_ids))
+    id_map = dict(zip(train_ids, test_ids))
+    mapping = F.create_map(
+        *[F.lit(x) for pair in id_map.items() for x in pair]
+    )
+    clones = src.select(
+        mapping[F.col("doc_id")].alias("doc_id"), "text"
+    )
+    got = {
+        (r.test_doc_id, r.train_doc_id): r.jaccard
+        for r in fuzzy_contamination_pairs(docs.unionByName(clones)).collect()
+    }
+    for t_id, s_id in id_map.items():
+        assert got.get((s_id, t_id)) == 1.0, (s_id, t_id, got)
+    for test_id, train_id in got:
+        assert unit(test_id) < TEST_FRAC
+        assert unit(train_id) >= TEST_FRAC + VAL_FRAC
