@@ -232,3 +232,102 @@ def test_fuzzy_contamination_catches_planted_leaks(spark):
     for test_id, train_id in got:
         assert unit(test_id) < TEST_FRAC
         assert unit(train_id) >= TEST_FRAC + VAL_FRAC
+
+
+def _manifest_rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_manifest_maintenance_equals_full_rebuild(spark):
+    """apply_manifest_changes == build_manifest_state over the post-change
+    corpus, manifest AND near-dup pair set, through the non-local
+    exact-dedup effects: canonical deletion resurfaces the next copy,
+    a smaller-id copy displaces the current canonical, a gate-failing
+    update acts as a delete, and a text update re-enters near-dup."""
+    from sql_cdc_spark.pipelines.corpus import prepare_training_corpus
+    from sql_cdc_spark.streaming import manifest_maintenance as MM
+
+    base_docs = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .orderBy("doc_id")
+        .limit(150)
+    )
+    # engineered targets must sit in the initial manifest (pass gates and
+    # survive dedup) or the planted effects are vacuous
+    ids = sorted(
+        r.doc_id
+        for r in MM.manifest_from_state(MM.build_manifest_state(base_docs))
+        .select("doc_id")
+        .collect()
+    )
+    c_id = ids[10]
+    # plant an exact duplicate of doc C so deleting C can resurface it
+    planted = base_docs.filter(F.col("doc_id") == c_id).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "lang", "source", "text"
+    )
+    base = base_docs.unionByName(planted)
+    st = MM.build_manifest_state(base)
+
+    # the batch:
+    # 1. delete C -> its planted copy must resurface into near-dup corpus
+    deletes = spark.createDataFrame([(c_id,)], "doc_id long")
+    # 2. exact copy of doc D under a SMALLER id -> displaces D
+    d_id = ids[20]
+    displacer = base_docs.filter(F.col("doc_id") == d_id).select(
+        F.lit(-1).cast("long").alias("doc_id"), "lang", "source", "text"
+    )
+    # 3. gate-failing update: doc E drops below min_tokens -> leaves
+    e_id = ids[30]
+    junk = base_docs.filter(F.col("doc_id") == e_id).select(
+        "doc_id", "lang", "source", F.lit("too short").alias("text")
+    )
+    # 4. content update: doc F's digest changes, id survives
+    f_id = ids[40]
+    rev = base_docs.filter(F.col("doc_id") == f_id).select(
+        "doc_id", "lang", "source",
+        F.concat(F.col("text"), F.lit(" revised edition")).alias("text"),
+    )
+    # 5. near-dup clone of doc G under a new id — text lightly edited so
+    # it has a NEW digest (slips past exact dedup) but jaccard ~1
+    g_id = ids[50]
+    clone = base_docs.filter(F.col("doc_id") == g_id).select(
+        (F.col("doc_id") + 600_000).alias("doc_id"), "lang", "source",
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    upserts = displacer.unionByName(junk).unionByName(rev).unionByName(clone)
+
+    got = MM.apply_manifest_changes(st, upserts, deletes)
+
+    final_corpus = (
+        base.filter(~F.col("doc_id").isin([c_id, e_id, f_id]))
+        .unionByName(junk)
+        .unionByName(rev)
+        .unionByName(displacer)
+        .unionByName(clone)
+    )
+    want = MM.build_manifest_state(final_corpus)
+
+    got_pairs = {(r.id_a, r.id_b, r.jaccard) for r in got.nd.pairs.collect()}
+    want_pairs = {(r.id_a, r.id_b, r.jaccard) for r in want.nd.pairs.collect()}
+    assert got_pairs == want_pairs
+
+    got_manifest = _manifest_rows(MM.manifest_from_state(got))
+    assert got_manifest == _manifest_rows(MM.manifest_from_state(want))
+    # and the derived manifest equals the BATCH pipeline's output exactly
+    assert got_manifest == _manifest_rows(prepare_training_corpus(final_corpus))
+
+    # spot-check the engineered effects in the final manifest
+    by_id = {r[0] for r in got_manifest}
+    assert c_id not in by_id and c_id + 500_000 in by_id  # resurfaced
+    assert -1 in by_id and d_id not in by_id              # displaced
+    assert e_id not in by_id                              # gate-failed
+    assert f_id in by_id                                  # updated survivor
+    # clone of G: a verified near-dup pair formed, and cluster removal
+    # kept the smaller id
+    assert (g_id, g_id + 600_000) in {(p[0], p[1]) for p in got_pairs}
+    assert g_id in by_id and g_id + 600_000 not in by_id
+
+    # idempotent replay: re-applying the same batch is a state no-op
+    again = MM.apply_manifest_changes(got, upserts, deletes)
+    assert _manifest_rows(MM.manifest_from_state(again)) == got_manifest

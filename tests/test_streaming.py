@@ -1540,3 +1540,94 @@ def test_incremental_rag_index_end_to_end(spark, tmp_path):
     got = {(r.vec_id, r.cluster) for r in maintained.collect()}
     assert got == {(r.vec_id, r.cluster) for r in want.collect()}
     assert len(got) == want_chunks.chunks.count()  # one posting per chunk
+
+
+def test_streaming_manifest_maintenance_equals_batch_pipeline(spark, tmp_path):
+    """Stream-equals-batch for the WHOLE corpus-prep composition: draining
+    a document change feed through run_manifest_maintenance (foreachBatch
+    -> apply_manifest_changes per micro-batch) derives exactly the
+    manifest prepare_training_corpus produces on the final corpus —
+    through an in-batch multi-change collapse, a delete that resurfaces
+    an exact-dup canonical, and a gate-failing update."""
+    from sql_cdc_spark.pipelines.corpus import prepare_training_corpus
+    from sql_cdc_spark.streaming import manifest_maintenance as MM
+
+    base_docs = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    manifest_ids = sorted(
+        r.doc_id
+        for r in MM.manifest_from_state(MM.build_manifest_state(base_docs))
+        .select("doc_id")
+        .collect()
+    )
+    c_id = manifest_ids[5]
+    planted = base_docs.filter(F.col("doc_id") == c_id).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "lang", "source", "text"
+    )
+    base = base_docs.unionByName(planted)
+    initial = MM.build_manifest_state(base)
+
+    feed = str(tmp_path / "mfeed")
+    # batch 1: near-dup clones of 3 docs + a gate-failing update, the
+    # latter changed TWICE in-batch (v1 junk, v2 junkier — v2 must win)
+    clone_src = [manifest_ids[8], manifest_ids[9], manifest_ids[11]]
+    b1_clones = base_docs.filter(F.col("doc_id").isin(clone_src)).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"), "lang", "source",
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    e_id = manifest_ids[13]
+    e_v1 = base_docs.filter(F.col("doc_id") == e_id).select(
+        "doc_id", "lang", "source", F.lit("short junk v1").alias("text"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    e_v2 = base_docs.filter(F.col("doc_id") == e_id).select(
+        "doc_id", "lang", "source", F.lit("junk").alias("text"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    b1_clones.unionByName(e_v1).unionByName(e_v2).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    # batch 2: delete C (resurfaces the planted copy) + delete one clone
+    dels = spark.createDataFrame(
+        [(c_id,), (clone_src[0] + 700_000,)], "doc_id long"
+    ).select(
+        "doc_id", F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(4).cast("long").alias("change_version"),
+    )
+    dels.coalesce(1).write.mode("append").parquet(feed)
+
+    final, n_batches = MM.run_manifest_maintenance(
+        spark, feed, str(tmp_path / "mchk"), initial
+    )
+    assert n_batches >= 1
+
+    final_corpus = (
+        base.filter(~F.col("doc_id").isin([c_id, e_id]))
+        .unionByName(
+            base_docs.filter(F.col("doc_id") == e_id).select(
+                "doc_id", "lang", "source", F.lit("junk").alias("text")
+            )
+        )
+        .unionByName(
+            b1_clones.select("doc_id", "lang", "source", "text").filter(
+                F.col("doc_id") != clone_src[0] + 700_000
+            )
+        )
+    )
+    got = {
+        tuple(r) for r in MM.manifest_from_state(final).collect()
+    }
+    want = {tuple(r) for r in prepare_training_corpus(final_corpus).collect()}
+    assert got == want
+    by_id = {r[0] for r in got}
+    assert c_id not in by_id and c_id + 500_000 in by_id   # resurfaced
+    assert e_id not in by_id                               # junked out
+    # surviving clones lost near-dup election to their originals
+    assert clone_src[1] in by_id and clone_src[1] + 700_000 not in by_id
