@@ -681,6 +681,85 @@ SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
 """
 
 
+TOPN_N = 3
+
+
+def rel_topn_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N + OTHER rollup — the classic BI report shape: per nation,
+    the top 3 customers by revenue as individual rows plus ONE aggregated
+    'OTHER' row carrying everyone else's total, so the report is complete
+    (rows sum to the nation total) without listing the long tail.
+
+    Single-pass form: rank with a nation-partitioned window, then ONE
+    aggregation whose group key folds the tail into the OTHER label
+    (member = CASE rank ≤ N; rnk = 0 for OTHER) — never the naive
+    union(top-rows, tail-aggregate) that evaluates the ranked subtree
+    twice. Revenue in exact integer cents (round-per-row → bigint sum).
+
+    Registry status: oracle-parity-gated in pytest this round
+    (tests/test_queries_oracle.py); enters the driver window in round 5
+    with dd_containment_sweep and crp_fuzzy_contamination."""
+    from pyspark.sql.window import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    nation = tables.load(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rev = (
+        orders.select("o_custkey", cents.alias("c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("c").alias("rev_cents"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "rev_cents")
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_cents"), F.col("c_custkey")
+    )
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    in_top = F.col("rn") <= TOPN_N
+    return (
+        ranked.groupBy(
+            "n_name",
+            F.when(in_top, F.col("c_custkey").cast("string"))
+            .otherwise("OTHER")
+            .alias("member"),
+            F.when(in_top, F.col("rn")).otherwise(0).cast("long").alias("rnk"),
+        )
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy("n_name", "rnk")
+    )
+
+
+_TOPN_OTHER_SQL = f"""
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey
+),
+ranked AS (
+  SELECT n_name, c_custkey, rev_cents,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY rev_cents DESC, c_custkey) AS rn
+  FROM rev
+)
+SELECT n_name,
+       CASE WHEN rn <= {TOPN_N} THEN CAST(c_custkey AS VARCHAR)
+            ELSE 'OTHER' END AS member,
+       CAST(CASE WHEN rn <= {TOPN_N} THEN rn ELSE 0 END AS BIGINT) AS rnk,
+       CAST(SUM(rev_cents) AS BIGINT) AS revenue_cents
+FROM ranked
+GROUP BY 1, 2, 3
+ORDER BY n_name, rnk
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "rel_dq_audit": QueryEntry(rel_dq_audit, _DQ_AUDIT_SQL),
     "rel_pricing_summary": QueryEntry(rel_pricing_summary, _PRICING_SQL),

@@ -24,3 +24,39 @@ def test_rows_only_query_runs(spark, name):
     df = REG[name].fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_topn_other_rollup_matches_oracle(spark, oracle):
+    """Oracle-parity gate for rel_topn_other_rollup ahead of its round-5
+    driver-window entry — the driver comparison at sf0.01, plus the
+    report's defining invariant: per nation, the top rows and the OTHER
+    row reconcile exactly to the nation's total revenue (integer cents)."""
+    from sql_cdc_spark.queries.relational_q import (
+        _TOPN_OTHER_SQL,
+        TOPN_N,
+        rel_topn_other_rollup,
+    )
+
+    df = rel_topn_other_rollup(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _TOPN_OTHER_SQL)
+
+    rows = df.collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r)
+    totals = {
+        r.n_name: r.t
+        for r in oracle.execute(
+            """SELECT n.n_name,
+                      SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS t
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+               GROUP BY 1"""
+        ).fetchdf().itertuples(index=False, name="R")
+    }
+    assert set(by_nation) == set(totals)
+    for nation, members in by_nation.items():
+        assert sum(m.revenue_cents for m in members) == totals[nation]
+        tops = [m for m in members if m.member != "OTHER"]
+        assert 1 <= len(tops) <= TOPN_N
+        assert sorted(m.rnk for m in tops) == list(range(1, len(tops) + 1))
