@@ -143,18 +143,16 @@ def _registry() -> dict[str, QueryEntry]:
         # slots to the seven TPC-H completions (q1/q2/q9/q11/q15/q16/q20
         # enter via the front tpch module) and the as-of query.
             # dd_containment_sweep (functions/dedup.py::containment_sweep),
-        # crp_fuzzy_contamination (corpus_q.fuzzy_contamination_pairs)
-        # and rel_topn_other_rollup (relational_q) were built late in r4
-        # AFTER the window closed: all are fully implemented and
-        # oracle-parity-gated in pytest
-        # (test_llm_ops.py::test_containment_sweep_matches_oracle,
-        # test_pipelines.py::test_fuzzy_contamination_matches_oracle,
-        # test_queries_oracle.py::test_topn_other_rollup_matches_oracle
-        # run the exact driver comparison at sf0.01), but their registry
-        # entries are deliberately deferred to round 5 so the published
-        # invariant "every registry query added or changed in round N is
-        # driver-checked in round N" stays true. They enter the r5 window
-        # alongside the stale list below.
+        # crp_fuzzy_contamination (corpus_q.fuzzy_contamination_pairs),
+        # rel_topn_other_rollup (relational_q) and evt_collapse_runs
+        # (events_q) were built late in r4 AFTER the window closed: all
+        # are fully implemented and oracle-parity-gated in pytest (their
+        # test_*_matches_oracle tests in test_llm_ops/test_pipelines/
+        # test_queries_oracle run the exact driver comparison at sf0.01),
+        # but their registry entries are deliberately deferred to round 5
+        # so the published invariant "every registry query added or
+        # changed in round N is driver-checked in round N" stays true.
+        # They enter the r5 window alongside the stale list below.
     # Round-5 stale list, in order: cdc_flagship_changed_invoices,
         # txt_token_stats, mm_media_catalog,
         # scl_salted_pricing, dd_exact, evt_value_percentiles,

@@ -60,3 +60,35 @@ def test_topn_other_rollup_matches_oracle(spark, oracle):
         tops = [m for m in members if m.member != "OTHER"]
         assert 1 <= len(tops) <= TOPN_N
         assert sorted(m.rnk for m in tops) == list(range(1, len(tops) + 1))
+
+
+def test_collapse_runs_matches_oracle(spark, oracle):
+    """Oracle-parity gate for evt_collapse_runs ahead of its round-5
+    driver-window entry, plus the islands invariants: runs tile each
+    user's stream exactly (n_events sums to the user's event count) and
+    adjacent runs never share an event_type."""
+    from sql_cdc_spark.queries.events_q import (
+        _COLLAPSE_RUNS_SQL,
+        evt_collapse_runs,
+    )
+
+    df = evt_collapse_runs(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _COLLAPSE_RUNS_SQL)
+
+    rows = df.collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    totals = dict(
+        oracle.execute(
+            "SELECT user_id, COUNT(*) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(per_user) == set(totals)
+    for uid, runs in per_user.items():
+        runs.sort(key=lambda r: r.run_seq)
+        assert [r.run_seq for r in runs] == list(range(1, len(runs) + 1))
+        assert sum(r.n_events for r in runs) == totals[uid]
+        for a, b in zip(runs, runs[1:]):
+            assert a.event_type != b.event_type
+            assert a.end_us <= b.start_us
