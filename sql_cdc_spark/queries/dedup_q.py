@@ -590,6 +590,132 @@ _INC_CONTAINMENT_SQL = (
 )
 
 
+def dd_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap duplication matrix — the data-governance report:
+    for every source pair (src_a ≤ src_b), how many EXACT-duplicate
+    document pairs and how many NEAR-duplicate pairs (MinHash-LSH ≥ 0.5)
+    cross them. 'Which feeds are re-crawling each other' is the question
+    a corpus owner asks before weighting sources in the mixture plan.
+
+    Scale shape: the exact side never materializes document pairs — it
+    aggregates per-(digest, source) COUNTS first, self-joins that tiny
+    table on digest, and converts count products to pair counts
+    (c·(c−1)/2 within a source, c_a·c_b across). The near side reuses
+    the capped-LSH verified pair set (linear-ish) and attaches the two
+    endpoint sources. Both integer-exact bigints.
+
+    Registry status: oracle-parity-gated in pytest this round (plus a
+    planted fixture covering the exact-pair math, since the sf0.01
+    corpus holds no exact duplicates); enters the driver window in
+    round 5 with the other late-r4 queries."""
+    return source_overlap_matrix(tables.load(spark, sf_dir, "documents"))
+
+
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """The (src_a, src_b, exact_pairs, near_pairs) census over any
+    (doc_id, text, source) corpus — see dd_source_overlap."""
+    from sql_cdc_spark.functions.text import fingerprint
+
+    dsrc = (
+        docs.select(fingerprint(F.col("text")).alias("digest"), "source")
+        .groupBy("digest", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = dsrc.select("digest", F.col("source").alias("src_a"), F.col("c").alias("ca"))
+    b = dsrc.select("digest", F.col("source").alias("src_b"), F.col("c").alias("cb"))
+    exact = (
+        a.join(b, "digest")
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.when(
+                F.col("src_a") == F.col("src_b"),
+                (F.col("ca") * (F.col("ca") - 1) / 2).cast("long"),
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .alias("p"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.sum("p").alias("exact_pairs"))
+        .filter(F.col("exact_pairs") > 0)
+    )
+
+    sh = DD.doc_shingles(docs)
+    sigs = DD.minhash_signatures(sh, with_sizes=True)
+    cands = DD.lsh_candidate_pairs(
+        sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
+    )
+    pairs = DD.jaccard_pairs(
+        sh, cands, threshold=NEAR_DUP_THRESHOLD,
+        sizes=sigs.select("doc_id", "n_sh"),
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    near = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("near_pairs"))
+    )
+
+    zero = F.lit(0).cast("long")
+    return (
+        exact.join(near, ["src_a", "src_b"], "full_outer")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("exact_pairs", zero).alias("exact_pairs"),
+            F.coalesce("near_pairs", zero).alias("near_pairs"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE},
+nd AS (
+  SELECT j.id_a, j.id_b
+  FROM jac j JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
+  WHERE j.jaccard >= {NEAR_DUP_THRESHOLD}
+),
+npairs AS (
+  SELECT LEAST(sa.source, sb.source) AS src_a,
+         GREATEST(sa.source, sb.source) AS src_b
+  FROM nd
+  JOIN documents sa ON nd.id_a = sa.doc_id
+  JOIN documents sb ON nd.id_b = sb.doc_id
+),
+nagg AS (SELECT src_a, src_b, COUNT(*) AS near_pairs FROM npairs GROUP BY 1, 2),
+dsrc AS (
+  SELECT md5({_NORM_SQL}) AS digest, source, COUNT(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+ex AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(SUM(CASE WHEN a.source = b.source
+                       THEN a.c * (a.c - 1) // 2
+                       ELSE a.c * b.c END) AS BIGINT) AS exact_pairs
+  FROM dsrc a JOIN dsrc b ON a.digest = b.digest AND a.source <= b.source
+  GROUP BY 1, 2
+  HAVING CAST(SUM(CASE WHEN a.source = b.source
+                       THEN a.c * (a.c - 1) // 2
+                       ELSE a.c * b.c END) AS BIGINT) > 0
+)
+SELECT COALESCE(e.src_a, n.src_a) AS src_a,
+       COALESCE(e.src_b, n.src_b) AS src_b,
+       COALESCE(e.exact_pairs, 0) AS exact_pairs,
+       COALESCE(n.near_pairs, 0) AS near_pairs
+FROM ex e FULL OUTER JOIN nagg n ON e.src_a = n.src_a AND e.src_b = n.src_b
+ORDER BY src_a, src_b
+"""
+
+
 def dd_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs ≥ 0.4. Demonstrates the exact
     all-pairs verification; at corpus scale the LSH-bucketed variant

@@ -1075,3 +1075,54 @@ def test_cms_inner_product_grouped_emits_zero_for_one_sided_groups(spark):
     assert set(est) == {"d1", "d2", "d3"}
     assert est["d1"] >= 2          # true f_A(k)·f_B(k) = 2·1
     assert est["d2"] == 0 and est["d3"] == 0
+
+
+def test_source_overlap_matches_oracle(spark, oracle):
+    """Oracle-parity gate for dd_source_overlap ahead of its round-5
+    driver-window entry — the driver comparison at sf0.01 (near side
+    non-trivial; the exact side is zero on this corpus and is pinned by
+    the planted fixture below)."""
+    from sql_cdc_spark.queries.dedup_q import (
+        _SOURCE_OVERLAP_SQL,
+        dd_source_overlap,
+    )
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = dd_source_overlap(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _SOURCE_OVERLAP_SQL)
+    assert df.filter(F.col("near_pairs") > 0).count() >= 1
+
+
+def test_source_overlap_exact_pair_math(spark):
+    """Planted geometry for the exact side: digest X held 3× by srcA and
+    2× by srcB, digest Y held 2× by srcA -> within-source C(c,2) and
+    cross-source c_a*c_b products, summed per source pair. The docs are
+    long enough to pass nothing through the near-dup threshold except
+    the planted exact copies themselves (same digest -> jaccard 1 pairs
+    also counted on the near side)."""
+    from sql_cdc_spark.queries.dedup_q import source_overlap_matrix
+
+    tx = "alpha beta gamma delta epsilon zeta eta theta"
+    ty = "one two three four five six seven eight nine"
+    tz = "completely different unrelated text about weather patterns today"
+    corpus = spark.createDataFrame(
+        [
+            (1, tx, "srcA"), (2, tx, "srcA"), (3, tx, "srcA"),
+            (4, tx, "srcB"), (5, tx, "srcB"),
+            (6, ty, "srcA"), (7, ty, "srcA"),
+            (8, tz, "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.src_a, r.src_b): (r.exact_pairs, r.near_pairs)
+        for r in source_overlap_matrix(corpus).collect()
+    }
+    # exact: X gives C(3,2)=3 within A, C(2,2)=1 within B, 3*2=6 across;
+    # Y adds C(2,2)=1 within A -> A-A 4, B-B 1, A-B 6.
+    assert got[("srcA", "srcA")][0] == 4
+    assert got[("srcB", "srcB")][0] == 1
+    assert got[("srcA", "srcB")][0] == 6
+    # identical texts are also jaccard-1 near-dups, so near >= exact here
+    for k in (("srcA", "srcA"), ("srcB", "srcB"), ("srcA", "srcB")):
+        assert got[k][1] == got[k][0]
