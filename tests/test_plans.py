@@ -406,3 +406,50 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# late-r4 queries queued for the round-5 driver window — budgeted now so
+# a plan regression is caught in the round they were BUILT, not the
+# round they enter the window
+R5_QUEUED_EXCHANGE_BUDGETS = {
+    "dd_containment_sweep": 33,     # shared containment base + sweep agg
+    "crp_fuzzy_contamination": 28,  # sigs/bands/cands + candidate-first verify
+    "rel_topn_other_rollup": 5,     # custkey agg + window + reused-part agg
+    "evt_collapse_runs": 2,         # ONE user_id shuffle + final orderBy
+    "dd_source_overlap": 35,        # near-dup path + digest-count self-join
+}
+
+
+def test_r5_queued_exchange_budgets(spark):
+    """Same gate as test_headline_exchange_budgets for the five queries
+    implemented late in r4 whose registry entries land in round 5."""
+    from sql_cdc_spark.plans import plan_flags
+    from sql_cdc_spark.queries.corpus_q import crp_fuzzy_contamination
+    from sql_cdc_spark.queries.dedup_q import (
+        dd_containment_sweep,
+        dd_source_overlap,
+    )
+    from sql_cdc_spark.queries.events_q import evt_collapse_runs
+    from sql_cdc_spark.queries.relational_q import rel_topn_other_rollup
+
+    fns = {
+        "dd_containment_sweep": dd_containment_sweep,
+        "crp_fuzzy_contamination": crp_fuzzy_contamination,
+        "rel_topn_other_rollup": rel_topn_other_rollup,
+        "evt_collapse_runs": evt_collapse_runs,
+        "dd_source_overlap": dd_source_overlap,
+    }
+    from sql_cdc_spark.plans import assert_scale_safe
+
+    over = {}
+    for name, budget in R5_QUEUED_EXCHANGE_BUDGETS.items():
+        spark.catalog.clearCache()
+        df = fns[name](spark, SF_DIR)
+        # the registry-wide structural guards (row UDFs, partition-less
+        # windows) don't see unregistered queries — apply them here.
+        # sort-merge joins allowed: the dedup shingle/pair self-joins are
+        # genuinely fact-by-fact (same stance as the registered dd_ rows)
+        flags = assert_scale_safe(df, max_sort_merge_joins=12)
+        if flags.exchanges > budget:
+            over[name] = (flags.exchanges, budget)
+    assert not over, f"exchange budget exceeded (got, budget): {over}"
