@@ -645,6 +645,84 @@ FROM m ORDER BY vec_id
 """
 
 
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed k-NN self-JOIN: EVERY vector's nearest neighbor (top-1 by
+    exact cosine) among the vectors sharing its SRP-LSH bucket — the
+    semantic-dedup primitive at corpus scale, where 'find each doc's
+    closest sibling' must never become an all-pairs scan. The candidate
+    space is the per-bucket self-join (256 buckets from 8 deterministic
+    hyperplanes); the argmax is ONE max_by aggregate over an ordering
+    struct (cos_sim, −nn_id), so ties break to the smallest neighbor id
+    identically on any engine. Vectors alone in their bucket emit no row
+    (single-probe recall is the documented trade; the multi-probe lever
+    is sim_multiprobe_topk).
+
+    Registry status: oracle-parity-gated in pytest this round; enters
+    the driver window in round 5 with the other late-r4 queries."""
+    return knn_join(tables.load(spark, sf_dir, "embeddings"))
+
+
+def knn_join(emb: DataFrame) -> DataFrame:
+    """The bucketed nearest-neighbor self-join over any
+    (vec_id, embedding) frame — see sim_knn_join."""
+    vb = emb.select(
+        "vec_id",
+        "embedding",
+        SIM.lsh_bucket(F.col("embedding"), n_bits=LSH_BITS, dim=DIM).alias(
+            "bucket"
+        ),
+    )
+    a = vb.select(
+        F.col("vec_id"), F.col("embedding").alias("__ea"), "bucket"
+    )
+    c = vb.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("__ec"),
+        "bucket",
+    )
+    ea = SIM.as_double_array(F.col("__ea"))
+    ec = SIM.as_double_array(F.col("__ec"))
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("vec_id") != F.col("nn_id"))
+        .select("vec_id", "nn_id", SIM.cosine(ea, ec).alias("cos_sim"))
+    )
+    best = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("nn_id", "cos_sim"),
+                F.struct(F.col("cos_sim"), -F.col("nn_id")),
+            ).alias("r")
+        )
+        .select("vec_id", "r.nn_id", "r.cos_sim")
+        .orderBy("vec_id")
+    )
+    return best
+
+
+def _knn_join_sql() -> str:
+    lsh = _lsh_sql().strip()
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS ({lsh.replace('WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)', '')} ),
+vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
+p AS (
+  SELECT a.vec_id, c.vec_id AS nn_id,
+         ROUND(list_dot_product(a.e, c.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+           AS cos_sim
+  FROM vb a JOIN vb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+)
+SELECT vec_id, nn_id, cos_sim FROM (
+  SELECT p.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, nn_id) AS rn
+  FROM p
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_random_projection": QueryEntry(sim_random_projection, _rp_sql()),
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),

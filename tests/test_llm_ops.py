@@ -1126,3 +1126,42 @@ def test_source_overlap_exact_pair_math(spark):
     # identical texts are also jaccard-1 near-dups, so near >= exact here
     for k in (("srcA", "srcA"), ("srcB", "srcB"), ("srcA", "srcB")):
         assert got[k][1] == got[k][0]
+
+
+def test_knn_join_matches_oracle(spark, oracle):
+    """Oracle-parity gate for sim_knn_join ahead of its round-5
+    driver-window entry — the driver comparison at sf0.01 (431 vectors
+    share a bucket there, so the gate is far from vacuous)."""
+    from sql_cdc_spark.queries.similarity_q import _knn_join_sql, sim_knn_join
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    df = sim_knn_join(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _knn_join_sql())
+    assert df.count() >= 100
+
+
+def test_knn_join_planted_twin_and_bucket_locality(spark):
+    """Plant an exact copy of one vector under a new id: copies share the
+    bucket by construction, so each must pick the other at cos_sim 1.0.
+    And every reported neighbor really lives in its probe's bucket."""
+    from sql_cdc_spark.functions.similarity import lsh_bucket
+    from sql_cdc_spark.queries.similarity_q import DIM, LSH_BITS, knn_join
+
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(90_000).cast("long").alias("vec_id"), "embedding"
+    )
+    planted = emb.unionByName(twin)
+    got = {r.vec_id: (r.nn_id, r.cos_sim) for r in knn_join(planted).collect()}
+    assert got[0] == (90_000, 1.0)
+    assert got[90_000] == (0, 1.0)
+    buckets = {
+        r.vec_id: r.b
+        for r in planted.select(
+            "vec_id", lsh_bucket(F.col("embedding"), n_bits=LSH_BITS, dim=DIM).alias("b")
+        ).collect()
+    }
+    for vid, (nn, _) in got.items():
+        assert buckets[vid] == buckets[nn]

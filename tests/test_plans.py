@@ -417,6 +417,7 @@ R5_QUEUED_EXCHANGE_BUDGETS = {
     "rel_topn_other_rollup": 5,     # custkey agg + window + reused-part agg
     "evt_collapse_runs": 2,         # ONE user_id shuffle + final orderBy
     "dd_source_overlap": 35,        # near-dup path + digest-count self-join
+    "sim_knn_join": 3,              # bucket self-join + argmax agg + orderBy
 }
 
 
@@ -431,6 +432,7 @@ def test_r5_queued_exchange_budgets(spark):
     )
     from sql_cdc_spark.queries.events_q import evt_collapse_runs
     from sql_cdc_spark.queries.relational_q import rel_topn_other_rollup
+    from sql_cdc_spark.queries.similarity_q import sim_knn_join
 
     fns = {
         "dd_containment_sweep": dd_containment_sweep,
@@ -438,6 +440,7 @@ def test_r5_queued_exchange_budgets(spark):
         "rel_topn_other_rollup": rel_topn_other_rollup,
         "evt_collapse_runs": evt_collapse_runs,
         "dd_source_overlap": dd_source_overlap,
+        "sim_knn_join": sim_knn_join,
     }
     from sql_cdc_spark.plans import assert_scale_safe
 
