@@ -319,7 +319,7 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "cdc_snapshot_diff": 2,
     "crp_pps_sample": 1,
     "scl_bloom_pruned_join": 1,
-    "dd_containment_pairs": 31,  # rare-domain direct aggregation (r4 rewrite)
+    "dd_containment_pairs": 25,  # grouped pair generation (late-r4 rewrite)
     "crp_chunk_documents": 1,   # the presentation orderBy; scan is shuffle-free
     "crp_length_buckets": 2,
     "evt_sketch_setops": 29,    # fully-lazy register pipeline (A/B: faster
@@ -412,7 +412,7 @@ def test_aqe_splits_skewed_join(spark):
 # a plan regression is caught in the round they were BUILT, not the
 # round they enter the window
 R5_QUEUED_EXCHANGE_BUDGETS = {
-    "dd_containment_sweep": 33,     # shared containment base + sweep agg
+    "dd_containment_sweep": 27,     # shared grouped base + sweep agg
     "crp_fuzzy_contamination": 28,  # sigs/bands/cands + candidate-first verify
     "rel_topn_other_rollup": 5,     # custkey agg + window + reused-part agg
     "evt_collapse_runs": 2,         # ONE user_id shuffle + final orderBy
