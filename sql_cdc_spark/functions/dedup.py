@@ -152,13 +152,21 @@ def lsh_candidate_pairs(
     meet.
 
     ``max_bucket_size`` drops band buckets holding more than that many
-    documents BEFORE the self-join: one boilerplate-heavy bucket of m docs
+    documents BEFORE any pairing: one boilerplate-heavy bucket of m docs
     otherwise emits m·(m−1)/2 pairs — quadratic in the hot bucket, the
     classic LSH skew blowup at corpus scale. Dropped buckets are almost
     always templated boilerplate whose members exact-dedup catches anyway;
     the recall cost is the documented trade (a deliberate, deterministic
     cap — NOT silent truncation: both the Spark plan and the DuckDB oracle
-    apply the same predicate)."""
+    apply the same predicate).
+
+    Pairing strategy: with the cap in force, the banded table shuffles
+    ONCE by bkey into cap-bounded sorted id arrays and the i<j pairs are
+    emitted in-row — one fewer full banded-table network pass than the
+    bkey self-join, with byte-identical output (late-r4 interleaved A/B
+    on the full near-dup pipeline at sf0.1: 2.12/2.56 s vs 2.42/2.91 s).
+    Without a cap the self-join form is kept: an unbounded hot bucket
+    would otherwise materialize as one giant in-row array."""
     banded = band_keys(signatures, id_col)
     if max_bucket_size is not None:
         # the oversized-bucket list is tiny (hot boilerplate buckets):
@@ -172,6 +180,24 @@ def lsh_candidate_pairs(
             .select("bkey")
         )
         banded = banded.join(F.broadcast(big), ["bkey"], "left_anti")
+        grouped = banded.groupBy("bkey").agg(
+            F.sort_array(F.collect_list(id_col)).alias("__ids")
+        )
+        # (element, index) lambda deliberate: element i pairs with every
+        # LATER element (1-based slice from i+2) — each a<b pair once
+        return (
+            grouped.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(__ids, (a, i) -> "
+                        "transform(slice(__ids, i + 2, size(__ids)), "
+                        "b -> struct(a AS id_a, b AS id_b))))"
+                    )
+                ).alias("__p")
+            )
+            .select("__p.id_a", "__p.id_b")
+            .distinct()
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -308,7 +308,7 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "rel_customer_order_stats": 2,
     "win_order_ranks": 1,
     "dd_exact": 1,
-    "dd_near_dup_pairs": 32,
+    "dd_near_dup_pairs": 24,  # grouped LSH pair generation (late-r4)
     "sim_topk_cosine": 1,
     "txt_quality_score": 0,
     "evt_tumbling_hourly": 1,
