@@ -1165,3 +1165,97 @@ def test_knn_join_planted_twin_and_bucket_locality(spark):
     }
     for vid, (nn, _) in got.items():
         assert buckets[vid] == buckets[nn]
+
+
+def test_grouped_pairing_equals_self_join_randomized(spark):
+    """The late-r4 pairing rewrites (grouped collect_list + in-row i<j
+    comprehension) must emit exactly the self-join's pair set on random
+    corpora with planted clones, across random caps — both for LSH
+    candidates and for the containment base."""
+    import random
+
+    for seed in range(3):
+        rng = random.Random(7000 + seed)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for i in range(60):
+            n = rng.randint(3, 12)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+        for j in range(10):  # clones force shared buckets/shingles
+            rows.append((100 + j, rows[rng.randrange(60)][1]))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = DD.doc_shingles(docs)
+        sigs = DD.minhash_signatures(sh)
+
+        cap = rng.choice([3, 5, 50])
+        got = {
+            (r.id_a, r.id_b)
+            for r in DD.lsh_candidate_pairs(
+                sigs, max_bucket_size=cap
+            ).collect()
+        }
+        banded = DD.band_keys(sigs, "doc_id")
+        big = (
+            banded.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > cap)
+            .select("bkey")
+        )
+        b2 = banded.join(F.broadcast(big), ["bkey"], "left_anti")
+        lft, rgt = b2.alias("l"), b2.alias("r")
+        want = {
+            (x.id_a, x.id_b)
+            for x in lft.join(
+                rgt,
+                (F.col("l.bkey") == F.col("r.bkey"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("id_a"),
+                F.col("r.doc_id").alias("id_b"),
+            )
+            .distinct()
+            .collect()
+        }
+        assert got == want, f"LSH pairing diverged at seed {seed}"
+
+        df_cap = rng.choice([2, 5, 20])
+        got_c = {
+            (r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter)
+            for r in DD._containment_base(sh, "doc_id", df_cap).collect()
+        }
+        hashed = sh.select("doc_id", "sh64")
+        hot = (
+            hashed.groupBy("sh64")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > df_cap)
+            .select("sh64")
+        )
+        rare = hashed.join(F.broadcast(hot), ["sh64"], "left_anti")
+        ra = rare.select(F.col("doc_id").alias("id_a"), "sh64")
+        rb = rare.select(F.col("doc_id").alias("id_b"), "sh64")
+        inter = (
+            ra.join(rb, ["sh64"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        want_c = {
+            (r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter)
+            for r in inter.join(
+                sizes.select(
+                    F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
+                ),
+                "id_b",
+            )
+            .select("id_a", "id_b", "n_a", "n_b", "n_inter")
+            .collect()
+        }
+        assert got_c == want_c, f"containment base diverged at seed {seed}"
