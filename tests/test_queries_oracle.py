@@ -92,3 +92,50 @@ def test_collapse_runs_matches_oracle(spark, oracle):
         for a, b in zip(runs, runs[1:]):
             assert a.event_type != b.event_type
             assert a.end_us <= b.start_us
+
+
+# (spark simpleString, duckdb type) pairs the driver's type-sensitive
+# value-hash is KNOWN to tolerate: int32-vs-BIGINT is proven tolerated
+# (win_order_ranks was hash-green in round 1 with exactly that split).
+# HUGEINT is proven NOT tolerated (the tpch_q12 round-3 red row), so a
+# DuckDB aggregate must be CAST to BIGINT rather than whitelisted here.
+_TYPE_COMPAT = {
+    ("bigint", "BIGINT"), ("int", "INTEGER"), ("int", "BIGINT"),
+    ("bigint", "INTEGER"), ("double", "DOUBLE"), ("float", "FLOAT"),
+    ("string", "VARCHAR"), ("date", "DATE"), ("boolean", "BOOLEAN"),
+    ("timestamp", "TIMESTAMP"), ("timestamp_ntz", "TIMESTAMP"),
+    ("smallint", "SMALLINT"), ("tinyint", "TINYINT"), ("binary", "BLOB"),
+    # JSON fetches as str — proven tolerated (cdc_flagship_documents'
+    # lines_json column was hash-green in the round-3 driver run)
+    ("string", "JSON"),
+}
+
+
+def _types_ok(spark_t: str, duck_t: str) -> bool:
+    if (spark_t, duck_t) in _TYPE_COMPAT:
+        return True
+    if spark_t.startswith("array<") and duck_t.endswith("[]"):
+        return (spark_t[6:-1], duck_t[:-2]) in _TYPE_COMPAT
+    return False
+
+
+@pytest.mark.parametrize("name", ORACLE_CASES)
+def test_oracle_column_types_compatible(spark, oracle, name):
+    """Authoring-time guard for the driver's TYPE-SENSITIVE value hash:
+    every oracle column's DuckDB type must be hash-compatible with the
+    Spark column's type. This is the check that would have caught the
+    tpch_q12 HUGEINT red row (DuckDB's bare SUM over integers) before it
+    reached a driver round — analysis only, nothing executes."""
+    entry = REG[name]
+    stypes = {
+        f.name: f.dataType.simpleString()
+        for f in entry.fn(spark, SF_DIR).schema.fields
+    }
+    rel = oracle.sql(entry.oracle)
+    dtypes = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    bad = {
+        c: (st, dtypes.get(c, "MISSING"))
+        for c, st in stypes.items()
+        if not _types_ok(st, dtypes.get(c, "MISSING"))
+    }
+    assert not bad, f"{name}: hash-incompatible column types {bad}"
