@@ -657,6 +657,12 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (single-probe recall is the documented trade; the multi-probe lever
     is sim_multiprobe_topk).
 
+    Scale note: bucket width must track corpus size — per-bucket work is
+    quadratic in bucket occupancy, so n_bits is chosen to hold the mean
+    bucket near a target size (≈ log2(N / target)); 8 bits fits the test
+    corpus, a 100 TB corpus runs the same plan at 20+ bits (or the IVF
+    coarse quantizer) so occupancy, and thus per-bucket cost, stays flat.
+
     Registry status: oracle-parity-gated in pytest this round; enters
     the driver window in round 5 with the other late-r4 queries."""
     return knn_join(tables.load(spark, sf_dir, "embeddings"))
