@@ -1631,3 +1631,48 @@ def test_streaming_manifest_maintenance_equals_batch_pipeline(spark, tmp_path):
     assert e_id not in by_id                               # junked out
     # surviving clones lost near-dup election to their originals
     assert clone_src[1] in by_id and clone_src[1] + 700_000 not in by_id
+
+
+def test_manifest_maintenance_resumes_from_checkpoint(spark, tmp_path):
+    """Two separate drains over the same checkpoint: the second must see
+    ONLY files appended after the first (n_batches == 1, no replay of
+    batch 1), and the final manifest still equals the batch pipeline on
+    the final corpus."""
+    from sql_cdc_spark.pipelines.corpus import prepare_training_corpus
+    from sql_cdc_spark.streaming import manifest_maintenance as MM
+
+    base = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "lang", "source", "text")
+        .orderBy("doc_id")
+        .limit(80)
+    )
+    st = MM.build_manifest_state(base)
+    feed, chk = str(tmp_path / "rfeed"), str(tmp_path / "rchk")
+
+    b1 = base.orderBy("doc_id").limit(3).select(
+        (F.col("doc_id") + 800_000).alias("doc_id"), "lang", "source",
+        F.concat("text", F.lit(" copy one")).alias("text"),
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    st1, n1 = MM.run_manifest_maintenance(spark, feed, chk, st)
+    assert n1 >= 1
+
+    b2 = base.orderBy(F.desc("doc_id")).limit(2).select(
+        "doc_id", "lang", "source",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    b2.coalesce(1).write.mode("append").parquet(feed)
+    st2, n2 = MM.run_manifest_maintenance(spark, feed, chk, st1)
+    assert n2 == 1, "resumed drain must process only the new file"
+
+    del_ids = [r.doc_id for r in base.orderBy(F.desc("doc_id")).limit(2).collect()]
+    final_corpus = (
+        base.filter(~F.col("doc_id").isin(del_ids))
+        .unionByName(b1.select("doc_id", "lang", "source", "text"))
+    )
+    got = {tuple(r) for r in MM.manifest_from_state(st2).collect()}
+    want = {tuple(r) for r in prepare_training_corpus(final_corpus).collect()}
+    assert got == want
