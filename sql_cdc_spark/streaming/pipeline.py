@@ -146,10 +146,16 @@ def _segregate_error(error_dir: str, fname: str, payload, exc: Exception) -> Non
     directory, 183-203's per-record loop): the poison record lands in
     ``error_dir`` as ``<fname>.error`` with the failure reason and raw
     payload, and the batch continues — one bad record must not wedge the
-    feed. Atomic rename like the main sink."""
+    feed. Atomic rename like the main sink.
+
+    The evidence NAME is sanitized (path separators and other hostile
+    characters replaced): a record poisoned precisely BECAUSE its
+    filename is malformed must not crash the segregation path too — the
+    original filename survives verbatim inside the evidence JSON."""
     os.makedirs(error_dir, exist_ok=True)
+    safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in fname)
     _atomic_write(
-        os.path.join(error_dir, f"{fname}.error"),
+        os.path.join(error_dir, f"{safe}.error"),
         json.dumps(
             {
                 "doc_filename": fname,
@@ -433,6 +439,103 @@ def reset_consumer(registry: SyncStateRegistry, checkpoint_root: str, consumer: 
     chk = os.path.join(checkpoint_root, consumer)
     if os.path.exists(chk):
         shutil.rmtree(chk)
+
+
+def consumer_lag(
+    spark: SparkSession, registry: "SyncStateRegistry", log_dir: str
+) -> DataFrame:
+    """Ops visibility: per registered consumer, the composite cursor, the
+    log's current high watermark, the version lag, and the EXACT count of
+    pending change rows — pending under the same composite
+    (version, key) order ``pull_batch`` consumes in, so the number is the
+    true backlog, not an approximation. The report an operator reads
+    before scaling consumers or tuning batch limits (the reference's
+    sync-state table joined against CHANGE_TRACKING_CURRENT_VERSION).
+
+    One pass over the log: the (tiny, control-plane) consumer table is
+    broadcast against the changes and both the pending flag and the
+    global watermark aggregate per consumer with map-side combine —
+    never one scan per consumer. Consumers with an empty backlog still
+    emit a row; an empty log reports watermark 0 for everyone."""
+    from sql_cdc_spark.streaming import changelog as cl
+
+    rows = [
+        (c.sync_name, c.last_sync_version, c.last_processed_id)
+        for c in registry.list_consumers()
+    ]
+    schema = "sync_name string, cursor_version long, cursor_id long"
+    cdf = spark.createDataFrame(rows, schema)
+    if not rows:
+        return cdf.select(
+            "sync_name", "cursor_version", "cursor_id",
+            F.lit(0).cast("long").alias("current_version"),
+            F.lit(0).cast("long").alias("version_lag"),
+            F.lit(0).cast("long").alias("pending_changes"),
+        )
+    changes = cl.read_changelog(spark, log_dir)
+    v, k = F.col("change_version"), F.col("key_id")
+    pending = (v > F.col("cursor_version")) | (
+        (v == F.col("cursor_version")) & (k > F.col("cursor_id"))
+    )
+    report = (
+        changes.crossJoin(F.broadcast(cdf))
+        .groupBy("sync_name", "cursor_version", "cursor_id")
+        .agg(
+            F.sum(F.when(pending, 1).otherwise(0)).alias("pending_changes"),
+            F.max("change_version").alias("current_version"),
+        )
+    )
+    return (
+        cdf.join(report.select("sync_name", "pending_changes", "current_version"),
+                 "sync_name", "left")
+        .select(
+            "sync_name",
+            "cursor_version",
+            "cursor_id",
+            F.coalesce("current_version", F.lit(0)).alias("current_version"),
+            F.greatest(
+                F.coalesce("current_version", F.lit(0)) - F.col("cursor_version"),
+                F.lit(0).cast("long"),
+            ).alias("version_lag"),
+            F.coalesce("pending_changes", F.lit(0)).alias("pending_changes"),
+        )
+        .orderBy("sync_name")
+    )
+
+
+def retry_failed_documents(out_dir: str, error_dir: str) -> tuple[int, int]:
+    """Operator replay for the failed-document error directory: re-attempt
+    delivery of every parked ``.error`` record whose raw payload was
+    captured, writing it to ``out_dir`` under its original filename
+    (atomic, idempotent — same deterministic name the sink would have
+    used) and removing the evidence file on success. Records parked
+    without a payload stay parked (nothing to deliver). Returns
+    (delivered, still_parked).
+
+    Control-plane sized by construction — errors are the exception path —
+    so this is a driver-side loop, not a Spark job."""
+    if not os.path.isdir(error_dir):
+        return 0, 0
+    delivered, parked = 0, 0
+    os.makedirs(out_dir, exist_ok=True)
+    for fn in sorted(os.listdir(error_dir)):
+        if not fn.endswith(".error"):
+            continue
+        path = os.path.join(error_dir, fn)
+        with open(path) as f:
+            rec = json.load(f)
+        payload = rec.get("payload")
+        if payload is None:
+            parked += 1
+            continue
+        try:
+            _atomic_write(os.path.join(out_dir, rec["doc_filename"]), payload)
+        except Exception:  # noqa: BLE001 — still-failing records stay parked
+            parked += 1
+            continue
+        os.remove(path)
+        delivered += 1
+    return delivered, parked
 
 
 def compact_documents(spark: SparkSession, out_dir: str, parquet_dir: str) -> int:

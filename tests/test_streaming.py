@@ -1676,3 +1676,68 @@ def test_manifest_maintenance_resumes_from_checkpoint(spark, tmp_path):
     got = {tuple(r) for r in MM.manifest_from_state(st2).collect()}
     want = {tuple(r) for r in prepare_training_corpus(final_corpus).collect()}
     assert got == want
+
+
+def test_consumer_lag_report(spark, tmp_path):
+    """Exact backlog accounting under the composite cursor order: rows AT
+    the cursor version with key <= cursor_id are consumed, ties with
+    key > cursor_id are pending — the same rule pull_batch resumes by."""
+    log = str(tmp_path / "laglog")
+    rows = [("invoices", k, v, "U", None) for v in (1, 2, 3) for k in (10, 20, 30)]
+    spark.createDataFrame(
+        rows, "table_name string, key_id long, change_version long, op string, payload string"
+    ).write.parquet(log)
+
+    reg = SyncStateRegistry(str(tmp_path / "lagreg"))
+    reg.read("fresh")                # auto-created at (0, 0)
+    reg.advance("mid", 2, 20)        # consumed through (2, 20)
+    reg.advance("done", 3, 30)       # fully caught up
+
+    got = {
+        r.sync_name: (r.cursor_version, r.current_version, r.version_lag, r.pending_changes)
+        for r in pl.consumer_lag(spark, reg, log).collect()
+    }
+    assert got["fresh"] == (0, 3, 3, 9)
+    # mid: pending = (2,30) tie-break + all of version 3 -> 4 rows
+    assert got["mid"] == (2, 3, 1, 4)
+    assert got["done"] == (3, 3, 0, 0)
+
+
+def test_retry_failed_documents_lifecycle(spark, tmp_path):
+    """Poison-record lifecycle completes: a parked record with a captured
+    payload is delivered on retry (atomic, original filename) and its
+    evidence file removed; a payload-less record stays parked; a second
+    retry is a no-op for delivered records (idempotent)."""
+    import json as _json
+    import os as _os
+
+    out = str(tmp_path / "retry_out")
+    err = str(tmp_path / "retry_err")
+    _os.makedirs(err)
+    with open(_os.path.join(err, "doc_7.json.error"), "w") as f:
+        _json.dump(
+            {"doc_filename": "doc_7.json", "error": "OSError: disk full",
+             "payload": '{"invoice_id": 7}'}, f,
+        )
+    with open(_os.path.join(err, "doc_9.json.error"), "w") as f:
+        _json.dump(
+            {"doc_filename": "doc_9.json", "error": "TypeError: unserializable",
+             "payload": None}, f,
+        )
+    with open(_os.path.join(err, "doc_8.json.error"), "w") as f:
+        _json.dump(
+            {"doc_filename": "no_such_dir/doc_8.json",
+             "error": "OSError: original failure",
+             "payload": '{"invoice_id": 8}'}, f,
+        )
+    delivered, parked = pl.retry_failed_documents(out, err)
+    # doc_7 delivers; doc_8 STILL fails (missing subdir) and stays parked
+    # rather than crashing the replay loop; doc_9 has no payload
+    assert (delivered, parked) == (1, 2)
+    assert _os.path.exists(_os.path.join(err, "doc_8.json.error"))
+    with open(_os.path.join(out, "doc_7.json")) as f:
+        assert _json.load(f) == {"invoice_id": 7}
+    assert not _os.path.exists(_os.path.join(err, "doc_7.json.error"))
+    assert _os.path.exists(_os.path.join(err, "doc_9.json.error"))
+    # idempotent second pass: nothing newly delivered, poisons still parked
+    assert pl.retry_failed_documents(out, err) == (0, 2)
