@@ -1741,3 +1741,28 @@ def test_retry_failed_documents_lifecycle(spark, tmp_path):
     assert _os.path.exists(_os.path.join(err, "doc_9.json.error"))
     # idempotent second pass: nothing newly delivered, poisons still parked
     assert pl.retry_failed_documents(out, err) == (0, 2)
+
+
+def test_malformed_filename_poison_segregates_not_crashes(spark, tmp_path):
+    """A record poisoned BY its malformed filename (path separator) must
+    not crash the segregation path: the batch delivers the healthy
+    records, the evidence lands under a sanitized name, and the original
+    filename survives verbatim inside the evidence JSON."""
+    import json as _json
+    import os as _os
+
+    out, err = str(tmp_path / "po"), str(tmp_path / "pe")
+    docs = spark.createDataFrame(
+        [("ok_1.json", '{"a":1}'), ("bad/poison.json", '{"a":2}'),
+         ("ok_2.json", '{"a":3}')],
+        "doc_filename string, doc_json string",
+    )
+    delivered = pl.write_documents(docs, out, error_dir=err)
+    assert delivered == 2
+    assert sorted(_os.listdir(out)) == ["ok_1.json", "ok_2.json"]
+    evidence = _os.listdir(err)
+    assert evidence == ["bad_poison.json.error"]
+    with open(_os.path.join(err, evidence[0])) as f:
+        rec = _json.load(f)
+    assert rec["doc_filename"] == "bad/poison.json"
+    assert rec["payload"] == '{"a":2}'
