@@ -465,13 +465,19 @@ def consumer_lag(
     ]
     schema = "sync_name string, cursor_version long, cursor_id long"
     cdf = spark.createDataFrame(rows, schema)
-    if not rows:
+    # cold start: consumers can register before the first change is ever
+    # written — a missing log is an empty log (watermark 0, no backlog),
+    # not an error
+    if not rows or not os.path.isdir(log_dir):
         return cdf.select(
             "sync_name", "cursor_version", "cursor_id",
             F.lit(0).cast("long").alias("current_version"),
-            F.lit(0).cast("long").alias("version_lag"),
+            F.greatest(
+                F.lit(0).cast("long") - F.col("cursor_version"),
+                F.lit(0).cast("long"),
+            ).alias("version_lag"),
             F.lit(0).cast("long").alias("pending_changes"),
-        )
+        ).orderBy("sync_name")
     changes = cl.read_changelog(spark, log_dir)
     v, k = F.col("change_version"), F.col("key_id")
     pending = (v > F.col("cursor_version")) | (

@@ -1702,6 +1702,14 @@ def test_consumer_lag_report(spark, tmp_path):
     assert got["mid"] == (2, 3, 1, 4)
     assert got["done"] == (3, 3, 0, 0)
 
+    # cold start: consumers registered before the log exists — an empty
+    # report row per consumer, never a path error
+    cold = {
+        r.sync_name: (r.current_version, r.version_lag, r.pending_changes)
+        for r in pl.consumer_lag(spark, reg, str(tmp_path / "no_log_yet")).collect()
+    }
+    assert cold == {"fresh": (0, 0, 0), "mid": (0, 0, 0), "done": (0, 0, 0)}
+
 
 def test_retry_failed_documents_lifecycle(spark, tmp_path):
     """Poison-record lifecycle completes: a parked record with a captured
