@@ -151,3 +151,36 @@ def current_version(spark: SparkSession, log_dir: str) -> int:
     the high watermark used to snapshot-bound a pull."""
     row = read_changelog(spark, log_dir).agg(F.max("change_version")).first()
     return row[0] or 0
+
+
+RETENTION_MARKER = "_retention.json"  # '_' prefix: parquet readers skip it
+
+
+def retention_floor(log_dir: str) -> int:
+    """The oldest change_version retention has ever guaranteed present —
+    the CHANGE_TRACKING_MIN_VALID_VERSION analog. 0 (everything valid)
+    until the first expire_changelog run records a floor. Stored as a
+    marker file inside the log dir so it travels with the log."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(log_dir, RETENTION_MARKER)
+    if not _os.path.exists(path):
+        return 0
+    with open(path) as f:
+        return int(_json.load(f)["min_version"])
+
+
+def write_retention_floor(log_dir: str, min_version: int) -> int:
+    """Record the retention floor (monotone: never lowers an existing
+    one). Returns the recorded floor."""
+    import json as _json
+    import os as _os
+
+    floor = max(int(min_version), retention_floor(log_dir))
+    path = _os.path.join(log_dir, RETENTION_MARKER)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"min_version": floor}, f)
+    _os.replace(tmp, path)
+    return floor

@@ -234,6 +234,15 @@ def write_documents_partitioned(docs: DataFrame, out_dir: str, batch_id: int) ->
     return payload.count()
 
 
+class StaleCursorError(RuntimeError):
+    """A consumer's cursor predates the changelog retention floor: the
+    changes between its cursor and the floor are GONE, so an incremental
+    pull would silently skip them. The consumer must reset and re-sync
+    from a base snapshot — the CHANGE_TRACKING_MIN_VALID_VERSION contract
+    of the reference's backing store (setup-invoice-db.sql:70-72's
+    retention window), surfaced as an error instead of silent loss."""
+
+
 def pull_batch(
     spark: SparkSession,
     log_dir: str,
@@ -265,6 +274,18 @@ def pull_batch(
 
     state = registry.read(consumer)
     stage_ms["read_state"] = (time.time() - t0) * 1000
+
+    # validity gate (server-side min-valid-version check): the inclusive
+    # tie re-read below needs the cursor VERSION itself still retained —
+    # a cursor below the floor means expired, unconsumed changes, and
+    # advancing past them would be silent data loss
+    floor = cl.retention_floor(log_dir)
+    if floor and state.last_sync_version < floor:
+        raise StaleCursorError(
+            f"consumer {consumer!r} cursor version "
+            f"{state.last_sync_version} predates the retention floor "
+            f"{floor}; reset_consumer() and re-sync from a base snapshot"
+        )
 
     t1 = time.time()
     to_version = cl.current_version(spark, log_dir)
@@ -477,7 +498,9 @@ def consumer_lag(
                 F.lit(0).cast("long"),
             ).alias("version_lag"),
             F.lit(0).cast("long").alias("pending_changes"),
+            F.lit(False).alias("cursor_stale"),
         ).orderBy("sync_name")
+    floor = cl.retention_floor(log_dir)
     changes = cl.read_changelog(spark, log_dir)
     v, k = F.col("change_version"), F.col("key_id")
     pending = (v > F.col("cursor_version")) | (
@@ -504,6 +527,10 @@ def consumer_lag(
                 F.lit(0).cast("long"),
             ).alias("version_lag"),
             F.coalesce("pending_changes", F.lit(0)).alias("pending_changes"),
+            # stale = pull_batch would refuse this cursor (StaleCursorError)
+            (F.lit(floor > 0) & (F.col("cursor_version") < F.lit(floor))).alias(
+                "cursor_stale"
+            ),
         )
         .orderBy("sync_name")
     )
@@ -566,7 +593,10 @@ def expire_changelog(
     """Change-retention cleanup (T9, setup-invoice-db.sql:70-72's 3-day
     auto-cleanup): drop change rows below min_version. Consumers whose
     cursor is older than min_version must reset — same constraint the
-    reference documents. Rewrites the log atomically: the compacted copy is
+    reference documents, and ENFORCED here: the floor is recorded in the
+    log (``changelog.retention_floor``) and pull_batch raises
+    StaleCursorError for cursors below it instead of silently skipping
+    the expired range. Rewrites the log atomically: the compacted copy is
     staged in a sibling directory (same filesystem, so both os.replace
     calls are atomic renames — never EXDEV), and the ``.expired`` backup of
     the old log is deleted only after the new log is in place, so a crash
@@ -604,6 +634,9 @@ def expire_changelog(
         raise
     shutil.rmtree(old)
     shutil.rmtree(tmp, ignore_errors=True)
+    # record the min-valid-version floor so pull_batch can refuse stale
+    # cursors instead of silently skipping the expired range
+    cl.write_retention_floor(log_dir, min_version)
     return int(n)
 
 

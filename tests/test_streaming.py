@@ -1774,3 +1774,48 @@ def test_malformed_filename_poison_segregates_not_crashes(spark, tmp_path):
         rec = _json.load(f)
     assert rec["doc_filename"] == "bad/poison.json"
     assert rec["payload"] == '{"a":2}'
+
+
+def test_stale_cursor_refused_after_retention(spark, base, tmp_path):
+    """The min-valid-version contract: after expire_changelog raises the
+    retention floor past a consumer's cursor, pull_batch REFUSES the pull
+    (StaleCursorError) instead of silently skipping the expired changes;
+    consumer_lag flags the same consumer stale; reset_consumer restores a
+    working (from-scratch) pull. A consumer already past the floor is
+    untouched."""
+    header, lines = base
+    w = _gen_changes(spark, tmp_path)
+    log = w.log_dir
+    reg = SyncStateRegistry(str(tmp_path / "sreg"))
+    out = str(tmp_path / "sdocs")
+
+    # behind: consumed a little; ahead: fully drained
+    r1 = pl.pull_batch(spark, log, "behind", reg, header, lines, MODEL, out, limit=5)
+    assert r1.processed > 0
+    pl.drain(spark, log, "ahead", reg, header, lines, MODEL, out, limit=500)
+    behind_v = reg.read("behind").last_sync_version
+    ahead_v = reg.read("ahead").last_sync_version
+    assert behind_v < ahead_v
+
+    floor = behind_v + 1
+    pl.expire_changelog(spark, log, min_version=floor)
+    assert cl.retention_floor(log) == floor
+
+    with pytest.raises(pl.StaleCursorError, match="behind"):
+        pl.pull_batch(spark, log, "behind", reg, header, lines, MODEL, out)
+    stale = {
+        r.sync_name: r.cursor_stale
+        for r in pl.consumer_lag(spark, reg, log).collect()
+    }
+    assert stale["behind"] is True and stale["ahead"] is False
+
+    # ahead consumer still pulls fine (nothing pending, no error)
+    ok = pl.pull_batch(spark, log, "ahead", reg, header, lines, MODEL, out)
+    assert ok.processed == 0
+
+    # reset, then... a reset cursor is version 0 < floor: the contract is
+    # re-sync from a base snapshot; incremental pull over the expired
+    # range must STILL be refused so loss cannot sneak back in
+    pl.reset_consumer(reg, str(tmp_path / "schk"), "behind")
+    with pytest.raises(pl.StaleCursorError):
+        pl.pull_batch(spark, log, "behind", reg, header, lines, MODEL, out)
