@@ -1819,3 +1819,47 @@ def test_stale_cursor_refused_after_retention(spark, base, tmp_path):
     pl.reset_consumer(reg, str(tmp_path / "schk"), "behind")
     with pytest.raises(pl.StaleCursorError):
         pl.pull_batch(spark, log, "behind", reg, header, lines, MODEL, out)
+
+
+def test_expiration_invisible_to_valid_consumers(spark, base, tmp_path):
+    """Retention safety from the other side: for a consumer whose cursor
+    is AT or ABOVE the floor, expiring the log changes nothing — the
+    remaining drain delivers byte-identical documents with or without
+    the expiration (the inclusive tie re-read only needs the cursor
+    version itself, which a valid floor retains)."""
+    import shutil
+
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, seed=23)
+    log = w.log_dir
+    out_a = str(tmp_path / "docs_a")
+    out_b = str(tmp_path / "docs_b")
+    reg = SyncStateRegistry(str(tmp_path / "vreg"))
+
+    pl.pull_batch(spark, log, "c", reg, header, lines, MODEL, out_a, limit=10)
+    cursor_v = reg.read("c").last_sync_version
+
+    # clone the log + registry state, expire ONLY the clone up to the cursor
+    log2 = str(tmp_path / "logclone")
+    shutil.copytree(log, log2)
+    reg2 = SyncStateRegistry(str(tmp_path / "vreg2"))
+    st = reg.read("c")
+    reg2.advance("c", st.last_sync_version, st.last_processed_id)
+    pl.expire_changelog(spark, log2, min_version=cursor_v)
+
+    for r in pl.drain(spark, log, "c", reg, header, lines, MODEL, out_a, limit=25):
+        pass
+    for r in pl.drain(spark, log2, "c", reg2, header, lines, MODEL, out_b, limit=25):
+        pass
+
+    import os as _os
+
+    files_a = {f: open(_os.path.join(out_a, f)).read() for f in _os.listdir(out_a)}
+    files_b = {f: open(_os.path.join(out_b, f)).read() for f in _os.listdir(out_b)}
+    # out_a includes the pre-expiry first batch too; every doc the cloned
+    # (expired) drain produced must exist byte-identical in the unexpired
+    # run, and both drains end at the same cursor
+    for f, body in files_b.items():
+        assert files_a[f] == body
+    assert reg.read("c").last_sync_version == reg2.read("c").last_sync_version
+    assert reg.read("c").last_processed_id == reg2.read("c").last_processed_id
