@@ -35,7 +35,15 @@ def read_feed(
     added to the feed simply read it as null (parquet by-name column
     resolution), which is the engine's schema-evolution contract — see
     ``discover_feed_schema`` for deriving the evolved schema from the
-    directory instead of hardcoding it."""
+    directory instead of hardcoding it.
+
+    Cold start: a maintenance job legitimately comes up before its feed
+    has produced a single file, so a missing directory is created empty
+    here (drain sees zero batches) instead of failing PATH_NOT_FOUND in
+    every maintenance module at once."""
+    import os
+
+    os.makedirs(feed_dir, exist_ok=True)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))

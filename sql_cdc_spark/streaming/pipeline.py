@@ -578,8 +578,18 @@ def compact_documents(spark: SparkSession, out_dir: str, parquet_dir: str) -> in
     columnar table (one file per partition instead of one per invoice).
     Returns the number of compacted documents, counted by an Observation
     riding the write job itself — ONE pass over the data, no second scan
-    of the freshly written output."""
+    of the freshly written output.
+
+    A directory with no documents yet (cold start, or everything
+    segregated) compacts to 0 without writing: the documents are
+    schema-free JSON, so there is no schema to give an empty parquet."""
     from pyspark.sql import Observation
+
+    if not any(
+        f.endswith(".json")
+        for f in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+    ):
+        return 0
 
     obs = Observation("compact_count")
     docs = spark.read.json(out_dir).observe(obs, F.count(F.lit(1)).alias("n"))

@@ -1863,3 +1863,38 @@ def test_expiration_invisible_to_valid_consumers(spark, base, tmp_path):
         assert files_a[f] == body
     assert reg.read("c").last_sync_version == reg2.read("c").last_sync_version
     assert reg.read("c").last_processed_id == reg2.read("c").last_processed_id
+
+
+def test_compact_empty_document_dir(spark, tmp_path):
+    """Cold start: compacting a directory with no documents yet returns 0
+    and writes nothing, instead of failing JSON schema inference."""
+    import os as _os
+
+    empty = str(tmp_path / "no_docs")
+    _os.makedirs(empty)
+    pq = str(tmp_path / "no_docs_pq")
+    assert pl.compact_documents(spark, empty, pq) == 0
+    assert not _os.path.exists(pq)
+    # a missing dir behaves the same as an empty one
+    assert pl.compact_documents(spark, str(tmp_path / "never_made"), pq) == 0
+
+
+def test_maintenance_drain_cold_start_empty_feed(spark, tmp_path):
+    """A maintenance job coming up before its feed has produced a single
+    file must drain zero batches against an unchanged state, not fail
+    PATH_NOT_FOUND (shared read_feed fix — covers every maintenance
+    module at once)."""
+    from sql_cdc_spark.functions import dedup as DD
+    from sql_cdc_spark.streaming import dedup_maintenance as DM
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    st = DD.build_near_dup_state(docs)
+    final, n = DM.run_dedup_maintenance(
+        spark, str(tmp_path / "no_feed_yet"), str(tmp_path / "cchk"), st,
+        timeout_s=60,
+    )
+    assert n == 0
+    assert final is st
+    assert final.pairs.count() == 0
