@@ -106,7 +106,14 @@ def write_changelog_partitioned(
 def read_changelog(spark: SparkSession, log_dir: str) -> DataFrame:
     """Batch view of the change log. Handles both the flat test-harness
     layout and the partitioned `version_bucket=` layout (the partition
-    column is dropped after read — pruning has already happened)."""
+    column is dropped after read — pruning has already happened).
+
+    Cold start: a consumer can come up before the producer has written a
+    single change — a missing log dir is created empty (schema'd read of
+    zero rows) rather than failing PATH_NOT_FOUND."""
+    import os
+
+    os.makedirs(log_dir, exist_ok=True)
     df = spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir)
     if "version_bucket" in df.columns:
         df = df.drop("version_bucket")
@@ -139,7 +146,11 @@ def read_changelog_range(
 
 def read_changelog_stream(spark: SparkSession, log_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """Streaming view (file source). maxFilesPerTrigger is the
-    backpressure bound — the reference's `limit` param analog (T8)."""
+    backpressure bound — the reference's `limit` param analog (T8).
+    Missing dir = empty cold-start log, same as the batch view."""
+    import os
+
+    os.makedirs(log_dir, exist_ok=True)
     reader = spark.readStream.schema(CHANGELOG_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -475,7 +475,11 @@ def test_poll_loop_reports_errors_and_bounds_failures(spark, base, tmp_path):
 
     header, lines = base
     reg = SyncStateRegistry(str(tmp_path / "state"))
+    # a regular FILE at the log path: genuinely unreadable as a log (a
+    # merely-missing dir is now a valid cold-start empty log)
     missing_log = str(tmp_path / "no_such_log")
+    with open(missing_log, "w") as f:
+        f.write("not a directory")
     errors = []
 
     # bounded polls < failure bound: errors reported, loop ends normally
@@ -1898,3 +1902,18 @@ def test_maintenance_drain_cold_start_empty_feed(spark, tmp_path):
     assert n == 0
     assert final is st
     assert final.pairs.count() == 0
+
+
+def test_pull_batch_cold_start_empty_log(spark, base, tmp_path):
+    """A consumer polling before the producer has written any change gets
+    an empty batch at version 0, not PATH_NOT_FOUND — and the cursor
+    stays at the origin so the first real change is picked up later."""
+    header, lines = base
+    reg = SyncStateRegistry(str(tmp_path / "coldreg"))
+    res = pl.pull_batch(
+        spark, str(tmp_path / "cold_log"), "c", reg, header, lines, MODEL,
+        str(tmp_path / "cold_docs"),
+    )
+    assert res.processed == 0 and res.has_more is False
+    st = reg.read("c")
+    assert (st.last_sync_version, st.last_processed_id) == (0, 0)
