@@ -51,7 +51,7 @@ def test_jdbc_options_extra_passthrough_and_fetchsize():
 def test_read_jdbc_fails_clearly_without_driver(spark):
     """No JDBC driver jar ships in this container: the wrapper must fail
     with an actionable message, not a raw Py4J stack."""
-    with pytest.raises(RuntimeError, match="JDBC driver jar"):
+    with pytest.raises(RuntimeError, match="driver jar on the Spark classpath"):
         read_jdbc(
             spark, server="localhost", database="InvoiceDB",
             table="dbo.InvoiceHeader", user="sa", password="pw",
@@ -301,3 +301,62 @@ def test_bi_endpoint_serves_views_over_jdbc(spark):
         ).count()
     finally:
         srv.stop()
+
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def test_jdbc_live_roundtrip_partitioned_with_pushdown(spark, tmp_path):
+    """S5 LIVE e2e — a real database, not an option-contract check: Spark
+    ships embedded Derby, so write a frame into it over JDBC, read it
+    back range-partitioned, and prove in-plan that the filter was pushed
+    INTO the database (PushedFilters entries starred = evaluated at the
+    source) and the read genuinely split into numPartitions slices."""
+    from sql_cdc_spark.sources.jdbc import read_jdbc_url, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path / 'livedb'};create=true"
+    df = spark.range(200).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+    write_jdbc(df, url=url, table="t_round", driver=DERBY_DRIVER)
+
+    back = read_jdbc_url(
+        spark, url=url, table="t_round", driver=DERBY_DRIVER,
+        partition_column="k", lower_bound=0, upper_bound=200,
+        num_partitions=4,
+    )
+    assert back.count() == 200
+    assert back.rdd.getNumPartitions() == 4
+
+    flt = back.filter("k >= 150")
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [*IsNotNull(k), *GreaterThanOrEqual(k,150)]" in plan
+    assert flt.count() == 50
+    got = sorted((r.k, r.v) for r in flt.collect())
+    assert got == [(k, float(k * 2)) for k in range(150, 200)]
+
+
+def test_jdbc_changelog_ingress_end_to_end(spark, tmp_path):
+    """The reference's actual ingress shape, live: a change-tracking table
+    lives in an RDBMS, the engine reads it over partitioned JDBC and runs
+    the CDC collapse on top. Rows in Derby -> read_jdbc_url ->
+    latest_per_key == the expected net changes."""
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark.operators import cdc
+    from sql_cdc_spark.sources.jdbc import read_jdbc_url, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path / 'ctdb'};create=true"
+    changes = spark.createDataFrame(
+        [(k, v, "U" if v % 2 else "I") for k in range(1, 21) for v in range(1, k % 5 + 2)],
+        "key_id long, change_version long, op string",
+    )
+    write_jdbc(changes, url=url, table="ct_feed", driver=DERBY_DRIVER)
+
+    feed = read_jdbc_url(
+        spark, url=url, table="ct_feed", driver=DERBY_DRIVER,
+        partition_column="key_id", lower_bound=1, upper_bound=21,
+        num_partitions=3,
+    )
+    latest = cdc.latest_per_key(feed, ["key_id"])
+    got = {r.key_id: r.change_version for r in latest.collect()}
+    want = {k: max(v for v in range(1, k % 5 + 2)) for k in range(1, 21)}
+    assert got == want
