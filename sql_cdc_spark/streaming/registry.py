@@ -110,3 +110,159 @@ class SyncStateRegistry:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+
+class JdbcSyncStateRegistry:
+    """Database-backed cursor registry — the literal reference shape: the
+    reference keeps consumer cursors in a ChangeTrackingSyncState TABLE
+    (sqls/setup-invoice-db.sql:121-126) and reads/advances them over its
+    pooled connection. Same four-method interface as the file registry
+    (read / advance / reset / list_consumers), so pull_batch, drain,
+    poll_loop and consumer_lag take either interchangeably.
+
+    Control-plane I/O: one-row reads and upserts through the JVM's
+    java.sql over py4j — never a Spark job (a cursor update is not a
+    distributed computation). PreparedStatements throughout, so consumer
+    names are data, not SQL. Tested live against the embedded Derby that
+    Spark ships (tests/test_sources.py / test_streaming.py); any JDBC
+    url/driver on the classpath works the same way.
+
+    Concurrency contract mirrors the file registry: one writer per
+    consumer name (the reference's consumers are single-owner too);
+    advance() re-reads inside the same connection and enforces the
+    monotone-cursor rule."""
+
+    _DDL = (
+        "CREATE TABLE sync_state ("
+        "sync_name VARCHAR(128) PRIMARY KEY, "
+        "last_sync_version BIGINT, "
+        "last_processed_id BIGINT, "
+        "last_sync_time DOUBLE)"
+    )
+
+    def __init__(self, spark, url: str, driver: str):
+        self._jvm = spark._jvm
+        self.url = url
+        self.driver = driver
+        self._jvm.java.lang.Class.forName(driver)
+        conn = self._connect()
+        try:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(self._DDL)
+            except Exception as exc:  # noqa: BLE001 — table already exists
+                if "X0Y32" not in str(exc):  # Derby: object already exists
+                    raise
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    def _connect(self):
+        return self._jvm.java.sql.DriverManager.getConnection(self.url)
+
+    def _select(self, conn, name: str):
+        ps = conn.prepareStatement(
+            "SELECT last_sync_version, last_processed_id, last_sync_time "
+            "FROM sync_state WHERE sync_name = ?"
+        )
+        try:
+            ps.setString(1, name)
+            rs = ps.executeQuery()
+            if rs.next():
+                return SyncState(
+                    name, int(rs.getLong(1)), int(rs.getLong(2)),
+                    float(rs.getDouble(3)),
+                )
+            return None
+        finally:
+            ps.close()
+
+    def _upsert(self, conn, state: SyncState) -> None:
+        up = conn.prepareStatement(
+            "UPDATE sync_state SET last_sync_version = ?, "
+            "last_processed_id = ?, last_sync_time = ? WHERE sync_name = ?"
+        )
+        try:
+            up.setLong(1, state.last_sync_version)
+            up.setLong(2, state.last_processed_id)
+            up.setDouble(3, state.last_sync_time)
+            up.setString(4, state.sync_name)
+            if up.executeUpdate() > 0:
+                return
+        finally:
+            up.close()
+        ins = conn.prepareStatement(
+            "INSERT INTO sync_state VALUES (?, ?, ?, ?)"
+        )
+        try:
+            ins.setString(1, state.sync_name)
+            ins.setLong(2, state.last_sync_version)
+            ins.setLong(3, state.last_processed_id)
+            ins.setDouble(4, state.last_sync_time)
+            ins.executeUpdate()
+        finally:
+            ins.close()
+
+    def read(self, name: str) -> SyncState:
+        """Read a consumer's cursor; auto-create at (0, 0) on first use —
+        the reference's SELECT-then-INSERT (invoice-api/server.js:108-125)."""
+        conn = self._connect()
+        try:
+            found = self._select(conn, name)
+            if found is not None:
+                return found
+            state = SyncState(sync_name=name)
+            self._upsert(conn, state)
+            return state
+        finally:
+            conn.close()
+
+    def advance(self, name: str, version: int, last_id: int) -> SyncState:
+        """Advance the cursor, monotone-guarded like the file registry."""
+        conn = self._connect()
+        try:
+            cur = self._select(conn, name) or SyncState(sync_name=name)
+            if (version, last_id) < (cur.last_sync_version, cur.last_processed_id):
+                raise ValueError(
+                    f"cursor rewind for {name}: ({version},{last_id}) < "
+                    f"({cur.last_sync_version},{cur.last_processed_id}); "
+                    "use reset()"
+                )
+            state = SyncState(name, version, last_id, time.time())
+            self._upsert(conn, state)
+            return state
+        finally:
+            conn.close()
+
+    def reset(self, name: str) -> SyncState:
+        conn = self._connect()
+        try:
+            state = SyncState(name, 0, 0, time.time())
+            self._upsert(conn, state)
+            return state
+        finally:
+            conn.close()
+
+    def list_consumers(self) -> list[SyncState]:
+        conn = self._connect()
+        try:
+            st = conn.createStatement()
+            try:
+                rs = st.executeQuery(
+                    "SELECT sync_name, last_sync_version, last_processed_id, "
+                    "last_sync_time FROM sync_state ORDER BY sync_name"
+                )
+                out = []
+                while rs.next():
+                    out.append(
+                        SyncState(
+                            rs.getString(1), int(rs.getLong(2)),
+                            int(rs.getLong(3)), float(rs.getDouble(4)),
+                        )
+                    )
+                return out
+            finally:
+                st.close()
+        finally:
+            conn.close()

@@ -1917,3 +1917,48 @@ def test_pull_batch_cold_start_empty_log(spark, base, tmp_path):
     assert res.processed == 0 and res.has_more is False
     st = reg.read("c")
     assert (st.last_sync_version, st.last_processed_id) == (0, 0)
+
+
+def test_jdbc_registry_full_pipeline_parity(spark, base, tmp_path):
+    """The reference's literal deployment shape, live: consumer cursors
+    in a database TABLE (embedded Derby over JDBC) driving the same
+    checkpointed pull loop. Contract parity with the file registry:
+    auto-create, monotone advance (rewind raises), reset, listing — and
+    a two-batch drain through pull_batch lands the exact same cursor the
+    file-registry run produces on the same log."""
+    from sql_cdc_spark.streaming.registry import JdbcSyncStateRegistry
+
+    header, lines = base
+    w = _gen_changes(spark, tmp_path, seed=31)
+    url = f"jdbc:derby:{tmp_path / 'regdb'};create=true"
+    jreg = JdbcSyncStateRegistry(
+        spark, url, "org.apache.derby.jdbc.EmbeddedDriver"
+    )
+
+    # contract parity
+    st = jreg.read("c")
+    assert (st.last_sync_version, st.last_processed_id) == (0, 0)
+    jreg.advance("c", 5, 7)
+    with pytest.raises(ValueError, match="rewind"):
+        jreg.advance("c", 4, 0)
+    assert jreg.reset("c").last_sync_version == 0
+    assert [s.sync_name for s in jreg.list_consumers()] == ["c"]
+
+    # same drain, two registries: identical final cursors and documents
+    freg = SyncStateRegistry(str(tmp_path / "fileg"))
+    out_j = str(tmp_path / "docs_j")
+    out_f = str(tmp_path / "docs_f")
+    for r in pl.drain(spark, w.log_dir, "c", jreg, header, lines, MODEL, out_j, limit=40):
+        pass
+    for r in pl.drain(spark, w.log_dir, "c", freg, header, lines, MODEL, out_f, limit=40):
+        pass
+    js, fs = jreg.read("c"), freg.read("c")
+    assert (js.last_sync_version, js.last_processed_id) == (
+        fs.last_sync_version, fs.last_processed_id,
+    )
+    import os as _os
+
+    assert sorted(_os.listdir(out_j)) == sorted(_os.listdir(out_f))
+    # and consumer_lag takes either registry interchangeably
+    lag = pl.consumer_lag(spark, jreg, w.log_dir).collect()
+    assert len(lag) == 1 and lag[0].pending_changes == 0
