@@ -18,7 +18,7 @@ from sql_cdc_spark.streaming.registry import SyncStateRegistry
 
 def poll_loop(
     spark: SparkSession,
-    log_dir: str,
+    log_dir: str | DataFrame,
     consumer: str,
     registry: SyncStateRegistry,
     header: DataFrame,

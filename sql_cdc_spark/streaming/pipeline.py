@@ -245,7 +245,7 @@ class StaleCursorError(RuntimeError):
 
 def pull_batch(
     spark: SparkSession,
-    log_dir: str,
+    log_dir: str | DataFrame,
     consumer: str,
     registry: SyncStateRegistry,
     header: DataFrame,
@@ -268,6 +268,13 @@ def pull_batch(
     8. advance cursor only if sink succeeded           server.js:231-249
 
     ``fail_sink`` injects a sink failure (for resume tests).
+
+    ``log_dir`` is a parquet log directory, OR a ready changelog
+    DataFrame in the same (table_name, key_id, change_version, op, …)
+    convention — e.g. a partitioned JDBC read of the change-tracking
+    table living in an RDBMS (sources/jdbc.py), the reference's literal
+    deployment. A DataFrame source has no retention marker; its
+    retention contract belongs to the backing store.
     """
     t0 = time.time()
     stage_ms: dict[str, float] = {}
@@ -279,7 +286,7 @@ def pull_batch(
     # tie re-read below needs the cursor VERSION itself still retained —
     # a cursor below the floor means expired, unconsumed changes, and
     # advancing past them would be silent data loss
-    floor = cl.retention_floor(log_dir)
+    floor = 0 if isinstance(log_dir, DataFrame) else cl.retention_floor(log_dir)
     if floor and state.last_sync_version < floor:
         raise StaleCursorError(
             f"consumer {consumer!r} cursor version "
@@ -288,8 +295,13 @@ def pull_batch(
         )
 
     t1 = time.time()
-    to_version = cl.current_version(spark, log_dir)
-    changes = cl.read_changelog(spark, log_dir)
+    if isinstance(log_dir, DataFrame):
+        changes = log_dir
+        row = changes.agg(F.max("change_version")).first()
+        to_version = int(row[0] or 0)
+    else:
+        to_version = cl.current_version(spark, log_dir)
+        changes = cl.read_changelog(spark, log_dir)
     # inclusive re-read of the cursor version (ties may straddle a batch
     # boundary), snapshot-bounded above
     changes = changes.filter(
@@ -364,7 +376,7 @@ def pull_batch(
 
 def drain(
     spark: SparkSession,
-    log_dir: str,
+    log_dir: str | DataFrame,
     consumer: str,
     registry: SyncStateRegistry,
     header: DataFrame,
