@@ -475,7 +475,7 @@ def reset_consumer(registry: SyncStateRegistry, checkpoint_root: str, consumer: 
 
 
 def consumer_lag(
-    spark: SparkSession, registry: "SyncStateRegistry", log_dir: str
+    spark: SparkSession, registry: "SyncStateRegistry", log_dir: str | DataFrame
 ) -> DataFrame:
     """Ops visibility: per registered consumer, the composite cursor, the
     log's current high watermark, the version lag, and the EXACT count of
@@ -501,7 +501,8 @@ def consumer_lag(
     # cold start: consumers can register before the first change is ever
     # written — a missing log is an empty log (watermark 0, no backlog),
     # not an error
-    if not rows or not os.path.isdir(log_dir):
+    missing = not isinstance(log_dir, DataFrame) and not os.path.isdir(log_dir)
+    if not rows or missing:
         return cdf.select(
             "sync_name", "cursor_version", "cursor_id",
             F.lit(0).cast("long").alias("current_version"),
@@ -512,8 +513,11 @@ def consumer_lag(
             F.lit(0).cast("long").alias("pending_changes"),
             F.lit(False).alias("cursor_stale"),
         ).orderBy("sync_name")
-    floor = cl.retention_floor(log_dir)
-    changes = cl.read_changelog(spark, log_dir)
+    if isinstance(log_dir, DataFrame):
+        floor, changes = 0, log_dir
+    else:
+        floor = cl.retention_floor(log_dir)
+        changes = cl.read_changelog(spark, log_dir)
     v, k = F.col("change_version"), F.col("key_id")
     pending = (v > F.col("cursor_version")) | (
         (v == F.col("cursor_version")) & (k > F.col("cursor_id"))

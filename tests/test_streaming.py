@@ -1959,9 +1959,14 @@ def test_jdbc_registry_full_pipeline_parity(spark, base, tmp_path):
     import os as _os
 
     assert sorted(_os.listdir(out_j)) == sorted(_os.listdir(out_f))
-    # and consumer_lag takes either registry interchangeably
+    # and consumer_lag takes either registry interchangeably — with a
+    # path OR a DataFrame change source (the DB-backed stack's shape)
     lag = pl.consumer_lag(spark, jreg, w.log_dir).collect()
     assert len(lag) == 1 and lag[0].pending_changes == 0
+    lag_df = pl.consumer_lag(
+        spark, jreg, cl.read_changelog(spark, w.log_dir)
+    ).collect()
+    assert [tuple(r) for r in lag_df] == [tuple(r) for r in lag]
 
 
 def test_full_reference_stack_live_on_database(spark, base, tmp_path):
