@@ -360,3 +360,50 @@ def test_jdbc_changelog_ingress_end_to_end(spark, tmp_path):
     got = {r.key_id: r.change_version for r in latest.collect()}
     want = {k: max(v for v in range(1, k % 5 + 2)) for k in range(1, 21)}
     assert got == want
+
+
+def test_jdbc_pushdown_differential_randomized(spark, tmp_path):
+    """Randomized semantics check for the live JDBC path: the same
+    predicate evaluated with filters pushed INTO the database must
+    return exactly the rows the parquet-scan path returns — across
+    range, IN-list, equality, and null-handling shapes."""
+    import random
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.sources.jdbc import read_jdbc_url, write_jdbc
+
+    orders = tables.load(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    url = f"jdbc:derby:{tmp_path / 'fuzzdb'};create=true"
+    write_jdbc(
+        orders, url=url, table="orders_j", driver=DERBY_DRIVER,
+        createTableColumnTypes="o_orderstatus VARCHAR(4)",
+    )
+    hi = orders.agg({"o_orderkey": "max"}).first()[0]
+    via_jdbc = read_jdbc_url(
+        spark, url=url, table="orders_j", driver=DERBY_DRIVER,
+        partition_column="o_orderkey", lower_bound=0, upper_bound=int(hi) + 1,
+        num_partitions=4,
+    )
+    rng = random.Random(99)
+    for _ in range(8):
+        shape = rng.choice(["range", "inlist", "eq", "null", "conj"])
+        if shape == "range":
+            lo = rng.randint(0, 400000)
+            pred = f"o_totalprice BETWEEN {lo} AND {lo + rng.randint(1000, 80000)}"
+        elif shape == "inlist":
+            ks = rng.sample(range(1, int(hi) + 1), 5)
+            pred = f"o_custkey IN ({','.join(map(str, ks))})"
+        elif shape == "eq":
+            pred = f"o_orderstatus = '{rng.choice('FOP')}'"
+        elif shape == "null":
+            pred = "o_custkey IS NOT NULL AND o_totalprice > 100000"
+        else:
+            pred = (
+                f"o_orderstatus <> '{rng.choice('FOP')}' "
+                f"AND o_orderkey % 7 = {rng.randint(0, 6)}"
+            )
+        got = sorted(tuple(r) for r in via_jdbc.filter(pred).collect())
+        want = sorted(tuple(r) for r in orders.filter(pred).collect())
+        assert got == want, f"pushdown changed semantics for: {pred}"
