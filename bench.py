@@ -351,9 +351,14 @@ def main() -> None:
     # kept OUT of headline/extended so those stay round-comparable
     from sql_cdc_spark.queries.corpus_q import crp_fuzzy_contamination
     from sql_cdc_spark.queries.dedup_q import dd_containment_sweep, dd_source_overlap
-    from sql_cdc_spark.queries.events_q import evt_collapse_runs
+    from sql_cdc_spark.queries.events_q import (
+        evt_collapse_runs,
+        evt_props_topk,
+        evt_rolling_actives,
+    )
     from sql_cdc_spark.queries.relational_q import rel_topn_other_rollup
     from sql_cdc_spark.queries.similarity_q import sim_knn_join
+    from sql_cdc_spark.queries.text_q import txt_quality_gate
 
     r5_queued = {
         "dd_containment_sweep": dd_containment_sweep,
@@ -362,6 +367,9 @@ def main() -> None:
         "evt_collapse_runs": evt_collapse_runs,
         "dd_source_overlap": dd_source_overlap,
         "sim_knn_join": sim_knn_join,
+        "evt_rolling_actives": evt_rolling_actives,
+        "evt_props_topk": evt_props_topk,
+        "txt_quality_gate": txt_quality_gate,
     }
     all_names = HEADLINE + EXTENDED + list(r5_queued)
     dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE + EXTENDED}

@@ -145,9 +145,10 @@ def _registry() -> dict[str, QueryEntry]:
             # dd_containment_sweep (functions/dedup.py::containment_sweep),
         # crp_fuzzy_contamination (corpus_q.fuzzy_contamination_pairs),
         # rel_topn_other_rollup (relational_q), evt_collapse_runs
-        # (events_q), dd_source_overlap (dedup_q) and sim_knn_join
-        # (similarity_q) were built late in r4 AFTER the window closed:
-        # all
+        # (events_q), dd_source_overlap (dedup_q), sim_knn_join
+        # (similarity_q), evt_rolling_actives + evt_props_topk (events_q)
+        # and txt_quality_gate (text_q) were built late in r4 AFTER the
+        # window closed: all
         # are fully implemented and oracle-parity-gated in pytest (their
         # test_*_matches_oracle tests in test_llm_ops/test_pipelines/
         # test_queries_oracle run the exact driver comparison at sf0.01),

@@ -1126,6 +1126,134 @@ FROM runs GROUP BY 1, 2 ORDER BY user_id, run_seq
 """
 
 
+ROLLING_DAYS = 7
+
+
+def evt_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (DAU + WAU7) — the
+    sliding-window COUNT DISTINCT that naive plans turn into a range
+    join or a per-day re-scan. Scale shape: dedupe to (user_id, day)
+    once, then a BOUNDED 7x fan-out (each active day contributes to the
+    7 window-ends it falls in), a second distinct, and two day-level
+    aggregates joined at the end — every stage is a hash shuffle on
+    compact integer keys, no range join, no window over the corpus.
+    Window-end days reported are exactly the observed activity days.
+
+    Day floor and the output timestamp use integer-microsecond
+    arithmetic (the repo's timestamp rule).
+
+    Registry status: oracle-parity-gated in pytest this round; enters
+    the driver window in round 5 with the other late-r4 queries."""
+    ev = tables.load(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1))
+            ).alias("o"),
+            "day",
+        )
+        .select("user_id", (F.col("day") + F.col("o")).alias("wday"))
+        .distinct()
+    )
+    wau = contrib.groupBy("wday").agg(F.count(F.lit(1)).alias("wau7"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            F.timestamp_micros(F.col("day") * F.lit(_DAY_US)).alias(
+                "day_start"
+            ),
+            "dau",
+            "wau7",
+        )
+        .orderBy("day_start")
+    )
+
+
+# Spark's integer `div` truncates toward zero while DuckDB `//` floors —
+# identical on the positive epochs here (same stance as _DAY_FLOOR_SQL's
+# other users)
+_ROLLING_ACTIVES_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+contrib AS (
+  SELECT DISTINCT user_id, day + o AS wday
+  FROM ud CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6]) AS o)
+),
+wau AS (SELECT wday, COUNT(*) AS wau7 FROM contrib GROUP BY 1)
+SELECT make_timestamp(d.day * {_DAY_US}) AS day_start, d.dau AS dau, w.wau7 AS wau7
+FROM dau d JOIN wau w ON w.wday = d.day
+ORDER BY day_start
+"""
+
+
+PROPS_TOPK = 3
+
+
+def evt_props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON analytics: extract `$.k` from the props JSON
+    column (JVM-side get_json_object — no Python in the scan), then per
+    event_type the top-3 k values by frequency with exact-cents value
+    sums. Aggregate-then-rank: the (event_type, k) groupBy collapses the
+    corpus BEFORE the ranking window, so the window sorts a tiny
+    key-census, never the fact table. Ties break on k ascending; rank
+    emitted as bigint (driver hash is type-sensitive).
+
+    Registry status: oracle-parity-gated in pytest this round; enters
+    the driver window in round 5 with the other late-r4 queries."""
+    ev = tables.load(spark, sf_dir, "events")
+    kv = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("k").isNotNull())
+    agg = kv.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents_sum"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("k").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PROPS_TOPK)
+        .orderBy("event_type", "rnk")
+    )
+
+
+_PROPS_TOPK_SQL = f"""
+WITH kv AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+agg AS (
+  SELECT event_type, k, COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS cents_sum
+  FROM kv GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, k) AS rnk
+  FROM agg
+)
+SELECT event_type, k, n, cents_sum, rnk
+FROM rk WHERE rnk <= {PROPS_TOPK}
+ORDER BY event_type, rnk
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_rate_anomaly": QueryEntry(evt_rate_anomaly, _ANOMALY_SQL),
     "evt_histogram": QueryEntry(evt_histogram, _HISTOGRAM_SQL),

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sql_cdc_spark import tables
 from sql_cdc_spark.functions import text as TX
@@ -297,6 +298,84 @@ SELECT doc_id,
        CAST(length(redacted) AS INTEGER) AS redacted_len,
 FROM r
 ORDER BY doc_id
+"""
+
+
+def txt_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT-median quality gate — the "keep docs at or
+    above their language's median quality" filter stage, computed the
+    way it must be at 100 TB: never a per-language sort of the corpus.
+    The score is quantized to integer micro-units scan-side, the corpus
+    collapses to a (lang, score) value-histogram in ONE map-side-combined
+    shuffle, and the median comes from a running sum over that compact
+    histogram (a window over |langs|x|distinct scores| rows, not docs).
+    Because the cumulative count is monotone in score, "cum has reached
+    half" is exactly "score >= median", so the kept-count falls out of
+    the same pass with no join-back.
+
+    All comparisons are bigint (quantized micro-units), so the lower
+    median and tie handling are bit-identical on any engine.
+
+    Registry status: oracle-parity-gated in pytest this round; enters
+    the driver window in round 5 with the other late-r4 queries."""
+    docs = tables.load(spark, sf_dir, "documents")
+    q_u = F.round(TX.quality_score(F.col("text")) * 1e6).cast("long")
+    hist = (
+        docs.select("lang", q_u.alias("q_u"))
+        .groupBy("lang", "q_u")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy("q_u")
+    cum = hist.select(
+        "lang",
+        "q_u",
+        "cnt",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("lang").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("tot"),
+    )
+    # 2*cum >= tot picks the ceil(n/2)-th value: the discrete LOWER
+    # median (what quantile_disc/percentile_disc at 0.5 return)
+    reach = F.lit(2) * F.col("cum") >= F.col("tot")
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.min(F.when(reach, F.col("q_u"))).alias("median_micro"),
+            F.sum(F.when(reach, F.col("cnt")).otherwise(F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# windowed SUM over integers is HUGEINT in DuckDB — cast (tpch_q12 lesson);
+# 2*cum >= tot is the ceil(n/2) rank = discrete lower median on both sides
+_QUALITY_GATE_SQL = rf"""
+WITH hist AS (
+  SELECT lang, CAST(ROUND({_QUALITY_EXPR_SQL} * 1e6, 0) AS BIGINT) AS q_u,
+         COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, q_u, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY q_u
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS tot
+  FROM hist
+)
+SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       MIN(CASE WHEN 2 * cum >= tot THEN q_u END) AS median_micro,
+       CAST(SUM(CASE WHEN 2 * cum >= tot THEN cnt ELSE 0 END) AS BIGINT) AS n_kept
+FROM cum GROUP BY lang ORDER BY lang
 """
 
 

@@ -418,11 +418,14 @@ R5_QUEUED_EXCHANGE_BUDGETS = {
     "evt_collapse_runs": 2,         # ONE user_id shuffle + final orderBy
     "dd_source_overlap": 35,        # near-dup path + digest-count self-join
     "sim_knn_join": 3,              # bucket self-join + argmax agg + orderBy
+    "evt_rolling_actives": 7,       # two distincts + two aggs + join + sort
+    "evt_props_topk": 3,            # (type,k) agg + rank window + orderBy
+    "txt_quality_gate": 3,          # histogram agg + lang window + final agg
 }
 
 
 def test_r5_queued_exchange_budgets(spark):
-    """Same gate as test_headline_exchange_budgets for the five queries
+    """Same gate as test_headline_exchange_budgets for the queries
     implemented late in r4 whose registry entries land in round 5."""
     from sql_cdc_spark.plans import plan_flags
     from sql_cdc_spark.queries.corpus_q import crp_fuzzy_contamination
@@ -430,9 +433,14 @@ def test_r5_queued_exchange_budgets(spark):
         dd_containment_sweep,
         dd_source_overlap,
     )
-    from sql_cdc_spark.queries.events_q import evt_collapse_runs
+    from sql_cdc_spark.queries.events_q import (
+        evt_collapse_runs,
+        evt_props_topk,
+        evt_rolling_actives,
+    )
     from sql_cdc_spark.queries.relational_q import rel_topn_other_rollup
     from sql_cdc_spark.queries.similarity_q import sim_knn_join
+    from sql_cdc_spark.queries.text_q import txt_quality_gate
 
     fns = {
         "dd_containment_sweep": dd_containment_sweep,
@@ -441,6 +449,9 @@ def test_r5_queued_exchange_budgets(spark):
         "evt_collapse_runs": evt_collapse_runs,
         "dd_source_overlap": dd_source_overlap,
         "sim_knn_join": sim_knn_join,
+        "evt_rolling_actives": evt_rolling_actives,
+        "evt_props_topk": evt_props_topk,
+        "txt_quality_gate": txt_quality_gate,
     }
     from sql_cdc_spark.plans import assert_scale_safe
 

@@ -94,6 +94,89 @@ def test_collapse_runs_matches_oracle(spark, oracle):
             assert a.end_us <= b.start_us
 
 
+def test_rolling_actives_matches_oracle(spark, oracle):
+    """Oracle-parity gate for evt_rolling_actives ahead of its round-5
+    driver-window entry, plus the sliding-distinct invariants: WAU7
+    dominates DAU everywhere, equals DAU on the first observed day, and
+    never exceeds the true distinct-user count."""
+    from sql_cdc_spark.queries.events_q import (
+        _ROLLING_ACTIVES_SQL,
+        evt_rolling_actives,
+    )
+
+    df = evt_rolling_actives(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _ROLLING_ACTIVES_SQL)
+
+    rows = sorted(df.collect(), key=lambda r: r.day_start)
+    assert rows, "rolling-actives report is vacuously empty"
+    n_users = oracle.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert rows[0].wau7 == rows[0].dau
+    for r in rows:
+        assert r.dau <= r.wau7 <= n_users
+
+
+def test_props_topk_matches_oracle(spark, oracle):
+    """Oracle-parity gate for evt_props_topk ahead of its round-5
+    driver-window entry, plus top-k shape invariants: every event_type
+    present, ranks contiguous from 1, frequency non-increasing down the
+    ranks (ties broken by ascending k)."""
+    from sql_cdc_spark.queries.events_q import (
+        _PROPS_TOPK_SQL,
+        PROPS_TOPK,
+        evt_props_topk,
+    )
+
+    df = evt_props_topk(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _PROPS_TOPK_SQL)
+
+    by_type = {}
+    for r in df.collect():
+        by_type.setdefault(r.event_type, []).append(r)
+    n_types = oracle.execute(
+        "SELECT COUNT(DISTINCT event_type) FROM events"
+    ).fetchone()[0]
+    assert len(by_type) == n_types
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= PROPS_TOPK
+        for a, b in zip(rows, rows[1:]):
+            assert (a.n, -a.k) >= (b.n, -b.k)
+
+
+def test_quality_gate_matches_oracle(spark, oracle):
+    """Oracle-parity gate for txt_quality_gate ahead of its round-5
+    driver-window entry. The median is independently recomputed with
+    DuckDB's quantile_disc (discrete lower median — the same ceil(n/2)
+    rank the histogram pass selects), and the gate must keep at least
+    half of every language's documents."""
+    from sql_cdc_spark.queries.text_q import (
+        _QUALITY_EXPR_SQL,
+        _QUALITY_GATE_SQL,
+        txt_quality_gate,
+    )
+
+    df = txt_quality_gate(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _QUALITY_GATE_SQL)
+
+    medians = dict(
+        oracle.execute(
+            f"""SELECT lang,
+                       quantile_disc(CAST(ROUND({_QUALITY_EXPR_SQL} * 1e6, 0)
+                                     AS BIGINT), 0.5)
+                FROM documents GROUP BY 1"""
+        ).fetchall()
+    )
+    rows = df.collect()
+    assert {r.lang for r in rows} == set(medians)
+    for r in rows:
+        assert r.median_micro == medians[r.lang]
+        assert 2 * r.n_kept >= r.n_docs
+        assert r.n_kept <= r.n_docs
+
+
 # (spark simpleString, duckdb type) pairs the driver's type-sensitive
 # value-hash is KNOWN to tolerate: int32-vs-BIGINT is proven tolerated
 # (win_order_ranks was hash-green in round 1 with exactly that split).
