@@ -349,7 +349,11 @@ def main() -> None:
     # late-r4 queries whose registry entries land in round 5 — timed from
     # their modules so this round's bench still carries their numbers;
     # kept OUT of headline/extended so those stay round-comparable
-    from sql_cdc_spark.queries.corpus_q import crp_fuzzy_contamination
+    from sql_cdc_spark.queries.corpus_q import (
+        crp_filter_funnel,
+        crp_fuzzy_contamination,
+        crp_ngram_lm_score,
+    )
     from sql_cdc_spark.queries.dedup_q import dd_containment_sweep, dd_source_overlap
     from sql_cdc_spark.queries.events_q import (
         evt_collapse_runs,
@@ -370,6 +374,8 @@ def main() -> None:
         "evt_rolling_actives": evt_rolling_actives,
         "evt_props_topk": evt_props_topk,
         "txt_quality_gate": txt_quality_gate,
+        "crp_ngram_lm_score": crp_ngram_lm_score,
+        "crp_filter_funnel": crp_filter_funnel,
     }
     all_names = HEADLINE + EXTENDED + list(r5_queued)
     dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE + EXTENDED}

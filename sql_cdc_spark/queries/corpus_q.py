@@ -744,6 +744,219 @@ ORDER BY test_doc_id, train_doc_id
 """
 
 
+LM_NGRAM = 3  # trigram LM — the CCNet-style fluency/novelty signal
+# (bigrams are fully saturated on this corpus's tiny vocabulary — every
+# test bigram appears in train — so trigrams keep the novelty side of
+# the score non-vacuous at sf0.01 while the plan shape is k-independent)
+
+
+def crp_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-split n-gram LM scoring of the test split — the integer-exact
+    core of the CCNet/KenLM quality filter: build a trigram occurrence
+    census over the TRAIN split, then score every TEST document by (a)
+    novelty: the share of its trigram occurrences never seen in train, and
+    (b) lm_bits: the summed floor(log2(train count)) of its seen trigrams
+    (a monotone surrogate for summed log-probability that is pure integer
+    arithmetic, so it hashes identically on any engine — no float log in
+    the plan). High novelty + low lm_bits = out-of-domain or garbled text.
+
+    Scale shape: both sides explode to n-gram occurrences hashed to
+    60-bit ints at the scan; the LM is ONE map-side-combined groupBy of
+    the train side; scoring is a fact-by-fact hash join on the bigint
+    n-gram key (never broadcast at corpus scale, never doc×doc) plus one
+    per-doc aggregate. floor(log2(n)) = length(bin(n)) − 1 on both
+    engines — no floating point anywhere past the scan.
+
+    Registry status: oracle-parity-gated in pytest this round; enters
+    the driver window in round 5 with the other late-r4 queries."""
+    from sql_cdc_spark.functions import dedup as DD
+
+    docs = tables.load(spark, sf_dir, "documents")
+    split = SP.with_split(docs, "doc_id", TEST_FRAC, VAL_FRAC)
+    sh64 = F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
+    grams = (
+        DD.balance_partitions(split)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(DD.shingles(F.col("text"), LM_NGRAM)).alias("bg"),
+        )
+        .select("doc_id", "split", sh64.alias("sh64"))
+    )
+    lm = (
+        grams.filter(F.col("split") == "train")
+        .groupBy("sh64")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = grams.filter(F.col("split") == "test").join(lm, "sh64", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("cnt").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_unseen"),
+            F.sum(
+                F.when(
+                    F.col("cnt").isNotNull(),
+                    F.length(F.bin(F.col("cnt"))) - F.lit(1),
+                ).otherwise(F.lit(0)).cast("long")
+            ).alias("lm_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_unseen",
+            F.expr("100 * n_unseen div n_ngrams").alias("novelty_pct"),
+            "lm_bits",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ngram_lm_sql() -> str:
+    case = SP.split_sql("doc_id", TEST_FRAC, VAL_FRAC)
+    k = LM_NGRAM
+    return f"""
+WITH splat AS (
+  SELECT doc_id, text, {case} AS split FROM documents
+),
+toks AS (
+  SELECT doc_id, split, string_split_regex({_NORM_SQL}, '\\s+') AS t FROM splat
+),
+grams AS (
+  SELECT doc_id, split,
+    CAST(('0x' || substring(md5(
+      unnest(CASE WHEN len(t) >= {k}
+             THEN list_transform(range(1, len(t) - {k - 2}), i -> array_to_string(t[i:i+{k - 1}], ' '))
+             ELSE [array_to_string(t, ' ')] END)
+    ), 1, 15)) AS BIGINT) AS sh64
+  FROM toks
+),
+lm AS (
+  SELECT sh64, COUNT(*) AS cnt FROM grams WHERE split = 'train' GROUP BY 1
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+       100 * CAST(SUM(CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           // COUNT(*) AS novelty_pct,
+       CAST(SUM(CASE WHEN lm.cnt IS NOT NULL THEN length(bin(lm.cnt)) - 1 ELSE 0 END) AS BIGINT) AS lm_bits
+FROM grams g LEFT JOIN lm ON g.sh64 = lm.sh64
+WHERE g.split = 'test'
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+def crp_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attribution — the governance report read before any
+    gate threshold is changed: how many documents survive each stage of
+    the clean pipeline IN ORDER (length → quality → repetition → exact
+    dedup), and how many fail more than one gate independently (docs a
+    single-gate relaxation cannot save). Gate predicates are the SAME
+    expressions the production gates use (crp_corpus_clean,
+    crp_repetition_filter), so this report cannot drift from the
+    pipeline it audits.
+
+    Scale shape: the scalar gates are scan-local; the repetition ratio
+    reuses the shingle-census shape (explode + two map-side-combined
+    groupBys); one doc-keyed join unites them; the funnel itself is ONE
+    global aggregate emitting a single row — conditional counts, and the
+    dedup stage as a conditional COUNT(DISTINCT digest) over survivors.
+
+    Registry status: oracle-parity-gated in pytest this round; enters
+    the driver window in round 5 with the other late-r4 queries."""
+    return filter_funnel(tables.load(spark, sf_dir, "documents"))
+
+
+def filter_funnel(docs: DataFrame) -> DataFrame:
+    """Funnel body over any documents DataFrame (doc_id, text) — split
+    out so the planted-fixture test can drive the dedup and multi-fail
+    counters the sf0.01 corpus leaves at zero."""
+    from sql_cdc_spark.functions import dedup as DD
+
+    scal = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.fingerprint(F.col("text")).alias("digest"),
+    )
+    sh = DD.balance_partitions(docs).select(
+        "doc_id", F.explode(DD.shingles(F.col("text"))).alias("shingle")
+    )
+    per = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    rep = per.groupBy("doc_id").agg(
+        (F.max("cnt") / F.sum("cnt") <= REPETITION_MAX_RATIO).alias("rep_ok")
+    )
+    flags = scal.join(rep, "doc_id").select(
+        "digest",
+        (F.col("n_tokens") >= MIN_TOKENS).alias("len_ok"),
+        (F.col("quality") >= MIN_QUALITY).alias("qual_ok"),
+        "rep_ok",
+    )
+    fails = (
+        F.when(~F.col("len_ok"), 1).otherwise(0)
+        + F.when(~F.col("qual_ok"), 1).otherwise(0)
+        + F.when(~F.col("rep_ok"), 1).otherwise(0)
+    )
+    survive = F.col("len_ok") & F.col("qual_ok") & F.col("rep_ok")
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("len_ok"), 1).otherwise(0)).alias("n_after_length"),
+        F.sum(
+            F.when(F.col("len_ok") & F.col("qual_ok"), 1).otherwise(0)
+        ).alias("n_after_quality"),
+        F.sum(F.when(survive, 1).otherwise(0)).alias("n_after_repetition"),
+        F.count_distinct(F.when(survive, F.col("digest"))).alias(
+            "n_after_dedup"
+        ),
+        F.sum(F.when(fails >= 2, 1).otherwise(0)).alias("n_fail_multi"),
+    )
+
+
+_FILTER_FUNNEL_SQL = f"""
+WITH scal AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         {_QUALITY_EXPR_SQL} AS quality,
+         md5({_NORM_SQL}) AS digest
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM toks
+),
+per AS (SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY 1, 2),
+rep AS (
+  SELECT doc_id, MAX(cnt) / SUM(cnt) <= {REPETITION_MAX_RATIO} AS rep_ok
+  FROM per GROUP BY 1
+),
+flags AS (
+  SELECT s.digest,
+         s.n_tokens >= {MIN_TOKENS} AS len_ok,
+         s.quality >= {MIN_QUALITY} AS qual_ok,
+         r.rep_ok AS rep_ok
+  FROM scal s JOIN rep r ON s.doc_id = r.doc_id
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_length,
+       CAST(SUM(CASE WHEN len_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_quality,
+       CAST(SUM(CASE WHEN len_ok AND qual_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_after_repetition,
+       COUNT(DISTINCT CASE WHEN len_ok AND qual_ok AND rep_ok THEN digest END) AS n_after_dedup,
+       CAST(SUM(CASE WHEN (CASE WHEN len_ok THEN 0 ELSE 1 END)
+                        + (CASE WHEN qual_ok THEN 0 ELSE 1 END)
+                        + (CASE WHEN rep_ok THEN 0 ELSE 1 END) >= 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_multi
+FROM flags
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),

@@ -421,6 +421,8 @@ R5_QUEUED_EXCHANGE_BUDGETS = {
     "evt_rolling_actives": 7,       # two distincts + two aggs + join + sort
     "evt_props_topk": 3,            # (type,k) agg + rank window + orderBy
     "txt_quality_gate": 3,          # histogram agg + lang window + final agg
+    "crp_ngram_lm_score": 6,        # LM agg + fact join + doc agg + orderBy
+    "crp_filter_funnel": 6,         # shingle census + doc join + 1-row agg
 }
 
 
@@ -428,7 +430,11 @@ def test_r5_queued_exchange_budgets(spark):
     """Same gate as test_headline_exchange_budgets for the queries
     implemented late in r4 whose registry entries land in round 5."""
     from sql_cdc_spark.plans import plan_flags
-    from sql_cdc_spark.queries.corpus_q import crp_fuzzy_contamination
+    from sql_cdc_spark.queries.corpus_q import (
+        crp_filter_funnel,
+        crp_fuzzy_contamination,
+        crp_ngram_lm_score,
+    )
     from sql_cdc_spark.queries.dedup_q import (
         dd_containment_sweep,
         dd_source_overlap,
@@ -452,6 +458,8 @@ def test_r5_queued_exchange_budgets(spark):
         "evt_rolling_actives": evt_rolling_actives,
         "evt_props_topk": evt_props_topk,
         "txt_quality_gate": txt_quality_gate,
+        "crp_ngram_lm_score": crp_ngram_lm_score,
+        "crp_filter_funnel": crp_filter_funnel,
     }
     from sql_cdc_spark.plans import assert_scale_safe
 

@@ -177,6 +177,101 @@ def test_quality_gate_matches_oracle(spark, oracle):
         assert r.n_kept <= r.n_docs
 
 
+def test_ngram_lm_score_matches_oracle(spark, oracle):
+    """Oracle-parity gate for crp_ngram_lm_score ahead of its round-5
+    driver-window entry, plus the LM invariants: unseen ≤ total n-grams,
+    novelty_pct is the exact integer ratio, and both score sides are
+    non-vacuous on this corpus (some unseen, some seen)."""
+    from sql_cdc_spark.queries.corpus_q import (
+        _ngram_lm_sql,
+        crp_ngram_lm_score,
+    )
+
+    df = crp_ngram_lm_score(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _ngram_lm_sql())
+
+    rows = df.collect()
+    assert rows, "LM report is vacuously empty"
+    assert any(r.n_unseen > 0 for r in rows), (
+        "no test doc has any novel n-gram — novelty side is vacuous"
+    )
+    assert any(r.lm_bits > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_unseen <= r.n_ngrams
+        assert r.novelty_pct == 100 * r.n_unseen // r.n_ngrams
+        assert r.lm_bits >= 0
+        assert (r.n_unseen == r.n_ngrams) <= (r.lm_bits == 0)
+
+
+def test_filter_funnel_matches_oracle(spark, oracle):
+    """Oracle-parity gate for crp_filter_funnel ahead of its round-5
+    driver-window entry, plus the funnel's defining monotone chain."""
+    from sql_cdc_spark.queries.corpus_q import (
+        _FILTER_FUNNEL_SQL,
+        crp_filter_funnel,
+    )
+
+    df = crp_filter_funnel(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _FILTER_FUNNEL_SQL)
+
+    r = df.collect()[0]
+    assert (
+        r.n_docs
+        >= r.n_after_length
+        >= r.n_after_quality
+        >= r.n_after_repetition
+        >= r.n_after_dedup
+        > 0
+    )
+    assert 0 <= r.n_fail_multi <= r.n_docs
+
+
+def test_filter_funnel_planted_fixture(spark):
+    """Every funnel counter exercised: the sf0.01 corpus drops docs only
+    at the quality stage, so plant a corpus where each stage drops
+    exactly one document and one doc fails multiple gates — and check
+    the Spark funnel against the DuckDB twin on the SAME fixture."""
+    import duckdb
+    import pandas as pd
+
+    from sql_cdc_spark.queries.corpus_q import (
+        _FILTER_FUNNEL_SQL,
+        filter_funnel,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog near the river bank "
+        "while the tall trees sway gently in a warm summer breeze today"
+    )
+    fixture = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                good,                                  # passes everything
+                good + " and the birds sing softly",   # passes everything
+                good,                                  # exact dup of 1 → dedup drop
+                "xy zz qq",                            # short: fails len+qual+rep
+                "the cat " * 20,                       # fails repetition only
+                " ".join(f"q{i}zk7f" for i in range(30)),  # fails quality only
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(fixture)
+    row = filter_funnel(sdf).collect()[0]
+
+    con = duckdb.connect()
+    con.register("documents", fixture)
+    orow = con.execute(_FILTER_FUNNEL_SQL).fetchall()[0]
+    assert tuple(row) == orow
+
+    assert row.n_docs == 6
+    assert row.n_after_length == 5       # the 3-token doc fails
+    assert row.n_after_quality == 4      # the stopword-free hex doc fails
+    assert row.n_after_repetition == 3   # the "the cat"*20 doc fails
+    assert row.n_after_dedup == 2        # dup pair collapses
+    assert row.n_fail_multi == 1         # only the short doc fails ≥2 gates
+
+
 # (spark simpleString, duckdb type) pairs the driver's type-sensitive
 # value-hash is KNOWN to tolerate: int32-vs-BIGINT is proven tolerated
 # (win_order_ranks was hash-green in round 1 with exactly that split).
