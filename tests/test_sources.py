@@ -407,3 +407,90 @@ def test_jdbc_pushdown_differential_randomized(spark, tmp_path):
         got = sorted(tuple(r) for r in via_jdbc.filter(pred).collect())
         want = sorted(tuple(r) for r in orders.filter(pred).collect())
         assert got == want, f"pushdown changed semantics for: {pred}"
+
+
+def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
+    """Bucketing evidence (the pay-the-shuffle-once layout): lineitem and
+    orders written co-bucketed on the order key join with ZERO Exchange
+    operators in the physical plan, the post-join per-key aggregate
+    reuses the layout (still zero exchanges), and both results are
+    byte-identical to the unbucketed plans. The engine-side analog of
+    the reference's clustered PKs (setup-invoice-db.sql:27,46)."""
+    from sql_cdc_spark.plans import plan_flags
+    from sql_cdc_spark.sources.bucketed import (
+        cobucketed_join,
+        drop_bucketed,
+        write_bucketed,
+    )
+    from sql_cdc_spark import tables
+
+    li = tables.load(spark, SF_DIR_SMALL, "lineitem")
+    ords = tables.load(spark, SF_DIR_SMALL, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt_demo LOCATION '{tmp_path}/wh'"
+    )
+    # at sf0.001 the planner (rightly) broadcasts the tiny orders side,
+    # which hides the layout being proven; at 100 TB neither fact side
+    # broadcasts, so pin the non-broadcast regime for the plan assert
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            li, "bkt_demo.li_b", ["l_orderkey"], 8, sort_keys=["l_orderkey"]
+        )
+        write_bucketed(
+            ords, "bkt_demo.ord_b", ["l_orderkey"], 8, sort_keys=["l_orderkey"]
+        )
+
+        joined = cobucketed_join(
+            spark, "bkt_demo.li_b", "bkt_demo.ord_b", "l_orderkey"
+        ).select("l_orderkey", "l_quantity", "o_totalprice")
+        jf = plan_flags(joined)
+        assert jf.exchanges == 0, "co-bucketed join still shuffles"
+        assert jf.sort_merge_joins == 1
+
+        agg = (
+            cobucketed_join(
+                spark, "bkt_demo.li_b", "bkt_demo.ord_b", "l_orderkey"
+            )
+            .groupBy("l_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+                    "qty_cents"
+                ),
+            )
+        )
+        af = plan_flags(agg)
+        assert af.exchanges == 0, "bucket-key aggregate re-shuffled"
+
+        plain = (
+            li.join(ords, "l_orderkey")
+            .groupBy("l_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+                    "qty_cents"
+                ),
+            )
+        )
+        got = sorted(tuple(r) for r in agg.collect())
+        want = sorted(tuple(r) for r in plain.collect())
+        assert got == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        drop_bucketed(spark, "bkt_demo.li_b", "bkt_demo.ord_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt_demo")
