@@ -2020,3 +2020,93 @@ def test_full_reference_stack_live_on_database(spark, base, tmp_path):
     assert (js.last_sync_version, js.last_processed_id) == (
         fs_.last_sync_version, fs_.last_processed_id,
     )
+
+
+def test_streaming_quality_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the quality-gate state: draining a
+    document change feed through run_quality_maintenance ends at EXACTLY
+    the (lang, q_u, cnt) histogram and per-language median report a full
+    rebuild of the final corpus produces — through inserts, deletes, and
+    a same-batch double-update — and replaying the last batch is a
+    no-op. Updates must MOVE histogram mass: the v3 update text changes
+    the winning doc's score, so both the decrement and increment paths
+    are exercised."""
+    from sql_cdc_spark.streaming import quality_maintenance as QM
+
+    base = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    initial = QM.build_quality_state(base)
+    feed = str(tmp_path / "feed")
+
+    b1 = base.orderBy("doc_id").limit(6).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"), "text",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+
+    dels = base.orderBy("doc_id").limit(4).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_ids = base.orderBy(F.desc("doc_id")).limit(2).select("doc_id", "text")
+    upd_v2 = upd_ids.select(
+        "doc_id", F.concat("text", F.lit(" zzzalpha zzzalpha")).alias("text"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_v3 = upd_ids.limit(1).select(
+        "doc_id",
+        F.concat("text", F.lit(" the the the a a")).alias("text"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    dels.unionByName(upd_v2).unionByName(upd_v3).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    final, n_batches = QM.run_quality_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+    )
+    assert n_batches >= 1
+
+    del_ids = base.orderBy("doc_id").limit(4).select("doc_id")
+    win_upd = upd_v3.select("doc_id", "text").unionByName(
+        upd_v2.join(upd_v3.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    final_corpus = (
+        base.join(del_ids, "doc_id", "left_anti")
+        .join(win_upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(win_upd)
+        .unionByName(b1.select("doc_id", "text"))
+    )
+    want = QM.build_quality_state(final_corpus, checkpoint=False)
+    got_hist = {(r.lang, r.q_u, r.cnt) for r in final.hist.collect()}
+    want_hist = {(r.lang, r.q_u, r.cnt) for r in want.hist.collect()}
+    assert got_hist == want_hist
+    assert final.assign.count() == 120 - 4 + 6
+    # total histogram mass == live docs (no cell leaked on update moves)
+    assert sum(c for _, _, c in got_hist) == 120 - 4 + 6
+
+    got_report = [tuple(r) for r in QM.quality_gate_report(final).collect()]
+    want_report = [tuple(r) for r in QM.quality_gate_report(want).collect()]
+    assert got_report == want_report and got_report
+
+    # the updates really moved mass: the two updated docs' old cells are
+    # gone or decremented (their new scores differ from the originals)
+    moved = QM._doc_quality(upd_ids).collect()
+    new_scores = {
+        r.doc_id: r.q_u for r in QM._doc_quality(win_upd).collect()
+    }
+    assert any(new_scores[r.doc_id] != r.q_u for r in moved), (
+        "update fixture did not change any quality score — the "
+        "decrement/increment paths were not exercised"
+    )
+
+    # idempotent replay of batch 2
+    b2 = dels.unionByName(upd_v2).unionByName(upd_v3)
+    ups2, dels2 = QM.collapse_batch(b2)
+    replay = QM.apply_quality_changes(final, ups2, dels2, checkpoint=False)
+    assert {(r.lang, r.q_u, r.cnt) for r in replay.hist.collect()} == got_hist
