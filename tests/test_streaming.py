@@ -2110,3 +2110,104 @@ def test_streaming_quality_maintenance_equals_full_recompute(spark, tmp_path):
     ups2, dels2 = QM.collapse_batch(b2)
     replay = QM.apply_quality_changes(final, ups2, dels2, checkpoint=False)
     assert {(r.lang, r.q_u, r.cnt) for r in replay.hist.collect()} == got_hist
+
+
+def test_streaming_lm_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the n-gram LM: draining a document change
+    feed through run_lm_maintenance ends at EXACTLY the (sh64, cnt)
+    census a full rebuild of the final corpus produces — and the scores
+    of the final test split derived from the maintained state are
+    bit-identical to scores from the rebuild. Zero-state check first:
+    scoring the sf corpus's own test split from a freshly built state
+    reproduces the batch query crp_ngram_lm_score exactly."""
+    from sql_cdc_spark.queries.corpus_q import (
+        TEST_FRAC,
+        crp_ngram_lm_score,
+    )
+    from sql_cdc_spark.functions import sampling as SP
+    from sql_cdc_spark.streaming import lm_maintenance as LM
+
+    corpus = tables.load(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    state0 = LM.build_lm_state(corpus, checkpoint=False)
+    test_docs = corpus.filter(
+        SP.hash_unit(F.col("doc_id"), "split") < TEST_FRAC
+    )
+    got0 = [tuple(r) for r in LM.score_documents(state0, test_docs).collect()]
+    want0 = [
+        tuple(r) for r in crp_ngram_lm_score(spark, SF_DIR_SMALL).collect()
+    ]
+    assert got0 == want0 and got0
+
+    base = corpus.orderBy("doc_id").limit(120)
+    initial = LM.build_lm_state(base)
+    # snapshot before the drain — drain_feed releases superseded states
+    base_lm = {(r.sh64, r.cnt) for r in initial.lm.collect()}
+    feed = str(tmp_path / "feed")
+
+    b1 = base.orderBy("doc_id").limit(6).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"), "text",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+
+    dels = base.orderBy("doc_id").limit(4).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_ids = base.orderBy(F.desc("doc_id")).limit(3).select("doc_id", "text")
+    upd_v2 = upd_ids.select(
+        "doc_id", F.concat("text", F.lit(" zz yy xx zz yy xx")).alias("text"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_v3 = upd_ids.limit(1).select(
+        "doc_id", F.concat("text", F.lit(" qq ww ee")).alias("text"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    dels.unionByName(upd_v2).unionByName(upd_v3).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    final, n_batches = LM.run_lm_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+    )
+    assert n_batches >= 1
+
+    del_ids = base.orderBy("doc_id").limit(4).select("doc_id")
+    win_upd = upd_v3.select("doc_id", "text").unionByName(
+        upd_v2.join(upd_v3.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    final_corpus = (
+        base.join(del_ids, "doc_id", "left_anti")
+        .join(win_upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(win_upd)
+        .unionByName(b1.select("doc_id", "text"))
+    )
+    want = LM.build_lm_state(final_corpus, checkpoint=False)
+    got_lm = {(r.sh64, r.cnt) for r in final.lm.collect()}
+    want_lm = {(r.sh64, r.cnt) for r in want.lm.collect()}
+    assert got_lm == want_lm
+
+    # the batches actually touched the model (some changed doc is train)
+    assert got_lm != base_lm, (
+        "change fixture never hit the train split — maintenance vacuous"
+    )
+
+    final_test = final_corpus.filter(
+        SP.hash_unit(F.col("doc_id"), "split") < TEST_FRAC
+    )
+    got_scores = [
+        tuple(r) for r in LM.score_documents(final, final_test).collect()
+    ]
+    want_scores = [
+        tuple(r) for r in LM.score_documents(want, final_test).collect()
+    ]
+    assert got_scores == want_scores and got_scores
+
+    # idempotent replay of batch 2
+    b2 = dels.unionByName(upd_v2).unionByName(upd_v3)
+    ups2, dels2 = LM.collapse_batch(b2)
+    replay = LM.apply_lm_changes(final, ups2, dels2, checkpoint=False)
+    assert {(r.sh64, r.cnt) for r in replay.lm.collect()} == got_lm
