@@ -170,6 +170,62 @@ def _tenx_corpus(docs):
     return tenx
 
 
+def _tenx_embeddings(emb):
+    """10× in-memory embeddings: copy k perturbs every 10th coordinate
+    (offset k−1) by a distinct factor, so the copies are genuinely
+    different vectors while staying near their source — the population a
+    semantic-dedup knn join actually faces."""
+    from pyspark.sql import functions as F
+
+    tenx = None
+    for k in range(10):
+        e = F.col("embedding").cast("array<double>")
+        if k:
+            e = F.transform(
+                e,
+                lambda x, i: F.when(
+                    i % 10 == (k - 1), x * (1.0 + 0.03 * k)
+                ).otherwise(x),
+            )
+        v = emb.select(
+            (F.col("vec_id") + k * 10_000_000).alias("vec_id"),
+            e.alias("embedding"),
+        )
+        tenx = v if tenx is None else tenx.unionByName(v)
+    return tenx
+
+
+def knn_10x_stress(spark, sf_dir: str) -> dict:
+    """Measured 10× scale point for the bucketed k-NN self-join AND its
+    scale knob: per-bucket pair cost is quadratic in bucket width, so at
+    10× the vectors the SAME bit count pays the width penalty while
+    +3 bits (~8× the buckets) restores per-vector cost — both measured,
+    plus the coverage cost of finer buckets (vectors stranded alone in a
+    bucket have no candidate mate)."""
+    from time import perf_counter
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.queries.similarity_q import LSH_BITS, knn_join
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tenx = _tenx_embeddings(emb).persist()
+    n = tenx.count()
+    probe = _cpu_probe_ms()
+    out = {"input_vecs": n, "probe_ms": probe}
+    for label, bits in (("fixed", LSH_BITS), ("scaled", LSH_BITS + 3)):
+        t0 = perf_counter()
+        rows = knn_join(tenx, n_bits=bits).count()
+        dt = perf_counter() - t0
+        out[f"{label}_bits"] = bits
+        out[f"{label}_seconds"] = round(dt, 3)
+        out[f"{label}_matched_vecs"] = rows
+        out[f"{label}_vecs_per_second"] = round(n / dt, 1)
+    tenx.unpersist()
+    return out
+
+
 def dedup_10x_stress(spark, sf_dir: str) -> dict:
     """Measured 10× scale point for the near-dup path (VERDICT r3 #8):
     synthesize a 10×-row documents corpus IN MEMORY — each copy k gets a
@@ -398,10 +454,11 @@ def main() -> None:
         r["partitioned_sink_invoices_per_second"] for r in runs
     )
 
-    nd_passes, ct_passes = [], []
+    nd_passes, ct_passes, knn_passes = [], [], []
     for _ in range(2):
         nd_passes.append(dedup_10x_stress(spark, sf_dir))
         ct_passes.append(containment_10x_stress(spark, sf_dir))
+        knn_passes.append(knn_10x_stress(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -423,6 +480,9 @@ def main() -> None:
         # samples minutes apart, same defense as the query passes
         "dd_near_dup_pairs_10x": min(nd_passes, key=lambda r: r["seconds"]),
         "dd_containment_pairs_10x": min(ct_passes, key=lambda r: r["seconds"]),
+        "sim_knn_join_10x": min(
+            knn_passes, key=lambda r: r["scaled_seconds"]
+        ),
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
         "cpu_probe_ms": [probe0, _cpu_probe_ms()],
     }

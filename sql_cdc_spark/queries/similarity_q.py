@@ -668,13 +668,16 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(tables.load(spark, sf_dir, "embeddings"))
 
 
-def knn_join(emb: DataFrame) -> DataFrame:
+def knn_join(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:
     """The bucketed nearest-neighbor self-join over any
-    (vec_id, embedding) frame — see sim_knn_join."""
+    (vec_id, embedding) frame — see sim_knn_join. ``n_bits`` is the
+    scale knob: per-bucket pair cost is quadratic in bucket width, so
+    bits must grow ~log2 with the corpus to keep expected width (and
+    per-vector cost) constant — measured in bench.py::knn_10x_stress."""
     vb = emb.select(
         "vec_id",
         "embedding",
-        SIM.lsh_bucket(F.col("embedding"), n_bits=LSH_BITS, dim=DIM).alias(
+        SIM.lsh_bucket(F.col("embedding"), n_bits=n_bits, dim=DIM).alias(
             "bucket"
         ),
     )
