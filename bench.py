@@ -480,9 +480,26 @@ def main() -> None:
         # samples minutes apart, same defense as the query passes
         "dd_near_dup_pairs_10x": min(nd_passes, key=lambda r: r["seconds"]),
         "dd_containment_pairs_10x": min(ct_passes, key=lambda r: r["seconds"]),
-        "sim_knn_join_10x": min(
-            knn_passes, key=lambda r: r["scaled_seconds"]
-        ),
+        # per-metric best-of: one pass can be clean for the scaled run
+        # and contended for the fixed run; selecting the whole dict by a
+        # single key would publish the other metric's contaminated value
+        "sim_knn_join_10x": {
+            **{
+                k: min(knn_passes, key=lambda r: r["fixed_seconds"])[k]
+                for k in (
+                    "input_vecs", "fixed_bits", "fixed_seconds",
+                    "fixed_matched_vecs", "fixed_vecs_per_second",
+                )
+            },
+            **{
+                k: min(knn_passes, key=lambda r: r["scaled_seconds"])[k]
+                for k in (
+                    "scaled_bits", "scaled_seconds",
+                    "scaled_matched_vecs", "scaled_vecs_per_second",
+                )
+            },
+            "probe_ms": [p["probe_ms"] for p in knn_passes],
+        },
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
         "cpu_probe_ms": [probe0, _cpu_probe_ms()],
     }

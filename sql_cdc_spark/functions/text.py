@@ -179,3 +179,45 @@ def chunk_spans(
             ),
         )
     )
+
+
+def quality_gate_from_hist(hist):
+    """Per-language (n_docs, median_micro, n_kept) from a (lang, q_u,
+    cnt) quality value-histogram — the single source of the median-gate
+    derivation shared by the batch query (queries/text_q.py::
+    txt_quality_gate builds its histogram in one scan) and the streaming
+    state (streaming/quality_maintenance.py maintains the same histogram
+    incrementally). A running sum over the compact histogram; 2·cum ≥
+    tot picks the ceil(n/2)-th value — the discrete LOWER median (what
+    quantile_disc/percentile_disc at 0.5 return). Changing the rule here
+    changes BOTH gates, so they cannot drift."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("q_u")
+    cum = hist.select(
+        "lang",
+        "q_u",
+        "cnt",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.partitionBy("lang").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("tot"),
+    )
+    reach = F.lit(2) * F.col("cum") >= F.col("tot")
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.min(F.when(reach, F.col("q_u"))).alias("median_micro"),
+            F.sum(F.when(reach, F.col("cnt")).otherwise(F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -765,7 +765,13 @@ def crp_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the train side; scoring is a fact-by-fact hash join on the bigint
     n-gram key (never broadcast at corpus scale, never doc×doc) plus one
     per-doc aggregate. floor(log2(n)) = length(bin(n)) − 1 on both
-    engines — no floating point anywhere past the scan.
+    engines — no floating point anywhere past the scan. Honest cost
+    note: the one-shot plan tokenizes the corpus twice (the gram subtree
+    feeds both the census and the scoring branch and Spark does not
+    share subtrees across join sides); the repeated-use path that
+    amortizes the census is streaming/lm_maintenance.py, which maintains
+    it incrementally and scores fresh docs against the materialized
+    state.
 
     Registry status: oracle-parity-gated in pytest this round; enters
     the driver window in round 5 with the other late-r4 queries."""

@@ -1212,11 +1212,22 @@ def evt_props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registry status: oracle-parity-gated in pytest this round; enters
     the driver window in round 5 with the other late-r4 queries."""
     ev = tables.load(spark, sf_dir, "events")
+    # gate on an integer-literal regex BEFORE the cast: Spark's non-ANSI
+    # cast returns NULL for non-integral strings while DuckDB's CAST
+    # raises, so a shared pre-cast predicate is the only form both
+    # engines agree on for malformed $.k payloads
+    raw_k = F.get_json_object("props", "$.k")
     kv = ev.select(
         "event_type",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        raw_k.alias("raw_k"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-    ).filter(F.col("k").isNotNull())
+    ).filter(
+        F.col("raw_k").rlike(r"^-?[0-9]+$")
+    ).select(
+        "event_type",
+        F.col("raw_k").cast("long").alias("k"),
+        "cents",
+    )
     agg = kv.groupBy("event_type", "k").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("cents_sum"),
@@ -1237,7 +1248,7 @@ WITH kv AS (
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
   FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  WHERE regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
 ),
 agg AS (
   SELECT event_type, k, COUNT(*) AS n,

@@ -8,8 +8,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from sql_cdc_spark import tables
 from sql_cdc_spark.functions import text as TX
 from sql_cdc_spark.queries import QueryEntry
@@ -325,36 +323,9 @@ def txt_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "q_u")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.partitionBy("lang").orderBy("q_u")
-    cum = hist.select(
-        "lang",
-        "q_u",
-        "cnt",
-        F.sum("cnt")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("cnt")
-        .over(
-            Window.partitionBy("lang").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("tot"),
-    )
-    # 2*cum >= tot picks the ceil(n/2)-th value: the discrete LOWER
-    # median (what quantile_disc/percentile_disc at 0.5 return)
-    reach = F.lit(2) * F.col("cum") >= F.col("tot")
-    return (
-        cum.groupBy("lang")
-        .agg(
-            F.sum("cnt").alias("n_docs"),
-            F.min(F.when(reach, F.col("q_u"))).alias("median_micro"),
-            F.sum(F.when(reach, F.col("cnt")).otherwise(F.lit(0))).alias(
-                "n_kept"
-            ),
-        )
-        .orderBy("lang")
-    )
+    # median derivation shared with the streaming maintained state —
+    # one rule, two histograms (functions/text.py::quality_gate_from_hist)
+    return TX.quality_gate_from_hist(hist)
 
 
 # windowed SUM over integers is HUGEINT in DuckDB — cast (tpch_q12 lesson);

@@ -61,10 +61,14 @@ _ckpt = FEED.ckpt
 
 
 def _is_train(docs: DataFrame) -> DataFrame:
-    """The train-split rows of any (doc_id, …) frame — same hash-split
-    expression as the batch pipeline, a scan-local filter."""
-    u = SP.hash_unit(F.col("doc_id"), "split")
-    return docs.filter(u >= TEST_FRAC + VAL_FRAC)
+    """The train-split rows of any (doc_id, …) frame — REUSES the batch
+    pipeline's split assignment (functions/sampling.py::with_split), so
+    a change to the split rule there moves this filter with it."""
+    return (
+        SP.with_split(docs, "doc_id", TEST_FRAC, VAL_FRAC)
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
 
 
 def _doc_grams(docs: DataFrame) -> DataFrame:

@@ -8,15 +8,19 @@ The histogram is algebraic: an insert adds 1 to its (lang, q_u) cell, a
 delete subtracts the OLD cell, an update does both — so the state
 carries a one-row-per-live-doc assignment table (doc_id → lang, q_u)
 alongside the (lang, q_u, cnt) histogram, the assignment being what
-makes subtraction possible without re-reading documents. Language is
-DETECTED from the text (functions/text.py::language_id) and the score
-is quantized to integer micro-units at assignment time, so the entire
-state is (bigint, bigint, string) — exact, mergeable, engine-portable.
+makes subtraction possible without re-reading documents. The gate keys
+on the STORED ``lang`` column — the same key the batch query uses — so
+the change feed is the manifest family's multi-column payload
+(MANIFEST_CHANGE_SCHEMA: doc_id, lang, source, text, op,
+change_version); the score is quantized to integer micro-units at
+assignment time, so the entire state is (bigint, bigint, string) —
+exact, mergeable, engine-portable.
 
 Per-batch compute is O(|batch|) text scoring plus a groupBy-sum over
-|hist| + |delta| rows; the median report is a window over the compact
-histogram (|langs| × |distinct scores| rows), never over docs — the
-same derivation txt_quality_gate uses in one shot.
+|hist| + |delta| rows; the median report derives from the compact
+histogram via the SAME shared function the batch query calls
+(functions/text.py::quality_gate_from_hist), so the two gates cannot
+drift — and a test pins report == txt_quality_gate on the same corpus.
 
 Reference: extends the reference's change-tracking consumer loop
 (sqls/storedprocedure.sql cursor semantics) to maintained-aggregate
@@ -27,19 +31,19 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_cdc_spark.functions import text as TX
 from sql_cdc_spark.functions.dedup import release_local_checkpoint
 from sql_cdc_spark.streaming import feed as FEED
-from sql_cdc_spark.streaming.dedup_maintenance import (
-    CHANGE_SCHEMA,
+from sql_cdc_spark.streaming.manifest_maintenance import (
+    MANIFEST_CHANGE_SCHEMA,
     collapse_batch,
 )
 
 __all__ = [
-    "CHANGE_SCHEMA",
+    "MANIFEST_CHANGE_SCHEMA",
     "QualityState",
     "build_quality_state",
     "apply_quality_changes",
@@ -63,11 +67,13 @@ _ckpt = FEED.ckpt
 
 
 def _doc_quality(docs: DataFrame) -> DataFrame:
-    """(doc_id, lang, q_u): detected language + micro-quantized quality
-    score per document — the scan-local assignment row."""
+    """(doc_id, lang, q_u): stored language + micro-quantized quality
+    score per document — the scan-local assignment row. ``lang`` is the
+    table column, NOT detection, so the maintained gate keys exactly
+    like txt_quality_gate."""
     return docs.select(
         "doc_id",
-        TX.language_id(F.col("text")).alias("lang"),
+        "lang",
         F.round(TX.quality_score(F.col("text")) * 1e6)
         .cast("long")
         .alias("q_u"),
@@ -75,7 +81,8 @@ def _doc_quality(docs: DataFrame) -> DataFrame:
 
 
 def build_quality_state(docs: DataFrame, checkpoint: bool = True) -> QualityState:
-    """Full build of the quality state from a (doc_id, text) corpus."""
+    """Full build of the quality state from a (doc_id, lang, text)
+    corpus."""
     assign = _ckpt(_doc_quality(docs), checkpoint)
     hist = _ckpt(
         assign.groupBy("lang", "q_u").agg(F.count(F.lit(1)).alias("cnt")),
@@ -116,37 +123,9 @@ def apply_quality_changes(
 
 def quality_gate_report(state: QualityState) -> DataFrame:
     """Per-language (n_docs, median_micro, n_kept) from the maintained
-    histogram — the txt_quality_gate derivation (running sum over the
-    histogram, 2·cum ≥ tot picks the discrete lower median) applied to
-    incremental state instead of a corpus scan."""
-    w = Window.partitionBy("lang").orderBy("q_u")
-    cum = state.hist.select(
-        "lang",
-        "q_u",
-        "cnt",
-        F.sum("cnt")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cum"),
-        F.sum("cnt")
-        .over(
-            Window.partitionBy("lang").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("tot"),
-    )
-    reach = F.lit(2) * F.col("cum") >= F.col("tot")
-    return (
-        cum.groupBy("lang")
-        .agg(
-            F.sum("cnt").alias("n_docs"),
-            F.min(F.when(reach, F.col("q_u"))).alias("median_micro"),
-            F.sum(F.when(reach, F.col("cnt")).otherwise(F.lit(0))).alias(
-                "n_kept"
-            ),
-        )
-        .orderBy("lang")
-    )
+    histogram — the SAME derivation function the batch query calls,
+    applied to incremental state instead of a corpus scan."""
+    return TX.quality_gate_from_hist(state.hist)
 
 
 def run_quality_maintenance(
@@ -165,7 +144,7 @@ def run_quality_maintenance(
         return apply_quality_changes(prev, upserts, deletes)
 
     return FEED.drain_feed(
-        spark, feed_dir, CHANGE_SCHEMA, checkpoint_dir, initial, _apply,
-        lambda s: s.release(),
+        spark, feed_dir, MANIFEST_CHANGE_SCHEMA, checkpoint_dir, initial,
+        _apply, lambda s: s.release(),
         max_files_per_trigger=max_files_per_trigger, timeout_s=timeout_s,
     )

@@ -2028,37 +2028,47 @@ def test_streaming_quality_maintenance_equals_full_recompute(spark, tmp_path):
     the (lang, q_u, cnt) histogram and per-language median report a full
     rebuild of the final corpus produces — through inserts, deletes, and
     a same-batch double-update — and replaying the last batch is a
-    no-op. Updates must MOVE histogram mass: the v3 update text changes
-    the winning doc's score, so both the decrement and increment paths
-    are exercised."""
+    no-op. Zero-state check first: the report from a freshly built state
+    over the sf corpus equals the batch query txt_quality_gate exactly
+    (both key on the STORED lang and share one derivation function).
+    Updates must MOVE histogram mass: the v3 text changes the winning
+    doc's score, so decrement and increment paths are both exercised."""
+    from sql_cdc_spark.queries.text_q import txt_quality_gate
     from sql_cdc_spark.streaming import quality_maintenance as QM
 
-    base = (
-        tables.load(spark, SF_DIR_SMALL, "documents")
-        .select("doc_id", "text")
-        .orderBy("doc_id")
-        .limit(120)
+    corpus = tables.load(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "lang", "source", "text"
     )
+    state0 = QM.build_quality_state(corpus, checkpoint=False)
+    got0 = [tuple(r) for r in QM.quality_gate_report(state0).collect()]
+    want0 = [tuple(r) for r in txt_quality_gate(spark, SF_DIR_SMALL).collect()]
+    assert got0 == want0 and got0
+
+    base = corpus.orderBy("doc_id").limit(120)
     initial = QM.build_quality_state(base)
     feed = str(tmp_path / "feed")
 
     b1 = base.orderBy("doc_id").limit(6).select(
-        (F.col("doc_id") + 700_000).alias("doc_id"), "text",
+        (F.col("doc_id") + 700_000).alias("doc_id"), "lang", "source", "text",
         F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
     )
     b1.coalesce(1).write.mode("append").parquet(feed)
 
     dels = base.orderBy("doc_id").limit(4).select(
-        "doc_id", F.lit(None).cast("string").alias("text"),
+        "doc_id", "lang", "source",
+        F.lit(None).cast("string").alias("text"),
         F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
     )
-    upd_ids = base.orderBy(F.desc("doc_id")).limit(2).select("doc_id", "text")
+    upd_ids = base.orderBy(F.desc("doc_id")).limit(2).select(
+        "doc_id", "lang", "source", "text"
+    )
     upd_v2 = upd_ids.select(
-        "doc_id", F.concat("text", F.lit(" zzzalpha zzzalpha")).alias("text"),
+        "doc_id", "lang", "source",
+        F.concat("text", F.lit(" zzzalpha zzzalpha")).alias("text"),
         F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
     )
     upd_v3 = upd_ids.limit(1).select(
-        "doc_id",
+        "doc_id", "lang", "source",
         F.concat("text", F.lit(" the the the a a")).alias("text"),
         F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
     )
@@ -2072,15 +2082,15 @@ def test_streaming_quality_maintenance_equals_full_recompute(spark, tmp_path):
     assert n_batches >= 1
 
     del_ids = base.orderBy("doc_id").limit(4).select("doc_id")
-    win_upd = upd_v3.select("doc_id", "text").unionByName(
+    win_upd = upd_v3.select("doc_id", "lang", "source", "text").unionByName(
         upd_v2.join(upd_v3.select("doc_id"), "doc_id", "left_anti")
-        .select("doc_id", "text")
+        .select("doc_id", "lang", "source", "text")
     )
     final_corpus = (
         base.join(del_ids, "doc_id", "left_anti")
         .join(win_upd.select("doc_id"), "doc_id", "left_anti")
         .unionByName(win_upd)
-        .unionByName(b1.select("doc_id", "text"))
+        .unionByName(b1.select("doc_id", "lang", "source", "text"))
     )
     want = QM.build_quality_state(final_corpus, checkpoint=False)
     got_hist = {(r.lang, r.q_u, r.cnt) for r in final.hist.collect()}
