@@ -35,6 +35,31 @@ LSH_BAND_ROWS = 2                # 4 bands × 2 rows
 SIMHASH_BITS = 32
 
 
+def _grouped_pairs(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Every a<b id pair within each key group, generated IN-ROW from a
+    sorted per-key array instead of a self-join: groupBy(key) →
+    sort_array(collect_list(id)) → element i paired with every LATER
+    element. The (element, index) transform lambda is the repo-rule
+    footgun used on purpose: the 1-based slice from i+2 yields each
+    unordered pair exactly once. Emits one row per (key, pair)
+    OCCURRENCE — the LSH caller .distinct()s across bands, the
+    containment caller counts multiplicity as the intersection size.
+    The single source of the subtlest expression in this file; measured
+    faster than the equivalent self-join (SURVEY.md §2 containment row)."""
+    grouped = df.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ids")
+    )
+    return grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__ids, (a, i) -> "
+                "transform(slice(__ids, i + 2, size(__ids)), "
+                "b -> struct(a AS id_a, b AS id_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.id_a", "__p.id_b")
+
+
 def shingles(text_col: Column, k: int = 3) -> Column:
     """k-token shingles of the normalized text (array of strings).
     Documents shorter than k tokens yield their full token string."""
@@ -180,24 +205,7 @@ def lsh_candidate_pairs(
             .select("bkey")
         )
         banded = banded.join(F.broadcast(big), ["bkey"], "left_anti")
-        grouped = banded.groupBy("bkey").agg(
-            F.sort_array(F.collect_list(id_col)).alias("__ids")
-        )
-        # (element, index) lambda deliberate: element i pairs with every
-        # LATER element (1-based slice from i+2) — each a<b pair once
-        return (
-            grouped.select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(__ids, (a, i) -> "
-                        "transform(slice(__ids, i + 2, size(__ids)), "
-                        "b -> struct(a AS id_a, b AS id_b))))"
-                    )
-                ).alias("__p")
-            )
-            .select("__p.id_a", "__p.id_b")
-            .distinct()
-        )
+        return _grouped_pairs(banded, "bkey", id_col).distinct()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -354,20 +362,9 @@ def _containment_base(
         .select("sh64")
     )
     rare_sh = hashed.join(F.broadcast(hot), ["sh64"], "left_anti")
-    grouped = rare_sh.groupBy("sh64").agg(
-        F.sort_array(F.collect_list(id_col)).alias("__ids")
-    )
-    # (element, index) lambda is deliberate: element i pairs with every
-    # LATER element (1-based slice from i+2), giving each a<b pair once
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(__ids, (a, i) -> "
-                "transform(slice(__ids, i + 2, size(__ids)), "
-                "b -> struct(a AS id_a, b AS id_b))))"
-            )
-        ).alias("__p")
-    ).select("__p.id_a", "__p.id_b")
+    # one pair row per shared rare shingle: multiplicity IS the
+    # intersection size, so no .distinct() here
+    pairs = _grouped_pairs(rare_sh, "sh64", id_col)
     inter = pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_inter")
     )

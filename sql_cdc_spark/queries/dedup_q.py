@@ -631,7 +631,9 @@ def source_overlap_matrix(docs: DataFrame) -> DataFrame:
             "src_b",
             F.when(
                 F.col("src_a") == F.col("src_b"),
-                (F.col("ca") * (F.col("ca") - 1) / 2).cast("long"),
+                # integer div, not float '/': ca·(ca−1) past 2^53 would
+                # round through double and break the bigint-exact contract
+                F.expr("ca * (ca - 1) div 2"),
             )
             .otherwise(F.col("ca") * F.col("cb"))
             .alias("p"),
@@ -653,9 +655,12 @@ def source_overlap_matrix(docs: DataFrame) -> DataFrame:
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    # the doc→source map is corpus-sized — broadcasting IT would ship
+    # |docs| rows to every executor; the verified pair set is the small
+    # side, so plain hash joins (AQE broadcasts pairs when they fit)
     near = (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             F.least("sa", "sb").alias("src_a"),
             F.greatest("sa", "sb").alias("src_b"),

@@ -154,6 +154,14 @@ def _segregate_error(error_dir: str, fname: str, payload, exc: Exception) -> Non
     original filename survives verbatim inside the evidence JSON."""
     os.makedirs(error_dir, exist_ok=True)
     safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in fname)
+    if safe != fname:
+        # sanitization can collide ('a/b.json' and 'a?b.json' both map to
+        # 'a_b.json') and _atomic_write's os.replace would silently
+        # overwrite the earlier record's evidence — suffix a hash of the
+        # RAW name so every distinct poison filename keeps its own file
+        import hashlib
+
+        safe = f"{safe}.{hashlib.md5(fname.encode()).hexdigest()[:8]}"
     _atomic_write(
         os.path.join(error_dir, f"{safe}.error"),
         json.dumps(
@@ -558,8 +566,11 @@ def retry_failed_documents(out_dir: str, error_dir: str) -> tuple[int, int]:
     captured, writing it to ``out_dir`` under its original filename
     (atomic, idempotent — same deterministic name the sink would have
     used) and removing the evidence file on success. Records parked
-    without a payload stay parked (nothing to deliver). Returns
-    (delivered, still_parked).
+    without a payload stay parked (nothing to deliver), as do records
+    whose evidence file is unreadable or whose recorded filename would
+    escape ``out_dir`` (absolute or ``..`` paths — the filename is data,
+    and a record was often parked precisely because it is malformed).
+    Returns (delivered, still_parked).
 
     Control-plane sized by construction — errors are the exception path —
     so this is a driver-side loop, not a Spark job."""
@@ -567,18 +578,31 @@ def retry_failed_documents(out_dir: str, error_dir: str) -> tuple[int, int]:
         return 0, 0
     delivered, parked = 0, 0
     os.makedirs(out_dir, exist_ok=True)
+    out_root = os.path.realpath(out_dir)
     for fn in sorted(os.listdir(error_dir)):
         if not fn.endswith(".error"):
             continue
         path = os.path.join(error_dir, fn)
-        with open(path) as f:
-            rec = json.load(f)
-        payload = rec.get("payload")
-        if payload is None:
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            payload = rec.get("payload")
+            doc_filename = rec.get("doc_filename")
+        except (OSError, ValueError):
+            # corrupt/foreign evidence file: park it, keep the loop alive
+            parked += 1
+            continue
+        if payload is None or not isinstance(doc_filename, str):
+            parked += 1
+            continue
+        # the recorded filename is DATA — refuse any form that resolves
+        # outside the sink directory instead of delivering it there
+        target = os.path.realpath(os.path.join(out_root, doc_filename))
+        if os.path.dirname(target) != out_root:
             parked += 1
             continue
         try:
-            _atomic_write(os.path.join(out_dir, rec["doc_filename"]), payload)
+            _atomic_write(target, payload)
         except Exception:  # noqa: BLE001 — still-failing records stay parked
             parked += 1
             continue
@@ -641,6 +665,11 @@ def expire_changelog(
         .filter(F.col("change_version") >= min_version)
         .observe(obs, F.count(F.lit(1)).alias("n"))
     )
+    # capture the CURRENT floor before anything is destroyed: the marker
+    # lives inside the old log dir, so reading it after the swap would
+    # see 0 and let a lower min_version silently lower the floor — the
+    # exact monotone-floor contract this function exists to enforce
+    old_floor = cl.retention_floor(log_dir)
     parent = os.path.dirname(os.path.abspath(log_dir.rstrip("/")))
     tmp = tempfile.mkdtemp(prefix="changelog_compact_", dir=parent)
     new_dir = os.path.join(tmp, "log")
@@ -648,6 +677,10 @@ def expire_changelog(
     # retained-row count rides the write job itself (same single-pass
     # pattern as compact_documents) — no second scan of the new log
     n = obs.get["n"]
+    # stage the floor marker INSIDE the new log before the swap, so the
+    # floor is never absent while expired rows are gone: a crash at any
+    # point leaves a dir whose marker matches its contents
+    cl.write_retention_floor(new_dir, max(old_floor, int(min_version)))
     old = log_dir.rstrip("/") + ".expired"
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -660,9 +693,6 @@ def expire_changelog(
         raise
     shutil.rmtree(old)
     shutil.rmtree(tmp, ignore_errors=True)
-    # record the min-valid-version floor so pull_batch can refuse stale
-    # cursors instead of silently skipping the expired range
-    cl.write_retention_floor(log_dir, min_version)
     return int(n)
 
 

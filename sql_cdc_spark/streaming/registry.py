@@ -124,8 +124,10 @@ class JdbcSyncStateRegistry:
     java.sql over py4j — never a Spark job (a cursor update is not a
     distributed computation). PreparedStatements throughout, so consumer
     names are data, not SQL. Tested live against the embedded Derby that
-    Spark ships (tests/test_sources.py / test_streaming.py); any JDBC
-    url/driver on the classpath works the same way.
+    Spark ships (tests/test_sources.py / test_streaming.py); other JDBC
+    backends work through the same four methods — table existence is
+    probed with a portable SELECT (not a dialect-specific CREATE-failure
+    SQLState), and credentialed servers pass user/password explicitly.
 
     Concurrency contract mirrors the file registry: one writer per
     consumer name (the reference's consumers are single-owner too);
@@ -140,26 +142,54 @@ class JdbcSyncStateRegistry:
         "last_sync_time DOUBLE)"
     )
 
-    def __init__(self, spark, url: str, driver: str):
+    def __init__(
+        self,
+        spark,
+        url: str,
+        driver: str,
+        user: str | None = None,
+        password: str | None = None,
+    ):
         self._jvm = spark._jvm
         self.url = url
         self.driver = driver
+        self._user = user
+        self._password = password
         self._jvm.java.lang.Class.forName(driver)
         conn = self._connect()
         try:
-            st = conn.createStatement()
-            try:
-                st.executeUpdate(self._DDL)
-            except Exception as exc:  # noqa: BLE001 — table already exists
-                if "X0Y32" not in str(exc):  # Derby: object already exists
-                    raise
-            finally:
-                st.close()
+            if not self._table_exists(conn):
+                st = conn.createStatement()
+                try:
+                    st.executeUpdate(self._DDL)
+                except Exception:  # noqa: BLE001 — create race: another
+                    # process won between the probe and the CREATE; accept
+                    # iff the table is now there, else it was a real error
+                    if not self._table_exists(conn):
+                        raise
+                finally:
+                    st.close()
         finally:
             conn.close()
 
+    def _table_exists(self, conn) -> bool:
+        """Portable existence probe: a zero-row SELECT succeeds on every
+        dialect iff the table exists (no SQLState sniffing — Derby says
+        X0Y32, Postgres 42P07, MySQL 1050...)."""
+        st = conn.createStatement()
+        try:
+            st.executeQuery("SELECT sync_name FROM sync_state WHERE 1 = 0")
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+        finally:
+            st.close()
+
     def _connect(self):
-        return self._jvm.java.sql.DriverManager.getConnection(self.url)
+        dm = self._jvm.java.sql.DriverManager
+        if self._user is not None:
+            return dm.getConnection(self.url, self._user, self._password or "")
+        return dm.getConnection(self.url)
 
     def _select(self, conn, name: str):
         ps = conn.prepareStatement(

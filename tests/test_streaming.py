@@ -1755,29 +1755,102 @@ def test_retry_failed_documents_lifecycle(spark, tmp_path):
     assert pl.retry_failed_documents(out, err) == (0, 2)
 
 
+def test_retry_refuses_escaping_filenames_and_corrupt_evidence(tmp_path):
+    """The recorded doc_filename is DATA: absolute paths and ``..``
+    components must stay parked, never delivered outside the sink dir;
+    a corrupt (non-JSON) evidence file parks instead of aborting the
+    replay loop, and records sorted after it still deliver."""
+    import json as _json
+    import os as _os
+
+    from sql_cdc_spark.streaming import pipeline as pl
+
+    out = str(tmp_path / "esc_out")
+    err = str(tmp_path / "esc_err")
+    _os.makedirs(err)
+    abs_target = str(tmp_path / "outside.json")
+    with open(_os.path.join(err, "a_abs.json.error"), "w") as f:
+        _json.dump(
+            {"doc_filename": abs_target, "error": "x", "payload": '{"a":1}'},
+            f,
+        )
+    with open(_os.path.join(err, "b_dotdot.json.error"), "w") as f:
+        _json.dump(
+            {"doc_filename": "../escaped.json", "error": "x",
+             "payload": '{"a":2}'}, f,
+        )
+    with open(_os.path.join(err, "c_corrupt.json.error"), "w") as f:
+        f.write("{truncated")
+    with open(_os.path.join(err, "d_good.json.error"), "w") as f:
+        _json.dump(
+            {"doc_filename": "d_good.json", "error": "x",
+             "payload": '{"a":3}'}, f,
+        )
+    delivered, parked = pl.retry_failed_documents(out, err)
+    assert (delivered, parked) == (1, 3)
+    # nothing escaped the sink directory
+    assert not _os.path.exists(abs_target)
+    assert not _os.path.exists(str(tmp_path / "escaped.json"))
+    assert sorted(_os.listdir(out)) == ["d_good.json"]
+    # the refused/corrupt evidence is still parked for the operator
+    assert sorted(_os.listdir(err)) == [
+        "a_abs.json.error", "b_dotdot.json.error", "c_corrupt.json.error"
+    ]
+
+
+def test_retention_floor_is_monotone_across_expires(spark, tmp_path):
+    """A later expire with a LOWER min_version must not lower the
+    recorded floor: the marker travels with the rewritten log, so the
+    stale-cursor gate keeps refusing the range the FIRST expire deleted."""
+    from sql_cdc_spark.streaming import changelog as cl
+    from sql_cdc_spark.streaming import pipeline as pl
+
+    w = _gen_changes(spark, tmp_path)
+    log = w.log_dir
+    pl.expire_changelog(spark, log, min_version=10)
+    assert cl.retention_floor(log) == 10
+    # replayed/older cleanup job: floor must hold at 10, not drop to 5
+    pl.expire_changelog(spark, log, min_version=5)
+    assert cl.retention_floor(log) == 10
+
+
 def test_malformed_filename_poison_segregates_not_crashes(spark, tmp_path):
     """A record poisoned BY its malformed filename (path separator) must
     not crash the segregation path: the batch delivers the healthy
-    records, the evidence lands under a sanitized name, and the original
-    filename survives verbatim inside the evidence JSON."""
+    records, the evidence lands under a sanitized (hash-disambiguated)
+    name, and the original filename survives verbatim inside the
+    evidence JSON. Two distinct malformed names that sanitize to the
+    same string must keep SEPARATE evidence files — the overwrite would
+    silently destroy the first record's only copy."""
     import json as _json
     import os as _os
 
     out, err = str(tmp_path / "po"), str(tmp_path / "pe")
+    # the two poisons sanitize to the SAME name: '/' fails as a missing
+    # subdir, NUL fails inside open() — the only two chars a Linux
+    # filesystem actually rejects, and exactly the collision class
     docs = spark.createDataFrame(
         [("ok_1.json", '{"a":1}'), ("bad/poison.json", '{"a":2}'),
-         ("ok_2.json", '{"a":3}')],
+         ("bad\x00poison.json", '{"a":4}'), ("ok_2.json", '{"a":3}')],
         "doc_filename string, doc_json string",
     )
     delivered = pl.write_documents(docs, out, error_dir=err)
     assert delivered == 2
     assert sorted(_os.listdir(out)) == ["ok_1.json", "ok_2.json"]
-    evidence = _os.listdir(err)
-    assert evidence == ["bad_poison.json.error"]
-    with open(_os.path.join(err, evidence[0])) as f:
-        rec = _json.load(f)
-    assert rec["doc_filename"] == "bad/poison.json"
-    assert rec["payload"] == '{"a":2}'
+    evidence = sorted(_os.listdir(err))
+    assert len(evidence) == 2, "sanitize-collision overwrote evidence"
+    assert all(
+        e.startswith("bad_poison.json.") and e.endswith(".error")
+        for e in evidence
+    )
+    recs = []
+    for e in evidence:
+        with open(_os.path.join(err, e)) as f:
+            recs.append(_json.load(f))
+    assert {r["doc_filename"] for r in recs} == {
+        "bad/poison.json", "bad\x00poison.json"
+    }
+    assert {r["payload"] for r in recs} == {'{"a":2}', '{"a":4}'}
 
 
 def test_stale_cursor_refused_after_retention(spark, base, tmp_path):
