@@ -299,6 +299,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     df_cap: int = 20,
     threshold: float = 0.2,
+    rare: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment — |R(A)∩R(B)| / min(|R(A)|, |R(B)|)
     over the RARE-shingle domain R (document frequency ≤ ``df_cap``) —
@@ -322,9 +323,14 @@ def containment_pairs(
     no second expansion over full shingle sets (the r4 bench caught
     that shape at 14.7 s for sf0.1; this runs the same data in ~2.4 s),
     and no self-join second shuffle (see _containment_base's A/B). All
-    joins compare 8-byte ints."""
+    joins compare 8-byte ints.
+
+    ``rare``: optionally the already-derived rare-domain postings
+    (id, sh64) — callers that materialize the df census anyway
+    (``build_containment_state``) pass it so the corpus-wide groupBy
+    and hot anti-join run once, not twice."""
     return (
-        _containment_base(shingled, id_col, df_cap)
+        _containment_base(shingled, id_col, df_cap, rare)
         .select(
             "id_a",
             "id_b",
@@ -339,7 +345,10 @@ def containment_pairs(
 
 
 def _containment_base(
-    shingled: DataFrame, id_col: str, df_cap: int
+    shingled: DataFrame,
+    id_col: str,
+    df_cap: int,
+    rare: DataFrame | None = None,
 ) -> DataFrame:
     """The unthresholded containment pair table (id_a, id_b, n_a, n_b,
     n_inter) over the rare-shingle domain — the shared heavy stage of
@@ -354,14 +363,17 @@ def _containment_base(
     A/B at sf0.1 measured 2.39 s vs 2.84 s best-of-3 on the same data
     (both passes in the same window, equal probe), with byte-identical
     output."""
-    hashed = shingled.select(F.col(id_col), "sh64")
-    hot = (
-        hashed.groupBy("sh64")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") > df_cap)
-        .select("sh64")
-    )
-    rare_sh = hashed.join(F.broadcast(hot), ["sh64"], "left_anti")
+    if rare is not None:
+        rare_sh = rare.select(F.col(id_col), "sh64")
+    else:
+        hashed = shingled.select(F.col(id_col), "sh64")
+        hot = (
+            hashed.groupBy("sh64")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select("sh64")
+        )
+        rare_sh = hashed.join(F.broadcast(hot), ["sh64"], "left_anti")
     # one pair row per shared rare shingle: multiplicity IS the
     # intersection size, so no .distinct() here
     pairs = _grouped_pairs(rare_sh, "sh64", id_col)
@@ -412,7 +424,9 @@ def containment_sweep(
     return (
         ids.groupBy("threshold_pct")
         .agg(
-            (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_pairs"),
+            # integer div, not float /: past 2^53 exploded rows a double
+            # quotient rounds while the oracle's // stays exact
+            F.expr("count(1) div 2").alias("n_pairs"),
             F.countDistinct("__d").alias("n_docs"),
         )
         .orderBy("threshold_pct")
@@ -791,7 +805,10 @@ def build_containment_state(
         checkpoint,
     )
     pairs = _ckpt(
-        containment_pairs(shingled, id_col, df_cap, threshold), checkpoint
+        # thread the already-derived rare postings so the corpus-wide
+        # df groupBy and hot anti-join run once, not twice per build
+        containment_pairs(shingled, id_col, df_cap, threshold, rare=rare),
+        checkpoint,
     )
     return ContainmentState(shingled, dfreq, sizes, pairs)
 

@@ -185,12 +185,18 @@ def write_sharded_corpus(
     repartition on the shard id so each shard's files are written
     together; everything upstream is the deterministic assign_shards
     map. The count comes from the computed map, never a re-read of the
-    output (the compact_documents double-scan lesson)."""
+    output (the compact_documents double-scan lesson); the assigned
+    frame is persisted across write+count so the input is scanned once
+    for both, not re-planned from source for a count-only pass."""
     sharded = assign_shards(docs, tokens_per_shard, id_col, weight_col)
-    (
-        sharded.repartition("shard")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(out_dir)
-    )
-    return sharded.select("shard").distinct().count()
+    sharded.persist()
+    try:
+        (
+            sharded.repartition("shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(out_dir)
+        )
+        return sharded.select("shard").distinct().count()
+    finally:
+        sharded.unpersist()

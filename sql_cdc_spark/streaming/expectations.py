@@ -89,14 +89,22 @@ def run_streaming_expectations(
 
 def read_violations(spark: SparkSession, violations_dir: str) -> DataFrame:
     """The parked evidence as a DataFrame (rule, n_violations, batch_id);
-    empty-but-typed when no batch ever violated."""
-    try:
-        return (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(violations_dir)
-            .select("rule", "n_violations", F.col("batch_id").cast("long"))
-        )
-    except Exception:
+    empty-but-typed when no batch ever violated. Only the genuinely-empty
+    case (missing dir / no evidence files yet) maps to the empty frame —
+    a corrupt or unreadable evidence file PROPAGATES, because an evidence
+    sink that reads errors as "clean" is the one false negative a quality
+    audit must never produce."""
+    has_files = os.path.isdir(violations_dir) and any(
+        name.endswith(".parquet")
+        for _, _, names in os.walk(violations_dir)
+        for name in names
+    )
+    if not has_files:
         return spark.createDataFrame(
             [], "rule string, n_violations long, batch_id long"
         )
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(violations_dir)
+        .select("rule", "n_violations", F.col("batch_id").cast("long"))
+    )

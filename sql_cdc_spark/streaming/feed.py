@@ -63,13 +63,24 @@ def discover_feed_schema(spark: SparkSession, feed_dir: str, required: str):
     columns as null — the same convention SQL Server CT consumers get
     when they ALTER TABLE ADD a column.
 
+    Cold start mirrors ``read_feed``: a feed directory that does not
+    exist yet (or holds no files) yields the contract schema itself —
+    the evolved schema IS the contract until the first file lands.
+
     Returns the merged StructType to pass to ``read_feed``."""
+    import os
+
     from pyspark.sql.types import StructType
 
+    req = StructType.fromDDL(required)
+    os.makedirs(feed_dir, exist_ok=True)
+    if not any(
+        name.endswith(".parquet") for name in os.listdir(feed_dir)
+    ):
+        return req
     merged = (
         spark.read.option("mergeSchema", "true").parquet(feed_dir).schema
     )
-    req = StructType.fromDDL(required)
     by_name = {f.name: f for f in merged.fields}
     problems = []
     for f in req.fields:
@@ -138,7 +149,19 @@ def drain_feed(
     drain (a caller-side counter would restart at 0 and collide)."""
     import inspect
 
-    wants_id = len(inspect.signature(apply_fn).parameters) >= 3
+    # Only REQUIRED positional params count toward the 3-arg form: a
+    # defaulted or keyword-only third param (config flags, loggers) must
+    # not silently receive the batch id.
+    wants_id = (
+        sum(
+            1
+            for p in inspect.signature(apply_fn).parameters.values()
+            if p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+            and p.default is p.empty
+        )
+        >= 3
+    )
     holder: dict = {"state": initial, "batches": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:

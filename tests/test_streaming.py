@@ -1977,6 +1977,77 @@ def test_maintenance_drain_cold_start_empty_feed(spark, tmp_path):
     assert final.pairs.count() == 0
 
 
+def test_drain_feed_third_param_detection(spark, tmp_path):
+    """Only a REQUIRED third positional parameter opts an apply_fn into
+    the batch-id calling form. A defaulted config flag (strict=False)
+    must keep its default — binding the batch id into it would silently
+    flip caller behavior — and a keyword-only param must not crash the
+    first micro-batch with a 3-positional-arg TypeError."""
+    from sql_cdc_spark.streaming import feed as FEED
+
+    seen: list = []
+
+    def _defaulted(prev, batch_df, strict=False):
+        seen.append(("defaulted", strict))
+        return prev
+
+    def _kwonly(prev, batch_df, *, log=None):
+        seen.append(("kwonly", log))
+        return prev
+
+    def _wants_id(prev, batch_df, batch_id):
+        seen.append(("id", batch_id))
+        return prev
+
+    fdir = str(tmp_path / "feed")
+    spark.createDataFrame([(1, "I", 1)], "k long, op string, v long")\
+        .coalesce(1).write.mode("append").parquet(fdir)
+    schema = "k long, op string, v long"
+    for i, fn in enumerate((_defaulted, _kwonly, _wants_id)):
+        _, n = FEED.drain_feed(
+            spark, fdir, schema, str(tmp_path / f"chk{i}"),
+            None, fn, lambda s: None, timeout_s=60,
+        )
+        assert n == 1
+    assert seen[0] == ("defaulted", False)
+    assert seen[1] == ("kwonly", None)
+    assert seen[2][0] == "id" and isinstance(seen[2][1], int)
+
+
+def test_discover_feed_schema_cold_start(spark, tmp_path):
+    """Before the first feed file exists the evolved schema IS the
+    contract: a missing or empty feed dir yields fromDDL(required), not
+    PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA — the same cold-start
+    contract read_feed already honors."""
+    from pyspark.sql.types import StructType
+
+    from sql_cdc_spark.streaming import feed as FEED
+
+    req = "doc_id long, op string, change_version long"
+    missing = str(tmp_path / "never_written")
+    assert FEED.discover_feed_schema(spark, missing, req) == \
+        StructType.fromDDL(req)
+    assert os.path.isdir(missing)  # created, like read_feed
+    # present-but-empty (mkdir'd by read_feed, no files yet): same
+    assert FEED.discover_feed_schema(spark, missing, req) == \
+        StructType.fromDDL(req)
+
+
+def test_read_violations_propagates_corrupt_evidence(spark, tmp_path):
+    """An unreadable evidence file must RAISE, never read as 'no
+    violations' — a quality audit that swallows read errors produces
+    the one false negative an evidence sink exists to prevent."""
+    import pytest as _pytest
+
+    from sql_cdc_spark.streaming import expectations as EX
+
+    vdir = tmp_path / "viol" / "b0"
+    vdir.mkdir(parents=True)
+    (vdir / "part-00000.snappy.parquet").write_bytes(b"not a parquet file")
+    with _pytest.raises(Exception):
+        EX.read_violations(spark, str(tmp_path / "viol")).collect()
+
+
 def test_pull_batch_cold_start_empty_log(spark, base, tmp_path):
     """A consumer polling before the producer has written any change gets
     an empty batch at version 0, not PATH_NOT_FOUND — and the cursor
