@@ -406,6 +406,7 @@ def main() -> None:
     # their modules so this round's bench still carries their numbers;
     # kept OUT of headline/extended so those stay round-comparable
     from sql_cdc_spark.queries.corpus_q import (
+        crp_dsir_select,
         crp_filter_funnel,
         crp_fuzzy_contamination,
         crp_ngram_lm_score,
@@ -417,7 +418,7 @@ def main() -> None:
         evt_rolling_actives,
     )
     from sql_cdc_spark.queries.relational_q import rel_topn_other_rollup
-    from sql_cdc_spark.queries.similarity_q import sim_knn_join
+    from sql_cdc_spark.queries.similarity_q import sim_knn_join, sim_semantic_dedup
     from sql_cdc_spark.queries.text_q import txt_quality_gate
 
     r5_queued = {
@@ -432,6 +433,8 @@ def main() -> None:
         "txt_quality_gate": txt_quality_gate,
         "crp_ngram_lm_score": crp_ngram_lm_score,
         "crp_filter_funnel": crp_filter_funnel,
+        "crp_dsir_select": crp_dsir_select,
+        "sim_semantic_dedup": sim_semantic_dedup,
     }
     all_names = HEADLINE + EXTENDED + list(r5_queued)
     dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE + EXTENDED}

@@ -148,7 +148,8 @@ def _registry() -> dict[str, QueryEntry]:
         # (events_q), dd_source_overlap (dedup_q), sim_knn_join
         # (similarity_q), evt_rolling_actives + evt_props_topk (events_q),
         # txt_quality_gate (text_q), crp_ngram_lm_score + crp_filter_funnel
-        # (corpus_q) were built late in r4 AFTER the
+        # + crp_dsir_select (corpus_q), sim_semantic_dedup (similarity_q)
+        # were built late in r4 AFTER the
         # window closed: all
         # are fully implemented and oracle-parity-gated in pytest (their
         # test_*_matches_oracle tests in test_llm_ops/test_pipelines/

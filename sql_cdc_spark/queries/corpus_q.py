@@ -963,6 +963,138 @@ FROM flags
 """
 
 
+DSIR_NGRAM = 2  # hashed-bigram features, per the DSIR recipe
+DSIR_K = 200    # selection budget (rows kept from the raw pool)
+
+
+def crp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection via importance resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) — the target-aware counterpart of the one-sided LM
+    score (crp_ngram_lm_score): rank the RAW pool by how much more
+    target-like than pool-like each document's hashed-bigram profile is,
+    then keep the best ``DSIR_K``. Target here = documents passing the
+    production quality gate (quality ≥ MIN_QUALITY — the same shared
+    predicate crp_corpus_clean enforces); raw pool = everything else.
+
+    Integer-exact surrogate for the DSIR log-ratio: each bigram
+    occurrence of a scored doc contributes floor(log2(c+1)) bits under
+    BOTH censuses (target count and whole-corpus count, +1-smoothed so
+    unseen-in-target grams contribute 0), summed per doc; the selection
+    metric is the per-gram rate ROUND((tgt_bits − raw_bits)/n_grams, 6)
+    — one double division of two exact ints, rounded like every
+    similarity score in the repo, so both engines order identically.
+    floor(log2(n)) = length(bin(n)) − 1 on both engines; no float log.
+
+    Scale shape: bigrams hash to 60-bit ints at the scan; the two
+    censuses are map-side-combined groupBys over the SAME exploded
+    frame; scoring is a fact-by-fact join on the bigint gram key plus
+    one per-doc aggregate; the selection is TakeOrdered over a TOTAL
+    order (rate, doc_id). Never doc×doc, never a broadcast of corpus-
+    sized state. Honest cost note: like crp_ngram_lm_score, the one-shot
+    plan tokenizes the corpus once per census branch; the repeated-use
+    path materializes the censuses (streaming/lm_maintenance.py shape).
+
+    Registry status: oracle-parity-gated in pytest this round; enters
+    the driver window in round 5 with the other late-r4 queries."""
+    from sql_cdc_spark.functions import dedup as DD
+
+    docs = tables.load(spark, sf_dir, "documents")
+    flagged = docs.select(
+        "doc_id",
+        "text",
+        (TX.quality_score(F.col("text")) >= MIN_QUALITY).alias("is_tgt"),
+    )
+    sh64 = F.conv(F.substring(F.md5("bg"), 1, 15), 16, 10).cast("long")
+    grams = (
+        DD.balance_partitions(flagged)
+        .select(
+            "doc_id",
+            "is_tgt",
+            F.explode(DD.shingles(F.col("text"), DSIR_NGRAM)).alias("bg"),
+        )
+        .select("doc_id", "is_tgt", sh64.alias("sh64"))
+    )
+    raw = grams.groupBy("sh64").agg(F.count(F.lit(1)).alias("raw_cnt"))
+    tgt = (
+        grams.filter(F.col("is_tgt"))
+        .groupBy("sh64")
+        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    )
+
+    def _bits(c):
+        # floor(log2(c + 1)): exact int bit-length, engine-portable
+        return (F.length(F.bin(c + F.lit(1))) - F.lit(1)).cast("long")
+
+    scored = (
+        grams.filter(~F.col("is_tgt"))
+        .join(raw, "sh64")
+        .join(tgt, "sh64", "left")
+        .select(
+            "doc_id",
+            _bits(F.coalesce(F.col("tgt_cnt"), F.lit(0))).alias("__tb"),
+            _bits(F.col("raw_cnt")).alias("__rb"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__tb").alias("tgt_bits"),
+            F.sum("__rb").alias("raw_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "tgt_bits",
+            "raw_bits",
+            F.round(
+                (F.col("tgt_bits") - F.col("raw_bits")) / F.col("n_grams"), 6
+            ).alias("imp_rate"),
+        )
+        .orderBy(F.col("imp_rate").desc(), F.col("doc_id").asc())
+        .limit(DSIR_K)
+    )
+
+
+def _dsir_sql() -> str:
+    k = DSIR_NGRAM
+    return f"""
+WITH flagged AS (
+  SELECT doc_id, text, ({_QUALITY_EXPR_SQL}) >= {MIN_QUALITY} AS is_tgt
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, is_tgt, string_split_regex({_NORM_SQL}, '\\s+') AS t
+  FROM flagged
+),
+grams AS (
+  SELECT doc_id, is_tgt,
+    CAST(('0x' || substring(md5(
+      unnest(CASE WHEN len(t) >= {k}
+             THEN list_transform(range(1, len(t) - {k - 2}), i -> array_to_string(t[i:i+{k - 1}], ' '))
+             ELSE [array_to_string(t, ' ')] END)
+    ), 1, 15)) AS BIGINT) AS sh64
+  FROM toks
+),
+raw AS (SELECT sh64, COUNT(*) AS raw_cnt FROM grams GROUP BY 1),
+tgt AS (SELECT sh64, COUNT(*) AS tgt_cnt FROM grams WHERE is_tgt GROUP BY 1),
+agg AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_grams,
+         CAST(SUM(length(bin(COALESCE(t.tgt_cnt, 0) + 1)) - 1) AS BIGINT) AS tgt_bits,
+         CAST(SUM(length(bin(r.raw_cnt + 1)) - 1) AS BIGINT) AS raw_bits
+  FROM grams g JOIN raw r USING (sh64) LEFT JOIN tgt t USING (sh64)
+  WHERE NOT g.is_tgt
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, tgt_bits, raw_bits,
+       ROUND((tgt_bits - raw_bits) / n_grams, 6) AS imp_rate
+FROM agg
+ORDER BY imp_rate DESC, doc_id ASC
+LIMIT {DSIR_K}
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),

@@ -732,6 +732,92 @@ ORDER BY vec_id
 """
 
 
+SEMDEDUP_T = 0.35  # within-bucket cosine above which a doc is redundant
+
+
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed with
+    deterministic cluster scoping: drop every vector that has a
+    SMALLER-id mate with cosine ≥ ``SEMDEDUP_T`` in its SRP-LSH bucket,
+    keeping the minimum-id representative per redundancy group — the
+    embedding-space dedup decision, per-bucket instead of all-pairs.
+    The paper scopes pairs by k-means cluster; the 8-hyperplane SRP
+    bucket plays that role here because it is a pure expression both
+    engines replay bit-identically (a k-means fit is neither).
+
+    One row per DROPPED vector: (vec_id, keeper_id, cos_sim, bucket),
+    keeper_id = its smallest same-bucket mate above threshold (the
+    one-pass, chain-free election: the same smaller-id rule
+    dd_cluster_canonical uses, minus the transitive closure —
+    dup_clusters is the exact-clustering alternative when chains
+    matter). The kept set is the complement; keepers can appear as
+    keeper_id for many dropped rows.
+
+    Scale shape: identical to sim_knn_join — per-bucket self-join, one
+    min_by aggregate, no corpus sort beyond the bounded result; bucket
+    width is the documented n_bits knob (bench.py::knn_10x_stress)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    vb = emb.select(
+        "vec_id",
+        "embedding",
+        SIM.lsh_bucket(F.col("embedding"), n_bits=LSH_BITS, dim=DIM).alias(
+            "bucket"
+        ),
+    )
+    a = vb.select(F.col("vec_id"), F.col("embedding").alias("__ea"), "bucket")
+    c = vb.select(
+        F.col("vec_id").alias("__mate"),
+        F.col("embedding").alias("__ec"),
+        "bucket",
+    )
+    ea = SIM.as_double_array(F.col("__ea"))
+    ec = SIM.as_double_array(F.col("__ec"))
+    dup = (
+        a.join(c, "bucket")
+        .filter(F.col("__mate") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "bucket",
+            "__mate",
+            SIM.cosine(ea, ec).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= SEMDEDUP_T)
+    )
+    return (
+        dup.groupBy("vec_id", "bucket")
+        .agg(F.min_by(F.struct("__mate", "__cos"), F.col("__mate")).alias("k"))
+        .select(
+            "vec_id",
+            F.col("k.__mate").alias("keeper_id"),
+            F.col("k.__cos").alias("cos_sim"),
+            "bucket",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    lsh = _lsh_sql().strip()
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS ({lsh.replace('WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)', '')} ),
+vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
+dup AS (
+  SELECT a.vec_id, a.bucket, c.vec_id AS mate,
+         ROUND(list_dot_product(a.e, c.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+           AS cos
+  FROM vb a JOIN vb c ON a.bucket = c.bucket AND c.vec_id < a.vec_id
+)
+SELECT vec_id, keeper_id, cos_sim, bucket FROM (
+  SELECT vec_id, bucket, mate AS keeper_id, cos AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY mate) AS rn
+  FROM dup WHERE cos >= {SEMDEDUP_T}
+) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_random_projection": QueryEntry(sim_random_projection, _rp_sql()),
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),

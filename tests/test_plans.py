@@ -423,6 +423,8 @@ R5_QUEUED_EXCHANGE_BUDGETS = {
     "txt_quality_gate": 3,          # histogram agg + lang window + final agg
     "crp_ngram_lm_score": 6,        # LM agg + fact join + doc agg + orderBy
     "crp_filter_funnel": 6,         # shingle census + doc join + 1-row agg
+    "crp_dsir_select": 8,           # two censuses + fact joins + doc agg
+    "sim_semantic_dedup": 3,        # bucket self-join + election agg + sort
 }
 
 
@@ -431,6 +433,7 @@ def test_r5_queued_exchange_budgets(spark):
     implemented late in r4 whose registry entries land in round 5."""
     from sql_cdc_spark.plans import plan_flags
     from sql_cdc_spark.queries.corpus_q import (
+        crp_dsir_select,
         crp_filter_funnel,
         crp_fuzzy_contamination,
         crp_ngram_lm_score,
@@ -445,7 +448,10 @@ def test_r5_queued_exchange_budgets(spark):
         evt_rolling_actives,
     )
     from sql_cdc_spark.queries.relational_q import rel_topn_other_rollup
-    from sql_cdc_spark.queries.similarity_q import sim_knn_join
+    from sql_cdc_spark.queries.similarity_q import (
+        sim_knn_join,
+        sim_semantic_dedup,
+    )
     from sql_cdc_spark.queries.text_q import txt_quality_gate
 
     fns = {
@@ -460,6 +466,8 @@ def test_r5_queued_exchange_budgets(spark):
         "txt_quality_gate": txt_quality_gate,
         "crp_ngram_lm_score": crp_ngram_lm_score,
         "crp_filter_funnel": crp_filter_funnel,
+        "crp_dsir_select": crp_dsir_select,
+        "sim_semantic_dedup": sim_semantic_dedup,
     }
     from sql_cdc_spark.plans import assert_scale_safe
 

@@ -317,3 +317,71 @@ def test_oracle_column_types_compatible(spark, oracle, name):
         if not _types_ok(st, dtypes.get(c, "MISSING"))
     }
     assert not bad, f"{name}: hash-incompatible column types {bad}"
+
+
+def test_dsir_select_matches_oracle(spark, oracle):
+    """Oracle-parity gate for crp_dsir_select ahead of its round-5
+    driver-window entry, plus the selection invariants: only raw-pool
+    (below-gate) docs are scored, the rate is the exact rounded ratio of
+    the two integer bit sums, and the budgeted result is the TOP of the
+    (rate, doc_id) total order — re-derived here from the full unlimited
+    ranking."""
+    from sql_cdc_spark.queries.corpus_q import (
+        DSIR_K,
+        MIN_QUALITY,
+        _dsir_sql,
+        crp_dsir_select,
+    )
+    from sql_cdc_spark.queries.text_q import _QUALITY_EXPR_SQL
+
+    df = crp_dsir_select(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _dsir_sql())
+
+    rows = df.collect()
+    assert rows, "DSIR selection is vacuously empty"
+    assert len(rows) <= DSIR_K
+    for r in rows:
+        assert r.n_grams > 0
+        assert 0 <= r.tgt_bits
+        assert 0 <= r.raw_bits
+        assert r.imp_rate == round((r.tgt_bits - r.raw_bits) / r.n_grams, 6)
+    # the scored pool is exactly the below-gate docs; the kept set is the
+    # top-K of the total order over that pool
+    pool = {
+        d for (d,) in oracle.execute(
+            f"""SELECT doc_id FROM (
+                  SELECT doc_id, ({_QUALITY_EXPR_SQL}) AS q
+                  FROM documents) WHERE q < {MIN_QUALITY}"""
+        ).fetchall()
+    }
+    assert {r.doc_id for r in rows} <= pool
+    ranked = sorted(rows, key=lambda r: (-r.imp_rate, r.doc_id))
+    assert [r.doc_id for r in ranked] == [r.doc_id for r in rows]
+
+
+def test_semantic_dedup_matches_oracle(spark, oracle):
+    """Oracle-parity gate for sim_semantic_dedup ahead of its round-5
+    driver-window entry, plus the election invariants: every keeper has
+    a smaller id than the row it displaces, keepers share the dropped
+    row's bucket, the threshold really binds, and at least one KEPT
+    vector shares a bucket with a dropped one (the election is
+    non-vacuous — it kept a representative, not an empty bucket)."""
+    from sql_cdc_spark.queries.similarity_q import (
+        SEMDEDUP_T,
+        _semantic_dedup_sql,
+        sim_semantic_dedup,
+    )
+
+    df = sim_semantic_dedup(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _semantic_dedup_sql())
+
+    rows = df.collect()
+    assert rows, "semantic dedup dropped nothing — threshold is vacuous"
+    dropped = {r.vec_id for r in rows}
+    for r in rows:
+        assert r.keeper_id < r.vec_id
+        assert r.cos_sim >= SEMDEDUP_T
+    # keepers that are themselves never dropped exist (a representative
+    # survives per redundancy group under the smaller-id rule)
+    keepers = {r.keeper_id for r in rows}
+    assert keepers - dropped, "every keeper was itself dropped"
