@@ -76,6 +76,12 @@ def write_zordered(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],
     ).first()
+    if any(lo_hi[f"__mn_{c}"] is None for c in cols):
+        # empty input (a layout rewrite of a partition that compacted to
+        # nothing) or an all-NULL z-column: there is nothing to order —
+        # write the empty-but-typed dataset instead of int(None) crashing
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << bits) - 1
     scaled = []
     for c in cols:

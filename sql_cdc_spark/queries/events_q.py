@@ -712,15 +712,20 @@ def evt_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CMS_TOP_H)
     )
     est = SK.cms_point_estimates(cells, exact_top.select("user_id"), "user_id")
-    n_total = ev.count()
-    slack = int(math.ceil(math.e / SK.CMS_W * n_total))
+    # slack = ⌈(e/w)·N⌉ computed IN-PLAN (one-row crossJoin, the
+    # evt_join_size_estimate form) — an eager ev.count() here would run
+    # a full events scan every time the PLAN is built (plan audits,
+    # driver rounds), not just when the query executes
+    n_total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    slack = F.ceil(F.lit(math.e / SK.CMS_W) * F.col("__n")).cast("long")
     return (
         exact_top.join(est, "user_id")
+        .crossJoin(F.broadcast(n_total))
         .select(
             "user_id",
             "exact_cnt",
             (F.col("cms_estimate") >= F.col("exact_cnt")).alias("est_ok"),
-            (F.col("cms_estimate") <= F.col("exact_cnt") + F.lit(slack)).alias(
+            (F.col("cms_estimate") <= F.col("exact_cnt") + slack).alias(
                 "bound_ok"
             ),
         )

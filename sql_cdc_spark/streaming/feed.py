@@ -111,8 +111,15 @@ def collapse_latest(
     stream; a key whose last op in the batch is a delete lands in
     ``deletes``, every other key in ``upserts`` with its winning
     payload."""
+    # the ordering key includes op and payload so a same-version tie
+    # (at-least-once source duplicating across an update/delete race)
+    # resolves DETERMINISTICALLY — replay routes the key identically,
+    # which the maintenance family's idempotence claims require
     latest = batch_df.groupBy(id_col).agg(
-        F.max_by(F.struct(op_col, payload_col), F.col(version_col)).alias("w")
+        F.max_by(
+            F.struct(op_col, payload_col),
+            F.struct(version_col, op_col, payload_col),
+        ).alias("w")
     )
     upserts = latest.filter(
         (F.col(f"w.{op_col}") != "D") & F.col(f"w.{payload_col}").isNotNull()
@@ -135,7 +142,10 @@ def drain_feed(
 ):
     """Drain the change feed with trigger(availableNow), threading the
     state through ``apply_fn(prev_state, batch_df) -> next_state`` per
-    micro-batch; returns (final_state, n_batches).
+    micro-batch; returns (final_state, n_batches). A drain that does not
+    terminate within ``timeout_s`` is STOPPED and raises TimeoutError —
+    never a silent partial state with a live stream still mutating it;
+    the checkpoint resumes the drain on the next call.
 
     Ownership: each superseded state is released via ``release_fn`` the
     moment its successor exists — callers must not reuse the passed-in
@@ -183,5 +193,16 @@ def drain_feed(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
+    if not query.awaitTermination(timeout_s):
+        # Returning a partial state here would be a live hazard, not just
+        # an incomplete answer: the still-running stream keeps applying
+        # batches and release_fn-ing the very object the caller would
+        # hold. Stop the stream and fail loudly; the checkpoint makes the
+        # next drain resume exactly where this one was cut off.
+        query.stop()
+        raise TimeoutError(
+            f"feed drain at {feed_dir} exceeded {timeout_s}s after "
+            f"{holder['batches']} batches; checkpoint {checkpoint_dir} "
+            "resumes the drain"
+        )
     return holder["state"], holder["batches"]

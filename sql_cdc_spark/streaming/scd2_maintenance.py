@@ -77,8 +77,28 @@ def apply_scd2_batch(
     """One maintenance round: cursor-filter the batch to versions above
     the watermark (replay/overlap safety), then merge with scd2_apply.
     Only scalar aggregates reach the driver (the new watermark); the
-    history rewrite is anti-join + union, broadcast on the batch's keys."""
+    history rewrite is anti-join + union, broadcast on the batch's keys.
+
+    The watermark only protects against CROSS-batch replay; a row
+    redelivered INSIDE one micro-batch (writer retry, duplicated extract
+    file in the same trigger) would hand scd2_apply two rows for one
+    (key, version) and corrupt the interval chain. Collapse those here,
+    deterministically (max over the remaining columns), so intra-batch
+    redelivery is a no-op too."""
     fresh = batch.filter(F.col("change_version") > F.lit(state.watermark))
+    others = [
+        c for c in fresh.columns if c not in ("key_id", "change_version")
+    ]
+    fresh = (
+        fresh.groupBy("key_id", "change_version")
+        .agg(F.max(F.struct(*others)).alias("__w"))
+        .select(
+            *[
+                F.col(f"__w.{c}").alias(c) if c in others else F.col(c)
+                for c in batch.columns
+            ]
+        )
+    )
     wm_row = fresh.agg(F.max("change_version").alias("wm")).first()
     if wm_row["wm"] is None:  # fully-replayed batch → no-op
         return state

@@ -125,3 +125,14 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert zx <= ztot // 2, f"x-pruning too weak: {zx}/{ztot}"
     assert zy <= ztot // 2, f"y-pruning too weak: {zy}/{ztot}"
     assert zy * 2 <= ly, f"zorder y-pruning not better than linear: {zy} vs {ly}"
+
+
+def test_write_zordered_empty_input(spark, tmp_path):
+    """A layout rewrite of a partition that compacted to nothing writes
+    the empty-but-typed dataset instead of crashing on int(None) bounds."""
+    ev = spark.createDataFrame([], "x long, y long, v long")
+    out = str(tmp_path / "zempty")
+    write_zordered(ev, out, ["x", "y"], 4)
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert set(back.columns) == {"x", "y", "v"}

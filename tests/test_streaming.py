@@ -2365,3 +2365,60 @@ def test_streaming_lm_maintenance_equals_full_recompute(spark, tmp_path):
     ups2, dels2 = LM.collapse_batch(b2)
     replay = LM.apply_lm_changes(final, ups2, dels2, checkpoint=False)
     assert {(r.sh64, r.cnt) for r in replay.lm.collect()} == got_lm
+
+
+def test_collapse_latest_same_version_tie_deterministic(spark):
+    """A key whose update and delete share one change_version (an
+    at-least-once source duplicating across a race) must route the SAME
+    way on every execution — the ordering key includes op and payload,
+    so 'U' > 'D' wins deterministically and replay cannot diverge."""
+    from sql_cdc_spark.streaming import feed as FEED
+
+    rows = [(7, "U", 5, "newer"), (7, "D", 5, None), (8, "D", 3, None)]
+    for _ in range(3):
+        batch = spark.createDataFrame(
+            rows, "doc_id long, op string, change_version long, payload string"
+        )
+        ups, dels = FEED.collapse_latest(batch, "doc_id", "payload")
+        assert [(r.doc_id, r.payload) for r in ups.collect()] == [(7, "newer")]
+        assert [r.doc_id for r in dels.collect()] == [8]
+
+
+def test_drain_feed_timeout_raises_not_partial(spark, tmp_path):
+    """A drain that cannot finish within timeout_s must STOP and raise —
+    returning a partial state while the stream keeps mutating (and
+    releasing!) it is a correctness hazard, not a soft degradation."""
+    from sql_cdc_spark.streaming import feed as FEED
+
+    fdir = str(tmp_path / "feed")
+    spark.createDataFrame([(1, "I", 1)], "k long, op string, v long")\
+        .coalesce(1).write.mode("append").parquet(fdir)
+    with pytest.raises(TimeoutError, match="resumes the drain"):
+        FEED.drain_feed(
+            spark, fdir, "k long, op string, v long",
+            str(tmp_path / "chk"), None,
+            lambda prev, b: prev, lambda s: None, timeout_s=0.05,
+        )
+
+
+def test_scd2_intra_batch_redelivery_is_noop(spark):
+    """The watermark only guards CROSS-batch replay; rows duplicated
+    INSIDE one micro-batch (writer retry, duplicated extract in one
+    trigger) must collapse before the merge — history equals the
+    clean-batch history exactly."""
+    from sql_cdc_spark.streaming import scd2_maintenance as S2
+
+    base = spark.createDataFrame(
+        [(1, 10, "I", 1), (2, 20, "I", 2)], S2.SCD2_CHANGE_SCHEMA
+    )
+    clean = [(1, 11, "U", 3), (2, 21, "U", 4), (1, 12, "U", 5)]
+    dup = clean + [(1, 11, "U", 3), (2, 21, "U", 4)]  # intra-batch replay
+
+    def _hist(batch_rows):
+        st = S2.build_scd2_state(base, checkpoint=False)
+        batch = spark.createDataFrame(batch_rows, S2.SCD2_CHANGE_SCHEMA)
+        nxt = S2.apply_scd2_batch(st, batch, checkpoint=False)
+        cols = sorted(nxt.history.columns)
+        return sorted(tuple(r[c] for c in cols) for r in nxt.history.collect())
+
+    assert _hist(dup) == _hist(clean)
