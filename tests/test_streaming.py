@@ -2422,3 +2422,95 @@ def test_scd2_intra_batch_redelivery_is_noop(spark):
         return sorted(tuple(r[c] for c in cols) for r in nxt.history.collect())
 
     assert _hist(dup) == _hist(clean)
+
+
+def test_streaming_dsir_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the DSIR censuses: draining a document
+    change feed ends at EXACTLY the (raw, tgt) censuses a full rebuild
+    of the final corpus produces, and the maintained-state selection is
+    bit-identical to the rebuild's. Zero-state check first: select_top
+    over a fresh build reproduces the batch query crp_dsir_select
+    exactly. The change fixture engineers a QUALITY FLIP — a target doc
+    edited into a low-quality one — the case where membership moves
+    between censuses (impossible in the LM twin, whose split is a
+    doc_id hash)."""
+    from sql_cdc_spark.functions import text as TX
+    from sql_cdc_spark.queries.corpus_q import MIN_QUALITY, crp_dsir_select
+    from sql_cdc_spark.streaming import dsir_maintenance as DM
+
+    corpus = tables.load(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    state0 = DM.build_dsir_state(corpus, checkpoint=False)
+    got0 = [tuple(r) for r in DM.select_top(state0).collect()]
+    want0 = [tuple(r) for r in crp_dsir_select(spark, SF_DIR_SMALL).collect()]
+    assert got0 == want0 and got0
+
+    base = corpus.orderBy("doc_id").limit(120)
+    initial = DM.build_dsir_state(base)
+    feed = str(tmp_path / "feed")
+
+    # batch 1: inserts (cloned docs under new ids)
+    b1 = base.orderBy("doc_id").limit(5).select(
+        (F.col("doc_id") + 800_000).alias("doc_id"), "text",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+
+    # batch 2: deletes + a quality FLIP (a target doc rewritten to junk)
+    flip_id_row = (
+        base.withColumn("q", TX.quality_score(F.col("text")))
+        .filter(F.col("q") >= MIN_QUALITY)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()
+    )
+    assert flip_id_row, "fixture needs at least one target doc"
+    flip_id = flip_id_row[0].doc_id
+    dels = base.orderBy(F.desc("doc_id")).limit(3).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    flip = spark.createDataFrame(
+        [(flip_id, "zz", "U", 2)], DM.CHANGE_SCHEMA
+    )
+    dels.unionByName(flip).coalesce(1).write.mode("append").parquet(feed)
+
+    final, n_batches = DM.run_dsir_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+    )
+    assert n_batches >= 1
+
+    # the flip really moved membership
+    flags = {
+        r.doc_id: r.is_tgt
+        for r in final.dg.select("doc_id", "is_tgt").distinct().collect()
+    }
+    assert flags[flip_id] is False, "engineered quality flip did not fire"
+
+    del_ids = base.orderBy(F.desc("doc_id")).limit(3).select("doc_id")
+    final_corpus = (
+        base.join(del_ids, "doc_id", "left_anti")
+        .filter(F.col("doc_id") != flip_id)
+        .unionByName(spark.createDataFrame([(flip_id, "zz")], "doc_id long, text string"))
+        .unionByName(b1.select("doc_id", "text"))
+    )
+    want = DM.build_dsir_state(final_corpus, checkpoint=False)
+    for got_df, want_df, cols in (
+        (final.raw, want.raw, ("sh64", "raw_cnt")),
+        (final.tgt, want.tgt, ("sh64", "tgt_cnt")),
+    ):
+        got = {tuple(r[c] for c in cols) for r in got_df.collect()}
+        wnt = {tuple(r[c] for c in cols) for r in want_df.collect()}
+        assert got == wnt
+
+    got_sel = [tuple(r) for r in DM.select_top(final).collect()]
+    want_sel = [tuple(r) for r in DM.select_top(want).collect()]
+    assert got_sel == want_sel and got_sel
+
+    # idempotent replay of batch 2
+    b2 = dels.unionByName(flip)
+    ups2, dels2 = DM.collapse_batch(b2)
+    replay = DM.apply_dsir_changes(final, ups2, dels2, checkpoint=False)
+    got_raw = {(r.sh64, r.raw_cnt) for r in replay.raw.collect()}
+    assert got_raw == {(r.sh64, r.raw_cnt) for r in final.raw.collect()}
