@@ -757,13 +757,26 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_by aggregate, no corpus sort beyond the bounded result; bucket
     width is the documented n_bits knob (bench.py::knn_10x_stress)."""
     emb = tables.load(spark, sf_dir, "embeddings")
-    vb = emb.select(
+    return elect_dropped(bucket_vectors(emb)).orderBy("vec_id")
+
+
+def bucket_vectors(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:
+    """(vec_id, embedding, bucket): the SRP-bucketed vector table the
+    election (and its streaming maintenance twin) operates on."""
+    return emb.select(
         "vec_id",
         "embedding",
-        SIM.lsh_bucket(F.col("embedding"), n_bits=LSH_BITS, dim=DIM).alias(
+        SIM.lsh_bucket(F.col("embedding"), n_bits=n_bits, dim=DIM).alias(
             "bucket"
         ),
     )
+
+
+def elect_dropped(vb: DataFrame) -> DataFrame:
+    """The SemDeDup election over a bucketed (vec_id, embedding, bucket)
+    frame — see sim_semantic_dedup. Unordered; a vector's row depends
+    ONLY on its own bucket's membership, which is what makes per-bucket
+    incremental recomputation exact (streaming/semdedup_maintenance.py)."""
     a = vb.select(F.col("vec_id"), F.col("embedding").alias("__ea"), "bucket")
     c = vb.select(
         F.col("vec_id").alias("__mate"),
@@ -792,7 +805,6 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k.__cos").alias("cos_sim"),
             "bucket",
         )
-        .orderBy("vec_id")
     )
 
 

@@ -2514,3 +2514,84 @@ def test_streaming_dsir_maintenance_equals_full_recompute(spark, tmp_path):
     replay = DM.apply_dsir_changes(final, ups2, dels2, checkpoint=False)
     got_raw = {(r.sh64, r.raw_cnt) for r in replay.raw.collect()}
     assert got_raw == {(r.sh64, r.raw_cnt) for r in final.raw.collect()}
+
+
+def test_streaming_semdedup_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the SemDeDup election: draining an
+    embedding change feed ends at EXACTLY the (vb, dropped) tables a
+    full rebuild of the final corpus produces. The fixture engineers the
+    RESURRECTION case — deleting a keeper must un-drop or re-home the
+    mates it was keeper for — and a bucket MOVE (an embedding update
+    that relocates a vector), the two cases row-level patching misses."""
+    from sql_cdc_spark.streaming import semdedup_maintenance as SD
+
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.orderBy("vec_id").limit(60)
+    initial = SD.build_semdedup_state(base)
+
+    feed = str(tmp_path / "feed")
+    # batch 1: EXACT clones of three base vectors under new ids — same
+    # bucket by construction, cosine 1.0 ≥ τ, so drops must appear with
+    # the base vector as keeper
+    clones = base.orderBy("vec_id").limit(3).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    clones.coalesce(1).write.mode("append").parquet(feed)
+
+    # batch 2: delete one keeper (resurrection: its clone re-elects) and
+    # MOVE one base vector into another's bucket by replacing its
+    # embedding with a fourth vector's (exact clone → new drop there)
+    rows = base.orderBy("vec_id").limit(5).collect()
+    keeper_id = rows[0].vec_id
+    mover_id, donor = rows[3].vec_id, rows[4]
+    b2 = spark.createDataFrame(
+        [
+            (keeper_id, None, "D", 2),
+            (mover_id, donor.embedding, "U", 3),
+        ],
+        SD.CHANGE_SCHEMA,
+    )
+    b2.coalesce(1).write.mode("append").parquet(feed)
+
+    final, n_batches = SD.run_semdedup_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+    )
+    assert n_batches >= 1
+
+    final_corpus = (
+        base.filter(~F.col("vec_id").isin(keeper_id, mover_id))
+        .unionByName(
+            spark.createDataFrame(
+                [(mover_id, donor.embedding)],
+                "vec_id long, embedding array<float>",
+            )
+        )
+        .unionByName(clones.select("vec_id", "embedding"))
+    )
+    want = SD.build_semdedup_state(final_corpus, checkpoint=False)
+
+    def _drops(st):
+        return {
+            (r.vec_id, r.keeper_id, r.cos_sim, r.bucket)
+            for r in st.dropped.collect()
+        }
+
+    got, wnt = _drops(final), _drops(want)
+    assert got == wnt and got, "election diverged from full rebuild"
+    # non-vacuity of the engineered cases: the deleted keeper appears in
+    # NO final row (neither side), and the mover's clone pair fired
+    assert all(keeper_id not in (v, k) for (v, k, _, _) in got)
+    assert any(
+        {v, k} == {mover_id, donor.vec_id} for (v, k, _, _) in got
+    ), "bucket-move clone pair did not fire"
+    vb_got = {(r.vec_id, r.bucket) for r in final.vb.collect()}
+    vb_wnt = {(r.vec_id, r.bucket) for r in want.vb.collect()}
+    assert vb_got == vb_wnt
+
+    # idempotent replay of batch 2
+    ups2, dels2 = SD.collapse_batch(b2)
+    replay = SD.apply_semdedup_changes(final, ups2, dels2, checkpoint=False)
+    assert _drops(replay) == got
