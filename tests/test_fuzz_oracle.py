@@ -1110,3 +1110,144 @@ def test_random_query8_matches_duckdb(spark, oracle, seed):
     rng = random.Random(19000 + seed)
     q = _gen8(rng)
     assert_matches_oracle(_to_spark8(spark, q), oracle, _to_sql8(q))
+
+
+# ---- family 9: the dedup parameter space — random shingle width k,
+# random corpus subset, and either a containment operating-point sweep
+# (random df_cap + random integer-percent thresholds) or thresholded
+# exact-Jaccard pairs. The hand-written dedup oracles pin ONE constant
+# tuple (k=3, cap=20, t=0.2/0.1); this family re-derives the SAME
+# library operators and a parameterized DuckDB twin from arbitrary
+# constants, so a latent dependence on the pinned values (a hardcoded
+# slice width, an off-by-one in the gram window, a cap boundary) trips
+# here even though every fixed-constant test stays green. ----
+
+from sql_cdc_spark.functions import dedup as DD9
+from sql_cdc_spark.queries.text_q import _NORM_SQL as _NORM9
+
+
+def _gen9(rng: random.Random) -> dict:
+    mod = rng.choice([1, 2, 3])
+    q = {"mod": mod, "rem": rng.randrange(mod)}
+    if rng.random() < 0.5:
+        q["k"] = rng.choice([2, 3, 4, 5])
+        q["sweep"] = {
+            "df_cap": rng.choice([3, 5, 10, 20, 40]),
+            "pcts": sorted(rng.sample(range(5, 61), rng.randint(1, 4))),
+        }
+    else:
+        # k=2 bigrams are corpus-hot and have no df cap on this path —
+        # the pair join would be quadratic in a hot shingle's holders on
+        # BOTH engines, so the jaccard branch starts at k=3
+        q["k"] = rng.choice([3, 4, 5])
+        q["jaccard"] = {"threshold": rng.choice([0.05, 0.1, 0.2, 0.3, 0.5])}
+    return q
+
+
+def _shingled9(spark, q):
+    docs = tables.load(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % q["mod"] == q["rem"]
+    )
+    sh64 = F.conv(
+        F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(DD9.shingles(F.col("text"), q["k"])).alias("shingle"),
+        )
+        .select("doc_id", sh64.alias("sh64"))
+        .distinct()
+    )
+
+
+def _to_spark9(spark, q):
+    sh = _shingled9(spark, q)
+    if "sweep" in q:
+        return DD9.containment_sweep(
+            sh,
+            df_cap=q["sweep"]["df_cap"],
+            thresholds_pct=tuple(q["sweep"]["pcts"]),
+        )
+    return DD9.jaccard_pairs(sh, threshold=q["jaccard"]["threshold"]).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def _shingles9_sql(q) -> str:
+    k = q["k"]
+    return rf"""
+toks AS (
+  SELECT doc_id, string_split_regex({_NORM9}, '\s+') AS t
+  FROM documents WHERE doc_id % {q["mod"]} = {q["rem"]}
+),
+sh_all AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= {k}
+           THEN list_transform(range(1, len(t) - {k - 2}), i -> array_to_string(t[i:i+{k - 1}], ' '))
+           ELSE [array_to_string(t, ' ')] END) AS shingle
+  FROM toks
+),
+shh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS sh64
+  FROM sh_all
+)"""
+
+
+def _to_sql9(q) -> str:
+    sh = _shingles9_sql(q)
+    if "sweep" in q:
+        cap = q["sweep"]["df_cap"]
+        vals = ", ".join(f"({p})" for p in q["sweep"]["pcts"])
+        return f"""
+WITH {sh},
+hot AS (SELECT sh64 FROM shh GROUP BY sh64 HAVING COUNT(*) > {cap}),
+rsh AS (SELECT s.doc_id, s.sh64 FROM shh s ANTI JOIN hot h ON s.sh64 = h.sh64),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM rsh a JOIN rsh b ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT i.id_a, i.id_b, i.n_inter, LEAST(sa.n_sh, sb.n_sh) AS m
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+),
+sw AS (
+  SELECT t.pct, b.id_a, b.id_b
+  FROM base b CROSS JOIN (VALUES {vals}) t(pct)
+  WHERE 100 * b.n_inter >= t.pct * b.m
+),
+ids AS (SELECT pct, id_a AS d FROM sw UNION ALL SELECT pct, id_b AS d FROM sw)
+SELECT pct AS threshold_pct, COUNT(*) // 2 AS n_pairs,
+       COUNT(DISTINCT d) AS n_docs
+FROM ids GROUP BY pct ORDER BY threshold_pct
+"""
+    t = q["jaccard"]["threshold"]
+    return f"""
+WITH {sh},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM shh a JOIN shh b ON a.sh64 = b.sh64 AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         ROUND(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {t}
+"""
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_query9_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(21000 + seed)
+    q = _gen9(rng)
+    assert_matches_oracle(_to_spark9(spark, q), oracle, _to_sql9(q))
