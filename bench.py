@@ -170,6 +170,77 @@ def _tenx_corpus(docs):
     return tenx
 
 
+def _hundredx_corpus(docs):
+    """100× in-memory documents corpus: the 10× rotation corpus crossed
+    with a second, independent 10-way consonant rotation, so each of the
+    100 variants of a doc has a distinct shingle set and the pair space
+    stays ~linear in corpus size — the third point of the near-dup /
+    containment scaling curve (1× → 10× → 100×). Only built when the
+    SPARK_GRAFT_STRESS_100X block is enabled."""
+    from pyspark.sql import functions as F
+
+    tenx = _tenx_corpus(docs)
+    out = None
+    for k in range(10):
+        t = F.col("text")
+        if k:
+            # rotate a disjoint consonant set so the second axis is
+            # independent of the vowel/nrst rotations in _tenx_corpus
+            t = F.translate(t, "bcdfg", "bcdfg"[k % 5:] + "bcdfg"[: k % 5])
+            if k >= 5:
+                t = F.translate(t, "hjklm", "jklmh")
+        v = tenx.select(
+            (F.col("doc_id") + k * 1_000_000_000).alias("doc_id"),
+            t.alias("text"),
+        )
+        out = v if out is None else out.unionByName(v)
+    return out
+
+
+def stress_100x(spark, sf_dir: str) -> dict:
+    """Opt-in (SPARK_GRAFT_STRESS_100X=1) 100× scale point for the two
+    heaviest dedup paths — extends the measured scaling curve a decade
+    past the per-round 10× blocks. Kept out of the default bench run so
+    the driver's per-round budget stays flat; SURVEY records the
+    measured numbers with their probes."""
+    from time import perf_counter
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import dedup as DD
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    hx = _hundredx_corpus(docs)
+    n_docs = hx.count()
+    out = {"input_docs": n_docs}
+
+    probe = _cpu_probe_ms()
+    t0 = perf_counter()
+    shingled = DD.doc_shingles(hx).persist()
+    sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
+    cands = DD.lsh_candidate_pairs(sigs.drop("n_sh"), max_bucket_size=50)
+    pairs = DD.jaccard_pairs(
+        shingled, cands, threshold=0.5, sizes=sigs.select("doc_id", "n_sh")
+    )
+    out["near_dup_pairs"] = pairs.count()
+    dt = perf_counter() - t0
+    shingled.unpersist()
+    sigs.unpersist()
+    out["near_dup_seconds"] = round(dt, 3)
+    out["near_dup_docs_per_second"] = round(n_docs / dt, 1)
+    out["near_dup_probe_ms"] = probe
+
+    probe = _cpu_probe_ms()
+    t0 = perf_counter()
+    out["containment_pairs"] = DD.containment_pairs(
+        DD.doc_shingles(hx), df_cap=20, threshold=0.2
+    ).count()
+    dt = perf_counter() - t0
+    out["containment_seconds"] = round(dt, 3)
+    out["containment_docs_per_second"] = round(n_docs / dt, 1)
+    out["containment_probe_ms"] = probe
+    return out
+
+
 def _tenx_embeddings(emb):
     """10× in-memory embeddings: copy k perturbs every 10th coordinate
     (offset k−1) by a distinct factor, so the copies are genuinely
@@ -506,6 +577,8 @@ def main() -> None:
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
         "cpu_probe_ms": [probe0, _cpu_probe_ms()],
     }
+    if os.environ.get("SPARK_GRAFT_STRESS_100X"):
+        out["dedup_100x"] = stress_100x(spark, sf_dir)
     ticks1 = _cpu_ticks()
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
         out["cpu_steal_pct"] = round(

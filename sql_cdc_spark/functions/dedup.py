@@ -247,12 +247,24 @@ def _attach_sizes(
 ) -> DataFrame:
     """Join per-doc distinct-shingle counts onto (id_a, id_b, n_inter)
     as n_a/n_b; ``sizes`` (id_col, n_sh) reuses a count already produced
-    elsewhere (minhash_signatures with_sizes=True)."""
+    elsewhere (minhash_signatures with_sizes=True).
+
+    The sizes side is HINTED as the shuffle-hash build side. Without the
+    hint, AQE is free to broadcast whichever side's compressed shuffle
+    output dips under the threshold — and integer pair triples compress
+    so well that at a measured 100× stress point it chose the PAIR
+    table, collecting ~1 GiB of deserialized rows to the driver and
+    aborting on maxResultSize. Sizes is one row per doc (also too big to
+    broadcast at corpus scale), so the only plan that survives 100 TB is
+    the hash join on the id — pin it."""
     if sizes is None:
         sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return inter.join(sa, "id_a").join(sb, "id_b")
+    return (
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
+    )
 
 
 def jaccard_pairs(

@@ -532,3 +532,24 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     got = sorted(tuple(r) for r in joined.collect())
     want = sorted(tuple(r) for r in static.collect())
     assert got == want and got
+
+
+def test_pair_table_never_broadcasts_in_size_attach(spark):
+    """The 100x stress run caught AQE broadcasting the PAIR table in
+    _attach_sizes once its compressed shuffle output dipped under the
+    64 MB threshold — a ~1 GiB deserialized driver collect that aborts
+    on maxResultSize. The sizes side is hinted as the shuffle-hash build
+    side, so BOTH size attachments must plan as ShuffledHashJoin; the
+    only broadcasts left in these plans are the bounded hot-shingle /
+    candidate anti-joins."""
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import dedup as DD
+
+    docs = tables.load(spark, SF_DIR, "documents").select("doc_id", "text")
+    sh = DD.doc_shingles(docs)
+    for df in (
+        DD.containment_pairs(sh),
+        DD.jaccard_pairs(sh, threshold=0.1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ShuffledHashJoin") >= 2, plan[:2000]
