@@ -59,6 +59,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Headroom for legitimate broadcast builds in the mid-scale band
+        # where a table's COMPRESSED shuffle output sits under the 64 MB
+        # broadcast threshold but deserializes to ~1 GiB (integer-dense
+        # pair/posting tables compress ~10-30×; the 100× stress hit the
+        # default 1g here). Structurally-wrong broadcasts are fixed with
+        # per-join hints (dedup._attach_sizes); this raises the ceiling
+        # for the ones that are genuinely the right plan.
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
         # test parquet uses TIMESTAMP(NANOS), which Spark's vectorized reader
