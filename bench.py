@@ -577,7 +577,7 @@ def main() -> None:
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
         "cpu_probe_ms": [probe0, _cpu_probe_ms()],
     }
-    if os.environ.get("SPARK_GRAFT_STRESS_100X"):
+    if os.environ.get("SPARK_GRAFT_STRESS_100X") == "1":
         out["dedup_100x"] = stress_100x(spark, sf_dir)
     ticks1 = _cpu_ticks()
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:

@@ -1020,25 +1020,41 @@ def crp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sh64")
         .agg(F.count(F.lit(1)).alias("tgt_cnt"))
     )
+    pool = grams.filter(~F.col("is_tgt")).select(
+        "doc_id", F.lit(1).alias("n"), "sh64"
+    )
+    return dsir_rank_pool(pool, raw, tgt, DSIR_K)
 
+
+def dsir_rank_pool(
+    pool: DataFrame, raw: DataFrame, tgt: DataFrame, k: int = DSIR_K
+) -> DataFrame:
+    """The DSIR scoring/ranking body shared by the one-shot query and
+    the streaming census maintenance (streaming/dsir_maintenance.py),
+    so the two paths cannot drift. ``pool``: (doc_id, n, sh64) gram
+    occurrence counts of the docs to rank (the one-shot path passes
+    n=1 occurrence rows); ``raw``/``tgt``: the (sh64, raw_cnt/tgt_cnt)
+    censuses."""
     def _bits(c):
         # floor(log2(c + 1)): exact int bit-length, engine-portable
         return (F.length(F.bin(c + F.lit(1))) - F.lit(1)).cast("long")
 
     scored = (
-        grams.filter(~F.col("is_tgt"))
-        .join(raw, "sh64")
+        pool.join(raw, "sh64")
         .join(tgt, "sh64", "left")
         .select(
             "doc_id",
-            _bits(F.coalesce(F.col("tgt_cnt"), F.lit(0))).alias("__tb"),
-            _bits(F.col("raw_cnt")).alias("__rb"),
+            "n",
+            (F.col("n") * _bits(F.coalesce(F.col("tgt_cnt"), F.lit(0)))).alias(
+                "__tb"
+            ),
+            (F.col("n") * _bits(F.col("raw_cnt"))).alias("__rb"),
         )
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("n").alias("n_grams"),
             F.sum("__tb").alias("tgt_bits"),
             F.sum("__rb").alias("raw_bits"),
         )
@@ -1052,7 +1068,7 @@ def crp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("imp_rate"),
         )
         .orderBy(F.col("imp_rate").desc(), F.col("doc_id").asc())
-        .limit(DSIR_K)
+        .limit(k)
     )
 
 

@@ -35,6 +35,19 @@ def get_spark(
     reproducible across sites.
     """
     cpus = default_parallelism()
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # maxResultSize must stay well under the driver heap, or a large
+    # legitimate broadcast build OOM-kills the JVM instead of aborting
+    # with the clean maxResultSize error: cap at heap/4, floor 1g, 4g max
+    try:
+        m = driver_mem.lower()
+        if m.endswith(("m", "mb")):
+            mem_gb = int(m.rstrip("mb")) // 1024
+        else:
+            mem_gb = int(m.rstrip("gb") or "48")
+    except ValueError:
+        mem_gb = 48
+    max_result_gb = max(1, min(4, mem_gb // 4))
     # Python workers re-import this package when a UDF closure references
     # it (cloudpickle pickles module-level functions by reference), so the
     # package root must be on the workers' PYTHONPATH — the driver's
@@ -58,15 +71,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         # Headroom for legitimate broadcast builds in the mid-scale band
         # where a table's COMPRESSED shuffle output sits under the 64 MB
         # broadcast threshold but deserializes to ~1 GiB (integer-dense
         # pair/posting tables compress ~10-30×; the 100× stress hit the
         # default 1g here). Structurally-wrong broadcasts are fixed with
         # per-join hints (dedup._attach_sizes); this raises the ceiling
-        # for the ones that are genuinely the right plan.
-        .config("spark.driver.maxResultSize", "4g")
+        # for the ones that are genuinely the right plan, capped by the
+        # configured driver heap (see max_result_gb above).
+        .config("spark.driver.maxResultSize", f"{max_result_gb}g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
         # test parquet uses TIMESTAMP(NANOS), which Spark's vectorized reader

@@ -132,45 +132,14 @@ def apply_dsir_changes(
 
 def select_top(state: DSIRState, k: int = DSIR_K) -> DataFrame:
     """Rank the maintained raw pool (non-target docs) by the batch
-    query's integer-bit importance rate and keep the top ``k`` — the
-    crp_dsir_select formula with the maintained censuses in place of the
-    one-shot ones; per-(doc, gram) multiplicity ``n`` restores the
-    occurrence-level sums exactly."""
-    def _bits(c):
-        return (F.length(F.bin(c + F.lit(1))) - F.lit(1)).cast("long")
+    query's integer-bit importance rate and keep the top ``k`` — ONE
+    shared scoring body (queries/corpus_q.py::dsir_rank_pool, n-weighted
+    so per-(doc, gram) counts restore the occurrence-level sums), with
+    the maintained censuses in place of the one-shot ones."""
+    from sql_cdc_spark.queries.corpus_q import dsir_rank_pool
 
-    pool = state.dg.filter(~F.col("is_tgt"))
-    scored = (
-        pool.join(state.raw, "sh64")
-        .join(state.tgt, "sh64", "left")
-        .select(
-            "doc_id",
-            "n",
-            (F.col("n") * _bits(F.coalesce(F.col("tgt_cnt"), F.lit(0)))).alias(
-                "__tb"
-            ),
-            (F.col("n") * _bits(F.col("raw_cnt"))).alias("__rb"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("n").alias("n_grams"),
-            F.sum("__tb").alias("tgt_bits"),
-            F.sum("__rb").alias("raw_bits"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "tgt_bits",
-            "raw_bits",
-            F.round(
-                (F.col("tgt_bits") - F.col("raw_bits")) / F.col("n_grams"), 6
-            ).alias("imp_rate"),
-        )
-        .orderBy(F.col("imp_rate").desc(), F.col("doc_id").asc())
-        .limit(k)
-    )
+    pool = state.dg.filter(~F.col("is_tgt")).select("doc_id", "n", "sh64")
+    return dsir_rank_pool(pool, state.raw, state.tgt, k)
 
 
 def run_dsir_maintenance(

@@ -93,12 +93,19 @@ def read_violations(spark: SparkSession, violations_dir: str) -> DataFrame:
     case (missing dir / no evidence files yet) maps to the empty frame —
     a corrupt or unreadable evidence file PROPAGATES, because an evidence
     sink that reads errors as "clean" is the one false negative a quality
-    audit must never produce."""
-    has_files = os.path.isdir(violations_dir) and any(
-        name.endswith(".parquet")
-        for _, _, names in os.walk(violations_dir)
-        for name in names
-    )
+    audit must never produce. The emptiness probe goes through Hadoop's
+    FileSystem (not os.*), so a remote evidence sink (hdfs://, s3a://)
+    keeps the same contract instead of reading as 'clean'."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(violations_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    has_files = False
+    if fs.exists(jpath):
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                has_files = True
+                break
     if not has_files:
         return spark.createDataFrame(
             [], "rule string, n_violations long, batch_id long"

@@ -198,8 +198,12 @@ def drain_feed(
         # an incomplete answer: the still-running stream keeps applying
         # batches and release_fn-ing the very object the caller would
         # hold. Stop the stream and fail loudly; the checkpoint makes the
-        # next drain resume exactly where this one was cut off.
+        # next drain resume exactly where this one was cut off. The last
+        # applied state is released too (ownership transferred to this
+        # drain — the docstring contract), so repeated timeouts in a
+        # long-lived session don't accumulate orphaned checkpoint blocks.
         query.stop()
+        release_fn(holder["state"])
         raise TimeoutError(
             f"feed drain at {feed_dir} exceeded {timeout_s}s after "
             f"{holder['batches']} batches; checkpoint {checkpoint_dir} "

@@ -344,7 +344,9 @@ def test_dsir_select_matches_oracle(spark, oracle):
         assert r.n_grams > 0
         assert 0 <= r.tgt_bits
         assert 0 <= r.raw_bits
-        assert r.imp_rate == round((r.tgt_bits - r.raw_bits) / r.n_grams, 6)
+        # tolerance, not equality: Spark ROUND is HALF_UP while
+        # Python's round() is banker's — they diverge on exact 6-dp ties
+        assert abs(r.imp_rate - (r.tgt_bits - r.raw_bits) / r.n_grams) < 1e-6
     # the scored pool is exactly the below-gate docs; the kept set is the
     # top-K of the total order over that pool
     pool = {
