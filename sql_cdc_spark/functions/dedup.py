@@ -244,27 +244,32 @@ def _attach_sizes(
     hashed: DataFrame,
     id_col: str,
     sizes: DataFrame | None,
+    pin_shuffle: bool = False,
 ) -> DataFrame:
     """Join per-doc distinct-shingle counts onto (id_a, id_b, n_inter)
     as n_a/n_b; ``sizes`` (id_col, n_sh) reuses a count already produced
     elsewhere (minhash_signatures with_sizes=True).
 
-    The sizes side is HINTED as the shuffle-hash build side. Without the
-    hint, AQE is free to broadcast whichever side's compressed shuffle
-    output dips under the threshold — and integer pair triples compress
-    so well that at a measured 100× stress point it chose the PAIR
-    table, collecting ~1 GiB of deserialized rows to the driver and
-    aborting on maxResultSize. Sizes is one row per doc (also too big to
-    broadcast at corpus scale), so the only plan that survives 100 TB is
-    the hash join on the id — pin it."""
+    ``pin_shuffle`` hints the sizes side as the shuffle-hash build side.
+    Callers whose pair table is UNBOUNDED (the blocking paths — no
+    candidate cap, pair count grows with shared-shingle density) must
+    pin: AQE broadcasts whichever side's compressed shuffle output dips
+    under the threshold, and integer pair triples compress so well that
+    at a measured 100× stress point it chose the PAIR table, collecting
+    ~1 GiB of deserialized rows to the driver and aborting on
+    maxResultSize. Sizes is one row per doc (also not broadcastable at
+    corpus scale), so the blocking paths' only 100 TB-viable plan is the
+    id-keyed hash join. The LSH CANDIDATE path's inter is bucket-cap-
+    bounded and stays unpinned — its broadcast is only ever chosen when
+    genuinely small, and the heap-derived maxResultSize covers the
+    mid-band."""
     if sizes is None:
         sizes = hashed.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        inter.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
-    )
+    if pin_shuffle:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def jaccard_pairs(
@@ -292,7 +297,11 @@ def jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
     return (
-        _attach_sizes(inter, hashed, id_col, sizes)
+        # blocking path (no candidates): the pair table is unbounded, pin
+        # the shuffle-hash plan; candidate path: cap-bounded, leave AQE free
+        _attach_sizes(
+            inter, hashed, id_col, sizes, pin_shuffle=candidates is None
+        )
         .select(
             "id_a",
             "id_b",
@@ -392,7 +401,8 @@ def _containment_base(
     inter = pairs.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_inter")
     )
-    return _attach_sizes(inter, rare_sh, id_col, None)
+    # blocking path: unbounded pair table — pin the shuffle-hash plan
+    return _attach_sizes(inter, rare_sh, id_col, None, pin_shuffle=True)
 
 
 def containment_sweep(

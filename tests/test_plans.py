@@ -308,9 +308,10 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "rel_customer_order_stats": 2,
     "win_order_ranks": 1,
     "dd_exact": 1,
-    "dd_near_dup_pairs": 26,  # grouped LSH pair generation (late-r4);
-    # +2: the size attachments shuffle-hash instead of letting AQE pick a
-    # broadcast side — the 100x stress proved it picks the PAIR table
+    "dd_near_dup_pairs": 24,  # grouped LSH pair generation (late-r4);
+    # candidate path: cap-bounded inter, AQE keeps the broadcast size
+    # joins (the shuffle-hash pin applies only to the unbounded blocking
+    # paths — see dedup._attach_sizes)
 
     "sim_topk_cosine": 1,
     "txt_quality_score": 0,
