@@ -238,6 +238,71 @@ def stress_100x(spark, sf_dir: str) -> dict:
     out["containment_seconds"] = round(dt, 3)
     out["containment_docs_per_second"] = round(n_docs / dt, 1)
     out["containment_probe_ms"] = probe
+
+    # vectors side: the bucketed k-NN self-join and the SemDeDup election
+    # at 100× vectors, bits scaled with the corpus (≈ log2(N / target
+    # occupancy)) so per-bucket cost stays flat — the documented knob
+    from sql_cdc_spark.queries.similarity_q import (
+        bucket_vectors,
+        elect_dropped,
+        knn_join,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # persist the synthesized corpus: the self-join reads it from both
+    # sides, and recomputing the 100-branch generation per side is
+    # generator cost, not operator cost — a real corpus is a parquet scan
+    hemb = _hundredx_embeddings(emb).persist()
+    n_vecs = hemb.count()
+    bits = 14
+    probe = _cpu_probe_ms()
+    t0 = perf_counter()
+    out["knn_matched_vecs"] = knn_join(hemb, n_bits=bits).count()
+    dt = perf_counter() - t0
+    out["n_vecs"] = n_vecs
+    out["knn_bits"] = bits
+    out["knn_seconds"] = round(dt, 3)
+    out["knn_vecs_per_second"] = round(n_vecs / dt, 1)
+    out["knn_probe_ms"] = probe
+
+    probe = _cpu_probe_ms()
+    t0 = perf_counter()
+    out["semdedup_dropped"] = elect_dropped(
+        bucket_vectors(hemb, n_bits=bits)
+    ).count()
+    dt = perf_counter() - t0
+    out["semdedup_seconds"] = round(dt, 3)
+    out["semdedup_vecs_per_second"] = round(n_vecs / dt, 1)
+    out["semdedup_probe_ms"] = probe
+    hemb.unpersist()
+    return out
+
+
+def _hundredx_embeddings(emb):
+    """100× in-memory embeddings: the 10× perturbation corpus crossed
+    with a second, independent coordinate-stride perturbation — 100
+    genuinely distinct near-source vectors per base vector. Only built
+    for the opt-in 100× stress block."""
+    from pyspark.sql import functions as F
+
+    tenx = _tenx_embeddings(emb)
+    out = None
+    for k in range(10):
+        e = F.col("embedding").cast("array<double>")
+        if k:
+            e = F.transform(
+                e,
+                lambda x, i: F.when(
+                    i % 7 == (k - 1), x * (1.0 - 0.02 * k)
+                ).otherwise(x),
+            )
+        v = tenx.select(
+            (F.col("vec_id") + k * 1_000_000_000).alias("vec_id"),
+            e.alias("embedding"),
+        )
+        out = v if out is None else out.unionByName(v)
     return out
 
 

@@ -681,30 +681,40 @@ def knn_join(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:
             "bucket"
         ),
     )
-    a = vb.select(
-        F.col("vec_id"), F.col("embedding").alias("__ea"), "bucket"
-    )
-    c = vb.select(
-        F.col("vec_id").alias("nn_id"),
-        F.col("embedding").alias("__ec"),
-        "bucket",
-    )
+    joined = _salted_bucket_pairs(vb, "nn_id")
     ea = SIM.as_double_array(F.col("__ea"))
     ec = SIM.as_double_array(F.col("__ec"))
+    cos = SIM.cosine(ea, ec)
+    # Bijective bigint encoding of the (cos desc, nn_id asc) argmax:
+    # 6-dp cosine (+1e6 shift, 21 bits) in the high bits, the id
+    # complement (2^40-1 − nn) in the low 40 — plain max() picks the
+    # highest cosine, ties to the SMALLEST neighbor id, and decodes back
+    # out. A struct max_by forces SortAggregate (two full sorts of the
+    # pair table + skew stragglers, ~250-300 s at the 100× stress vs
+    # ~20 s for this hash-aggregable form — same lesson as
+    # elect_dropped). Contract: ids must fit 40 bits (1.1e12); the
+    # repo's corpora top out near 2^34.
+    cos_micro = F.round(cos * 1_000_000).cast("long")
+    key = (cos_micro + F.lit(1_000_000)) * F.lit(1 << 40) + (
+        F.lit((1 << 40) - 1) - F.col("nn_id")
+    )
     pairs = (
-        a.join(c, "bucket")
+        joined
         .filter(F.col("vec_id") != F.col("nn_id"))
-        .select("vec_id", "nn_id", SIM.cosine(ea, ec).alias("cos_sim"))
+        .select("vec_id", key.alias("k"))
     )
     best = (
         pairs.groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct("nn_id", "cos_sim"),
-                F.struct(F.col("cos_sim"), -F.col("nn_id")),
-            ).alias("r")
+        .agg(F.max("k").alias("k"))
+        .select(
+            "vec_id",
+            (F.lit((1 << 40) - 1) - F.col("k") % F.lit(1 << 40)).alias(
+                "nn_id"
+            ),
+            (
+                (F.expr(f"k div {1 << 40}") - F.lit(1_000_000)) / F.lit(1e6)
+            ).alias("cos_sim"),
         )
-        .select("vec_id", "r.nn_id", "r.cos_sim")
         .orderBy("vec_id")
     )
     return best
@@ -733,6 +743,39 @@ ORDER BY vec_id
 
 
 SEMDEDUP_T = 0.35  # within-bucket cosine above which a doc is redundant
+BUCKET_SALT = 16   # fan-out of the salted bucket self-joins (see below)
+
+
+def _salted_bucket_pairs(vb: DataFrame, right_id: str) -> DataFrame:
+    """The bucket self-join of knn_join / elect_dropped, SALTED: the
+    left side takes a deterministic id-hash salt, the right side is
+    replicated to every salt value, and the join key becomes
+    (bucket, salt) — every pair produced exactly once, but a hot
+    bucket's pair space splits ``BUCKET_SALT`` ways across tasks.
+
+    Why this exists (100×-measured): real embeddings cluster, so a few
+    SRP buckets go mega (max 2,798 of 200k vectors) and the per-pair
+    64-dim cosine is interpreted expression work — one shuffle
+    partition ends up owning most of the 56M-pair compute while its
+    BYTE size stays far under AQE's skew-split threshold (byte-based
+    skew detection cannot see compute-bound rows). Measured: 400+ s
+    with a straggler tail unsalted vs ~17 s salted on the same pairs.
+    Cost: the right side is duplicated ×16 BEFORE its shuffle — 3.2M
+    rows at the stress point, nothing against the pair space."""
+    sa = vb.select(
+        F.col("vec_id"), F.col("embedding").alias("__ea"), "bucket"
+    ).withColumn(
+        "__s", F.pmod(F.xxhash64("vec_id"), F.lit(BUCKET_SALT)).cast("int")
+    )
+    sc = vb.select(
+        F.col("vec_id").alias(right_id),
+        F.col("embedding").alias("__ec"),
+        "bucket",
+    ).withColumn(
+        "__s",
+        F.explode(F.array(*[F.lit(i) for i in range(BUCKET_SALT)])),
+    )
+    return sa.join(sc, ["bucket", "__s"]).drop("__s")
 
 
 def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,33 +819,53 @@ def elect_dropped(vb: DataFrame) -> DataFrame:
     """The SemDeDup election over a bucketed (vec_id, embedding, bucket)
     frame — see sim_semantic_dedup. Unordered; a vector's row depends
     ONLY on its own bucket's membership, which is what makes per-bucket
-    incremental recomputation exact (streaming/semdedup_maintenance.py)."""
-    a = vb.select(F.col("vec_id"), F.col("embedding").alias("__ea"), "bucket")
-    c = vb.select(
-        F.col("vec_id").alias("__mate"),
-        F.col("embedding").alias("__ec"),
-        "bucket",
-    )
+    incremental recomputation exact (streaming/semdedup_maintenance.py).
+
+    Two 100×-measured plan rules are baked in. (1) The threshold is a
+    PROJECTION (null-when-below key, aggregated with null-ignoring min),
+    not a filter: a pair-level ``cos >= τ`` predicate gets pushed INTO
+    the bucket join's condition, where the 64-dim cosine is evaluated
+    per candidate outside codegen and then AGAIN in the projection.
+    (2) The election aggregates a plain ENCODED BIGINT, not a struct:
+    min/max over a struct forces SortAggregate — two full sorts of the
+    pair table plus a skew-bound straggler tail, measured ~250-300 s at
+    100× vs ~20 s for the hash-aggregable encoded form."""
+    joined = _salted_bucket_pairs(vb, "__mate")
     ea = SIM.as_double_array(F.col("__ea"))
     ec = SIM.as_double_array(F.col("__ec"))
-    dup = (
-        a.join(c, "bucket")
+    cos = SIM.cosine(ea, ec)
+    # Bijective bigint encoding of (mate, cos): mate in the high bits so
+    # plain min() IS the smallest-qualifying-mate election, the 6-dp
+    # cosine (already rounded by SIM.cosine; +1e6 shift keeps it
+    # non-negative) in the low 21 bits so the keeper's score decodes
+    # back out. Why not min_by/min-over-struct: a struct aggregate
+    # forces SortAggregate — the 100× stress measured the struct form at
+    # ~250-300 s vs ~20 s for this hash-aggregable plain min over the
+    # same 56M pairs (plus two full sorts and a skew-bound straggler
+    # tail this avoids). Contract: ids must fit 42 bits (4.4e12) so the
+    # shifted key stays under 2^63 — documented, far above any corpus id
+    # in the repo including the 100× synthetics (~2^34).
+    cos_micro = F.round(cos * 1_000_000).cast("long")
+    key = F.when(
+        cos >= SEMDEDUP_T,
+        F.col("__mate") * F.lit(1 << 21) + (cos_micro + F.lit(1_000_000)),
+    )
+    pairs = (
+        joined
         .filter(F.col("__mate") < F.col("vec_id"))
-        .select(
-            "vec_id",
-            "bucket",
-            "__mate",
-            SIM.cosine(ea, ec).alias("__cos"),
-        )
-        .filter(F.col("__cos") >= SEMDEDUP_T)
+        .select("vec_id", "bucket", key.alias("k"))
     )
     return (
-        dup.groupBy("vec_id", "bucket")
-        .agg(F.min_by(F.struct("__mate", "__cos"), F.col("__mate")).alias("k"))
+        pairs.groupBy("vec_id", "bucket")
+        # nulls (below-threshold pairs) ignored; all-null groups drop out
+        .agg(F.min("k").alias("k"))
+        .filter(F.col("k").isNotNull())
         .select(
             "vec_id",
-            F.col("k.__mate").alias("keeper_id"),
-            F.col("k.__cos").alias("cos_sim"),
+            F.expr(f"k div {1 << 21}").alias("keeper_id"),
+            (
+                (F.col("k") % F.lit(1 << 21) - F.lit(1_000_000)) / F.lit(1e6)
+            ).alias("cos_sim"),
             "bucket",
         )
     )
