@@ -10,6 +10,15 @@ collect cost — the same shape a cluster run would have. Queries cover
 every engine domain: the flagship CDC document pipeline, scan-heavy
 aggregation, the big header⨝line join, window functions, MinHash-LSH
 near-dedup, similarity top-k, and text scoring.
+
+Output budget (learned in r4): the driver records only the LAST 2000
+characters of stdout and parses the JSON line out of that tail — r4's
+line grew past it (extended + queued + stress blocks) and the round's
+official record became an unparseable truncated string. So stdout gets
+a SMALL line — headline queries plus per-group totals — and the full
+detail (extended/round-5 per-query timings, CDC pipeline dict, 10×/100×
+stress blocks, probes) is written to BENCH_DETAIL.json next to this
+file, referenced from the stdout line by name.
 """
 
 from __future__ import annotations
@@ -66,6 +75,25 @@ EXTENDED = [
     "dd_incremental_containment",  # rarity-flip-exact containment upkeep
     "rel_dq_audit",             # star-schema expectation suite
     "sim_random_projection",    # JL 64→16 sketch, scan-local
+]
+
+
+# Registered in round 5 (the 13 late-r4 operators); timed as their own
+# group so HEADLINE and EXTENDED stay comparable across rounds.
+ROUND5 = [
+    "dd_containment_sweep",     # shares the cached containment base
+    "crp_fuzzy_contamination",  # near-dup eval-overlap evidence rows
+    "rel_topn_other_rollup",    # top-N + OTHER report
+    "evt_collapse_runs",        # gaps-and-islands run collapse
+    "dd_source_overlap",        # source-pair duplication matrix
+    "sim_knn_join",             # bucketed k-NN self-join
+    "evt_rolling_actives",      # rolling distinct-active census
+    "evt_props_topk",           # typed JSON property top-k
+    "txt_quality_gate",         # multi-rule quality gate
+    "crp_ngram_lm_score",       # trigram-LM perplexity proxy
+    "crp_filter_funnel",        # stage-attrition census
+    "crp_dsir_select",          # DSIR importance resampling
+    "sim_semantic_dedup",       # SemDeDup bucket election
 ]
 
 
@@ -525,7 +553,11 @@ def main() -> None:
 
     from sql_cdc_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # progress bars / console chatter must never land on stdout: the
+    # driver parses the JSON line out of a 2000-char stdout tail
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -538,43 +570,8 @@ def main() -> None:
     # comes in multi-second windows — consecutive repeats of one query
     # would all land inside one window, so each pass runs the whole list
     # before repeating, spreading every query's samples minutes apart
-    # late-r4 queries whose registry entries land in round 5 — timed from
-    # their modules so this round's bench still carries their numbers;
-    # kept OUT of headline/extended so those stay round-comparable
-    from sql_cdc_spark.queries.corpus_q import (
-        crp_dsir_select,
-        crp_filter_funnel,
-        crp_fuzzy_contamination,
-        crp_ngram_lm_score,
-    )
-    from sql_cdc_spark.queries.dedup_q import dd_containment_sweep, dd_source_overlap
-    from sql_cdc_spark.queries.events_q import (
-        evt_collapse_runs,
-        evt_props_topk,
-        evt_rolling_actives,
-    )
-    from sql_cdc_spark.queries.relational_q import rel_topn_other_rollup
-    from sql_cdc_spark.queries.similarity_q import sim_knn_join, sim_semantic_dedup
-    from sql_cdc_spark.queries.text_q import txt_quality_gate
-
-    r5_queued = {
-        "dd_containment_sweep": dd_containment_sweep,
-        "crp_fuzzy_contamination": crp_fuzzy_contamination,
-        "rel_topn_other_rollup": rel_topn_other_rollup,
-        "evt_collapse_runs": evt_collapse_runs,
-        "dd_source_overlap": dd_source_overlap,
-        "sim_knn_join": sim_knn_join,
-        "evt_rolling_actives": evt_rolling_actives,
-        "evt_props_topk": evt_props_topk,
-        "txt_quality_gate": txt_quality_gate,
-        "crp_ngram_lm_score": crp_ngram_lm_score,
-        "crp_filter_funnel": crp_filter_funnel,
-        "crp_dsir_select": crp_dsir_select,
-        "sim_semantic_dedup": sim_semantic_dedup,
-    }
-    all_names = HEADLINE + EXTENDED + list(r5_queued)
-    dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE + EXTENDED}
-    dfs.update({name: fn(spark, sf_dir) for name, fn in r5_queued.items()})
+    all_names = HEADLINE + EXTENDED + ROUND5
+    dfs = {name: qs[name](spark, sf_dir) for name in all_names}
     timings: dict[str, float] = {name: float("inf") for name in all_names}
     for _ in range(3):
         for name in all_names:
@@ -583,7 +580,7 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {name: round(t, 3) for name, t in timings.items()}
     ext_timings = {name: timings.pop(name) for name in EXTENDED}
-    r5_timings = {name: timings.pop(name) for name in r5_queued}
+    r5_timings = {name: timings.pop(name) for name in ROUND5}
 
     # pipeline throughput: best of 2 (same contention rationale; each run
     # writes 25k files so the pair is spread ~10s apart naturally)
@@ -600,23 +597,17 @@ def main() -> None:
         knn_passes.append(knn_10x_stress(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
+    detail = {
         "extended_queries": ext_timings,
-        "r5_queued_queries": r5_timings,
-        "sf": sf,
+        "round5_queries": r5_timings,
         "cdc_pipeline": cdc,
         # best-of-2 for the one-shot scale blocks: a single pass landing
         # in a host-contention window (probe 2×+ baseline) would record a
-        # bogus 2-4× scale number; per-pass probes make each attributable
-        # INTERLEAVED best-of-2 for the stress blocks: back-to-back
-        # passes of one block can both land inside a single multi-minute
-        # contention window (measured: 51.9 s twice in one run vs 5.5 s
-        # clean); alternating the blocks spreads each block's two
-        # samples minutes apart, same defense as the query passes
+        # bogus 2-4× scale number; per-pass probes make each attributable.
+        # INTERLEAVED best-of-2: back-to-back passes of one block can both
+        # land inside a single multi-minute contention window (measured:
+        # 51.9 s twice in one run vs 5.5 s clean); alternating the blocks
+        # spreads each block's two samples minutes apart.
         "dd_near_dup_pairs_10x": min(nd_passes, key=lambda r: r["seconds"]),
         "dd_containment_pairs_10x": min(ct_passes, key=lambda r: r["seconds"]),
         # per-metric best-of: one pass can be clean for the scaled run
@@ -640,16 +631,42 @@ def main() -> None:
             "probe_ms": [p["probe_ms"] for p in knn_passes],
         },
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
-        "cpu_probe_ms": [probe0, _cpu_probe_ms()],
     }
     if os.environ.get("SPARK_GRAFT_STRESS_100X") == "1":
-        out["dedup_100x"] = stress_100x(spark, sf_dir)
+        detail["dedup_100x"] = stress_100x(spark, sf_dir)
+
+    # the driver-facing line: headline per-query + group TOTALS only,
+    # kept well under the 2000-char stdout tail the driver records
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extended_total": round(sum(ext_timings.values()), 3),
+        "round5_total": round(sum(r5_timings.values()), 3),
+        "cdc_invoices_per_second": cdc["invoices_per_second"],
+        "cdc_partitioned_per_second": cdc[
+            "partitioned_sink_invoices_per_second"
+        ],
+        "detail_file": "BENCH_DETAIL.json",
+        "cpu_probe_ms": [probe0, _cpu_probe_ms()],
+    }
     ticks1 = _cpu_ticks()
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:
         out["cpu_steal_pct"] = round(
             100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 1
         )
-    print(json.dumps(out))
+    detail.update(
+        {k: out[k] for k in ("cpu_probe_ms",) if k in out}
+    )
+    detail["headline"] = dict(out)
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    line = json.dumps(out)
+    # hard guard on the driver contract: the tail capture is 2000 chars
+    assert len(line) < 1900, f"stdout line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -321,6 +321,7 @@ def containment_pairs(
     df_cap: int = 20,
     threshold: float = 0.2,
     rare: DataFrame | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment — |R(A)∩R(B)| / min(|R(A)|, |R(B)|)
     over the RARE-shingle domain R (document frequency ≤ ``df_cap``) —
@@ -343,15 +344,24 @@ def containment_pairs(
     to (id_a, id_b, n_inter) — no distinct candidate materialization,
     no second expansion over full shingle sets (the r4 bench caught
     that shape at 14.7 s for sf0.1; this runs the same data in ~2.4 s),
-    and no self-join second shuffle (see _containment_base's A/B). All
+    and no self-join second shuffle (see containment_base's A/B). All
     joins compare 8-byte ints.
 
     ``rare``: optionally the already-derived rare-domain postings
     (id, sh64) — callers that materialize the df census anyway
     (``build_containment_state``) pass it so the corpus-wide groupBy
-    and hot anti-join run once, not twice."""
+    and hot anti-join run once, not twice.
+
+    ``base``: optionally the already-built unthresholded pair table
+    from ``containment_base`` — a session running BOTH this and
+    ``containment_sweep`` over the same corpus persists the base once
+    and both consume it (the two queries differ only in their cheap
+    final projection/aggregation; see queries/dedup_q.py's per-session
+    cache, VERDICT r4 #5)."""
+    if base is None:
+        base = containment_base(shingled, id_col, df_cap, rare)
     return (
-        _containment_base(shingled, id_col, df_cap, rare)
+        base
         .select(
             "id_a",
             "id_b",
@@ -365,7 +375,7 @@ def containment_pairs(
     )
 
 
-def _containment_base(
+def containment_base(
     shingled: DataFrame,
     id_col: str,
     df_cap: int,
@@ -410,6 +420,7 @@ def containment_sweep(
     id_col: str = "doc_id",
     df_cap: int = 20,
     thresholds_pct: tuple[int, ...] = (10, 20, 50),
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Operating-point sweep for containment dedup: per integer-percent
     threshold, how many pairs fire and how many distinct docs they touch
@@ -417,6 +428,10 @@ def containment_sweep(
     committing a dedup pass, computed from ONE shared intersection table
     (the expensive rare-domain self-join runs once; each extra threshold
     adds only a literal row to a generator, never a second corpus scan).
+
+    ``base``: optionally the prebuilt unthresholded pair table — see
+    ``containment_pairs``; the sweep and the pair query share one
+    persisted base when a session runs both.
 
     Thresholds are integer percents and the test is cleared of division
     — ``100·n_inter ≥ pct·min(n_a, n_b)`` — so pair membership is
@@ -430,7 +445,8 @@ def containment_sweep(
     by |thresholds|, and the single aggregation carries a count plus a
     distinct-doc count per threshold. No second shuffle of corpus data.
     """
-    base = _containment_base(shingled, id_col, df_cap)
+    if base is None:
+        base = containment_base(shingled, id_col, df_cap)
     sw = base.select(
         F.explode(
             F.array(*[F.lit(int(p)) for p in thresholds_pct])

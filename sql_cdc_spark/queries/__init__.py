@@ -50,41 +50,26 @@ def _registry() -> dict[str, QueryEntry]:
     # — the families whose last driver check is oldest; (3) demoted
     # long-greens stay covered every round by the local pytest oracle
     # suite, which runs ALL queries vs DuckDB at sf0.01.
-    # Round-4 rotation: pay the rotation debt. The ~31 r1-green singles
-    # demoted in r3 (rel_/fn_/win_ singles, tpch q3/q5/q10/q18) are the
-    # stalest signal — the full front modules come back IN; the freshly
-    # r3-green rows (view rollup, string ops, ntile/percent_rank/range
-    # frame, tpch q4/q6/q14/q19) rotate OUT to make room. Changed/new
-    # this round and therefore pinned in-window: tpch_q12 (oracle cast
-    # fix), evt_histogram (floor-div binning), dd_lsh_candidate_pairs
-    # (fold-overflow guard), the three new TPC-H shapes (q7/q8/q21) and
-    # the incremental near-dup maintenance query. Remaining slots go to
-    # the stalest r2-greens (evt/cdc/dd/sim/txt/mm/scl singles).
-    # Round-5 plan (publish per VERDICT r3 #2): FIRST the twenty-two
-    # r1/r2-green singles that ceded r4 slots to new operators, in this
-    # order — rel_sample_avg, rel_distinct_flags, fn_date_arithmetic,
-    # fn_timestamp_format, fn_hash_bucket, rel_cross_join_small,
-    # rel_derived_columns, rel_filter_composite, rel_union_all_segments,
-    # rel_multi_hop_dims, win_lag_delta, win_moving_avg,
-    # win_running_total, rel_rollup_lineitem, rel_pivot_status,
-    # rel_intersect_buyers, rel_except_lost_customers,
-    # rel_semi_join_big_spenders, rel_top_revenue_orders,
-    # rel_cube_status_flag, win_latest_n_per_user,
-    # cdc_flagship_changed_invoices (each
-    # individually justified in the demote list below; all stay
-    # pytest-oracle + fuzzer-family covered
-    # meanwhile) — then txt_token_stats,
-    # mm_media_catalog, scl_salted_pricing (bumped from the r4 window by
-    # the late tpch additions), then the rest of the r2-green
-    # singles (cdc_keyset_resume, cdc_latest_event_per_user,
-    # cdc_union_distinct_keys, cdc_bounded_batch, cdc_version_watermark,
-    # dd_jaccard_pairs, dd_simhash, dd_simhash_pairs,
-    # dd_embedding_dup_pairs, sim_lsh_buckets, sim_bucketed_topk,
+    # Round-5 rotation (executes the plan published in r4; see git
+    # history for the r1-r4 narratives): the window below is explicit.
+    # (1) The thirteen late-r4 operators that deliberately deferred
+    # their registry entries enter FIRST — they are ADDED this round and
+    # the invariant "every query added or changed in round N is
+    # driver-checked in round N" pins them in-window. (2)
+    # dd_containment_pairs is CHANGED this round (the containment family
+    # now shares one cached rare-domain intersection base per session —
+    # VERDICT r4 #5), so it re-enters alongside its sweep twin. (3) The
+    # twenty-two r1/r2-green singles that ceded r4 slots re-enter in the
+    # published order, then txt_token_stats / mm_media_catalog /
+    # scl_salted_pricing (bumped from r4 by the late tpch additions).
+    # (4) The remaining slots take the head of the published r2-green
+    # stale list; sim_multiprobe_topk (its tail) cedes its slot to the
+    # dd_containment_pairs re-entry and HEADS the round-6 stale list:
     # sim_multiprobe_topk, txt_bpe_tokens, txt_rolling_fingerprint,
     # txt_quality_score, txt_language_id, mm_decode_features,
     # mm_resize_digest, mm_frame_sample, scl_salted_join_segments,
-    # scl_group_zscore) rotate in, the then-stale r3-greens fill the
-    # remainder.
+    # scl_group_zscore, then the then-stale r3/r4 greens (the r4 tpch
+    # completions and the SCD2/sketch/scale families).
     for mod in (
         relational_q,
         functions_q,
@@ -103,156 +88,70 @@ def _registry() -> dict[str, QueryEntry]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         reg.update(mod.QUERIES)
-    # Pull the queries CHANGED this round that live in back modules into
-    # the window right after the four front modules, then fill remaining
-    # slots with the stalest r2-green singles: every touched query must
-    # be driver-checked the round it changes.
-    priority = [
-        "evt_histogram",                 # CHANGED r4: floor-div binning
-        "dd_lsh_candidate_pairs",        # CHANGED r4: fold-overflow guard
-        "dd_incremental_near_dup",       # NEW r4: CDC-driven dedup maintenance
-        "dd_incremental_containment",    # NEW r4: global-rarity-exact twin
-        "sim_random_projection",         # NEW r4: JL ±1 projection, int-exact
-        "evt_rate_anomaly",              # NEW r4: exact integer z² rate flags
-        "cdc_replica_as_of",             # NEW r4: point-in-time reconstruction
-        "cdc_incremental_join_view",     # NEW r4: delta join-view maintenance
-        "dd_duplicate_spans",            # NEW r4: cross-doc substring census
-        "sim_pq_topk",                   # NEW r4: product-quantization ANN
-        "evt_heavy_hitters_cms",         # NEW r4: count-min heavy hitters
-        "scl_zorder_key",                # NEW r4: Z-order layout key
-        "cdc_scd2_history",              # NEW r4: SCD Type 2 history build
-        "cdc_scd2_incremental",          # NEW r4: SCD2 merge == full recompute
-        "cdc_snapshot_diff",             # NEW r4: replica diff between versions
-        "crp_pps_sample",                # NEW r4: weighted systematic sampler
-        "scl_bloom_pruned_join",         # NEW r4: runtime Bloom semi-join prune
-        "dd_containment_pairs",          # NEW r4: asymmetric shingle containment
-        "crp_chunk_documents",           # NEW r4: overlapping context chunking
-        "crp_length_buckets",            # NEW r4: padding-efficiency census
-        "evt_sketch_setops",             # NEW r4: HLL union/intersection algebra
-        "cdc_scd2_temporal_join",        # NEW r4: as-of dimension enrichment
-        "evt_gap_fill_locf",             # NEW r4: LOCF time-series gap fill
-        "evt_join_size_estimate",        # NEW r4: CMS inner-product join sizing
-        # the stalest r2-green single (cdc_flagship_changed_invoices) was
-        # budgeted for the final slot but ceded it to the incremental-
-        # containment query (new queries MUST be window-checked the round
-        # they land); it now HEADS the round-5 stale list below. Its
-        # change-collapse semantics stay covered this round by the local
-        # oracle suite and by cdc_flagship_documents (in-window, same
-        # _all_changes path).
-        # Eight more r2-green singles were budgeted here but ceded their
-        # slots to the seven TPC-H completions (q1/q2/q9/q11/q15/q16/q20
-        # enter via the front tpch module) and the as-of query.
-            # dd_containment_sweep (functions/dedup.py::containment_sweep),
-        # crp_fuzzy_contamination (corpus_q.fuzzy_contamination_pairs),
-        # rel_topn_other_rollup (relational_q), evt_collapse_runs
-        # (events_q), dd_source_overlap (dedup_q), sim_knn_join
-        # (similarity_q), evt_rolling_actives + evt_props_topk (events_q),
-        # txt_quality_gate (text_q), crp_ngram_lm_score + crp_filter_funnel
-        # + crp_dsir_select (corpus_q), sim_semantic_dedup (similarity_q)
-        # were built late in r4 AFTER the
-        # window closed: all
-        # are fully implemented and oracle-parity-gated in pytest (their
-        # test_*_matches_oracle tests in test_llm_ops/test_pipelines/
-        # test_queries_oracle run the exact driver comparison at sf0.01),
-        # but their registry entries are deliberately deferred to round 5
-        # so the published invariant "every registry query added or
-        # changed in round N is driver-checked in round N" stays true.
-        # They enter the r5 window alongside the stale list below.
-    # Round-5 stale list, in order: cdc_flagship_changed_invoices,
-        # txt_token_stats, mm_media_catalog,
-        # scl_salted_pricing, dd_exact, evt_value_percentiles,
-        # evt_sliding_windows, evt_late_data_filter, evt_top_users_per_day,
-        # cdc_changes_scan, dd_minhash_signatures, sim_topk_cosine, then
-        # the r2 singles already listed in the round-5 plan above, then
-        # the then-stale r3/r4 greens.
-    ]
-    # demoted to the back to keep the window ≤50: rows freshly green in
-    # the ROUND-3 driver run (CORRECTNESS_r03, all hash_match) and
-    # untouched this round — they rotate back in round 5. Every demoted
-    # row stays covered every round by the local pytest oracle suite.
-    demote = [
-        # r1-green singles whose window slots the four late-r4 operators
-        # took (join-view IVM, duplicate spans, PQ ANN, CMS heavy
-        # hitters) — the VERDICT r3 two-round overflow option. These four
-        # are the most change-isolated of the stale set (single-table
-        # projections/scalar functions, no shared helpers touched this
-        # round) and re-enter FIRST in round 5, ahead of the round-5
-        # stale list below.
+    # The round-5 driver window, explicit and order-significant: the
+    # driver hash-checks exactly these 50, top to bottom. Guarded by
+    # tests/test_operator_guards.py::test_registry_window_holds_all_round5_queries.
+    window = [
+        # -- added this round (the 13 late-r4 operators) --------------
+        "dd_containment_sweep",      # multi-threshold containment census
+        "crp_fuzzy_contamination",   # eval-overlap via near-dup pairs
+        "rel_topn_other_rollup",     # top-N + OTHER rollup report
+        "evt_collapse_runs",         # gaps-and-islands run collapse
+        "dd_source_overlap",         # source-pair duplication matrix
+        "sim_knn_join",              # bucketed nearest-neighbor self-join
+        "evt_rolling_actives",       # rolling distinct-active census
+        "evt_props_topk",            # JSON property top-k (typed)
+        "txt_quality_gate",          # multi-rule quality gate + reasons
+        "crp_ngram_lm_score",        # trigram-LM perplexity proxy
+        "crp_filter_funnel",         # pipeline-stage attrition census
+        "crp_dsir_select",           # DSIR importance resampling
+        "sim_semantic_dedup",        # SemDeDup bucket election
+        # -- changed this round (shared containment base, VERDICT r4 #5)
+        "dd_containment_pairs",
+        # -- rotation debt: the 22 published r1/r2-green singles ------
         "rel_sample_avg",
         "rel_distinct_flags",
         "fn_date_arithmetic",
         "fn_timestamp_format",
         "fn_hash_bucket",
-        # four more r1-green singles ceded to the SCD2/snapshot-diff/PPS
-        # quartet (same overflow option; change-isolated single-table
-        # projections, re-enter in round 5 right after the five above)
         "rel_cross_join_small",
         "rel_derived_columns",
         "rel_filter_composite",
         "rel_union_all_segments",
         "rel_multi_hop_dims",
-        # three r1-green window singles ceded to the containment/chunking/
-        # length-bucket trio (same overflow option). Lowest-risk choice in
-        # the stale set: every win_ frame shape is re-proven against
-        # DuckDB each round by fuzzer family 4 (random window frames,
-        # tests/test_fuzz_oracle.py) on top of the full oracle suite.
-        # Re-enter in round 5 right after the ten rel_/fn_ singles above.
         "win_lag_delta",
         "win_moving_avg",
         "win_running_total",
-        # ceded to the HLL set-algebra query: ROLLUP grouping-set shapes
-        # are randomly re-proven vs DuckDB every round by fuzzer family 2.
-        # Re-enters round 5 with the window singles above.
         "rel_rollup_lineitem",
-        # ceded to the SCD2 temporal join: PIVOT compiles to the
-        # conditional-aggregate shape family 2 fuzzes every round.
-        # Re-enters round 5 with the singles above.
         "rel_pivot_status",
-        # ceded to the LOCF gap fill and the CMS join-size estimator:
-        # INTERSECT/EXCEPT set-op shapes are fuzzed every round by
-        # family 5. Both re-enter round 5 with the singles above.
         "rel_intersect_buyers",
         "rel_except_lost_customers",
-        # ceded to rel_unpivot_measures (the semi-join EXISTS shape is
-        # fuzzed every round by family 5). Re-enters round 5.
         "rel_semi_join_big_spenders",
-        # ceded to rel_dq_audit (the TakeOrdered top-k shape stays
-        # window-checked via tpch_q3/q10 and fuzzed by family 1's topk
-        # branch every round). Re-enters round 5 with the singles above.
         "rel_top_revenue_orders",
-        # ceded to sim_random_projection (CUBE compiles to the same
-        # grouping-set/conditional-agg family fuzzer family 2 re-proves
-        # every round, like rel_rollup_lineitem above). Re-enters round 5
-        # with the singles above.
         "rel_cube_status_flag",
-        # ceded to evt_rate_anomaly (the per-key ranked top-n shape stays
-        # covered by win_order_ranks in-window and family 1's window
-        # branch). Re-enters round 5 with the singles above.
         "win_latest_n_per_user",
-        "rel_invoice_view_rollup",
-        "rel_anti_join_no_orders",
-        "rel_above_avg_orders",
-        "fn_string_ops",
-        "fn_bson_roundtrip",
-        "win_ntile_quartiles",
-        "win_percent_rank",
-        "win_time_range_sum",
-        "tpch_q6_forecast_revenue",
-        "tpch_q4_late_order_priority",
-        "tpch_q14_promo_revenue",
-        "tpch_q19_discounted_revenue",
+        "cdc_flagship_changed_invoices",
+        # -- bumped from the r4 window by the late tpch additions -----
+        "txt_token_stats",
+        "mm_media_catalog",
+        "scl_salted_pricing",
+        # -- head of the published r2-green stale list ----------------
+        "cdc_keyset_resume",
+        "cdc_latest_event_per_user",
+        "cdc_union_distinct_keys",
+        "cdc_bounded_batch",
+        "cdc_version_watermark",
+        "dd_jaccard_pairs",
+        "dd_simhash",
+        "dd_simhash_pairs",
+        "dd_embedding_dup_pairs",
+        "sim_lsh_buckets",
+        "sim_bucketed_topk",
     ]
-    front = {n: reg[n] for m in (relational_q, functions_q, windows_q, tpch_q)
-             for n in m.QUERIES if n not in demote}
-    ordered = dict(front)
-    for n in priority:
-        # a priority name already emitted by a front module would keep its
-        # old dict position and silently no-op the intended placement
-        assert n not in ordered, f"priority query {n} already placed"
-        ordered[n] = reg[n]
-    assert len(ordered) <= 50, (
-        f"rotation overflows the driver's 50-entry window: {len(ordered)}"
-    )
+    assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
+    missing = [n for n in window if n not in reg]
+    assert not missing, f"window names absent from registry: {missing}"
+    ordered = {n: reg[n] for n in window}
     for n, e in reg.items():
         if n not in ordered:
             ordered[n] = e

@@ -675,9 +675,9 @@ def crp_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     (test_doc_id, train_doc_id, jaccard ≥ 0.5) — the evidence rows an
     eval owner reviews before dropping test docs.
 
-    Registry status: oracle-parity-gated in pytest this round
-    (tests/test_pipelines.py); enters the driver window in round 5 with
-    dd_containment_sweep (the r4 window was fully committed)."""
+    Registry status: oracle-parity-gated in pytest
+    (tests/test_pipelines.py); registered in the round-5 driver
+    window."""
     return fuzzy_contamination_pairs(tables.load(spark, sf_dir, "documents"))
 
 
@@ -773,8 +773,8 @@ def crp_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     it incrementally and scores fresh docs against the materialized
     state.
 
-    Registry status: oracle-parity-gated in pytest this round; enters
-    the driver window in round 5 with the other late-r4 queries."""
+    Registry status: oracle-parity-gated in pytest this round; registered
+    in the round-5 driver window."""
     from sql_cdc_spark.functions import dedup as DD
 
     docs = tables.load(spark, sf_dir, "documents")
@@ -870,8 +870,8 @@ def crp_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     global aggregate emitting a single row — conditional counts, and the
     dedup stage as a conditional COUNT(DISTINCT digest) over survivors.
 
-    Registry status: oracle-parity-gated in pytest this round; enters
-    the driver window in round 5 with the other late-r4 queries."""
+    Registry status: oracle-parity-gated in pytest this round; registered
+    in the round-5 driver window."""
     return filter_funnel(tables.load(spark, sf_dir, "documents"))
 
 
@@ -994,8 +994,8 @@ def crp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan tokenizes the corpus once per census branch; the repeated-use
     path materializes the censuses (streaming/lm_maintenance.py shape).
 
-    Registry status: oracle-parity-gated in pytest this round; enters
-    the driver window in round 5 with the other late-r4 queries."""
+    Registry status: oracle-parity-gated in pytest this round; registered
+    in the round-5 driver window."""
     from sql_cdc_spark.functions import dedup as DD
 
     docs = tables.load(spark, sf_dir, "documents")
@@ -1124,4 +1124,10 @@ QUERIES: dict[str, QueryEntry] = {
     "crp_pps_sample": QueryEntry(crp_pps_sample, _pps_sql()),
     "crp_chunk_documents": QueryEntry(crp_chunk_documents, _CHUNK_SQL),
     "crp_length_buckets": QueryEntry(crp_length_buckets, _length_buckets_sql()),
+    "crp_fuzzy_contamination": QueryEntry(
+        crp_fuzzy_contamination, _fuzzy_contamination_sql()
+    ),
+    "crp_ngram_lm_score": QueryEntry(crp_ngram_lm_score, _ngram_lm_sql()),
+    "crp_filter_funnel": QueryEntry(crp_filter_funnel, _FILTER_FUNNEL_SQL),
+    "crp_dsir_select": QueryEntry(crp_dsir_select, _dsir_sql()),
 }

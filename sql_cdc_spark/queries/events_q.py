@@ -1081,8 +1081,8 @@ def evt_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, so the partitioning is reused); no partition-less window
     anywhere.
 
-    Registry status: oracle-parity-gated in pytest this round; enters
-    the driver window in round 5 with the other late-r4 queries."""
+    Registry status: oracle-parity-gated in pytest this round; registered
+    in the round-5 driver window."""
     ev = tables.load(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
@@ -1147,8 +1147,8 @@ def evt_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     Day floor and the output timestamp use integer-microsecond
     arithmetic (the repo's timestamp rule).
 
-    Registry status: oracle-parity-gated in pytest this round; enters
-    the driver window in round 5 with the other late-r4 queries."""
+    Registry status: oracle-parity-gated in pytest this round; registered
+    in the round-5 driver window."""
     ev = tables.load(spark, sf_dir, "events")
     ud = (
         ev.select(
@@ -1214,20 +1214,25 @@ def evt_props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-census, never the fact table. Ties break on k ascending; rank
     emitted as bigint (driver hash is type-sensitive).
 
-    Registry status: oracle-parity-gated in pytest this round; enters
-    the driver window in round 5 with the other late-r4 queries."""
+    Registry status: oracle-parity-gated in pytest this round; registered
+    in the round-5 driver window."""
     ev = tables.load(spark, sf_dir, "events")
     # gate on an integer-literal regex BEFORE the cast: Spark's non-ANSI
     # cast returns NULL for non-integral strings while DuckDB's CAST
     # raises, so a shared pre-cast predicate is the only form both
-    # engines agree on for malformed $.k payloads
+    # engines agree on for malformed $.k payloads. The {1,18} bound is
+    # part of the same contract: a 19+-digit string can overflow BIGINT,
+    # where Spark's cast yields NULL (row kept, null k) but DuckDB
+    # raises — bounding the magnitude in the shared predicate makes both
+    # engines drop out-of-range values identically (18 digits is always
+    # < 2^63; the max-int64 19-digit corner never reaches the cast).
     raw_k = F.get_json_object("props", "$.k")
     kv = ev.select(
         "event_type",
         raw_k.alias("raw_k"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     ).filter(
-        F.col("raw_k").rlike(r"^-?[0-9]+$")
+        F.col("raw_k").rlike(r"^-?[0-9]{1,18}$")
     ).select(
         "event_type",
         F.col("raw_k").cast("long").alias("k"),
@@ -1253,7 +1258,7 @@ WITH kv AS (
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
   FROM events
-  WHERE regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+  WHERE regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]{{1,18}}$')
 ),
 agg AS (
   SELECT event_type, k, COUNT(*) AS n,
@@ -1295,4 +1300,7 @@ QUERIES: dict[str, QueryEntry] = {
     "evt_interval_join_buckets": QueryEntry(
         evt_interval_join_buckets, _IVJ_SQL
     ),
+    "evt_collapse_runs": QueryEntry(evt_collapse_runs, _COLLAPSE_RUNS_SQL),
+    "evt_rolling_actives": QueryEntry(evt_rolling_actives, _ROLLING_ACTIVES_SQL),
+    "evt_props_topk": QueryEntry(evt_props_topk, _PROPS_TOPK_SQL),
 }

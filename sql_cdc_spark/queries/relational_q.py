@@ -696,9 +696,9 @@ def rel_topn_other_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     union(top-rows, tail-aggregate) that evaluates the ranked subtree
     twice. Revenue in exact integer cents (round-per-row → bigint sum).
 
-    Registry status: oracle-parity-gated in pytest this round
-    (tests/test_queries_oracle.py); enters the driver window in round 5
-    with dd_containment_sweep and crp_fuzzy_contamination."""
+    Registry status: oracle-parity-gated in pytest
+    (tests/test_queries_oracle.py); registered in the round-5 driver
+    window."""
     from pyspark.sql.window import Window
 
     orders = tables.load(spark, sf_dir, "orders")
@@ -762,6 +762,7 @@ ORDER BY n_name, rnk
 
 QUERIES: dict[str, QueryEntry] = {
     "rel_dq_audit": QueryEntry(rel_dq_audit, _DQ_AUDIT_SQL),
+    "rel_topn_other_rollup": QueryEntry(rel_topn_other_rollup, _TOPN_OTHER_SQL),
     "rel_pricing_summary": QueryEntry(rel_pricing_summary, _PRICING_SQL),
     "rel_cube_status_flag": QueryEntry(rel_cube_status_flag, _CUBE_SQL),
     "rel_intersect_buyers": QueryEntry(rel_intersect_buyers, _INTERSECT_SQL),

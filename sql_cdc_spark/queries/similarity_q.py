@@ -663,8 +663,8 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, a 100 TB corpus runs the same plan at 20+ bits (or the IVF
     coarse quantizer) so occupancy, and thus per-bucket cost, stays flat.
 
-    Registry status: oracle-parity-gated in pytest this round; enters
-    the driver window in round 5 with the other late-r4 queries."""
+    Registry status: oracle-parity-gated in pytest this round; registered
+    in the round-5 driver window."""
     return knn_join(tables.load(spark, sf_dir, "embeddings"))
 
 
@@ -906,4 +906,6 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_norm_stats": QueryEntry(sim_norm_stats, _NORM_STATS_SQL),
     "sim_embedding_quantize": QueryEntry(sim_embedding_quantize, _QUANTIZE_SQL),
     "sim_quantized_topk": QueryEntry(sim_quantized_topk, _QTOPK_SQL),
+    "sim_knn_join": QueryEntry(sim_knn_join, _knn_join_sql()),
+    "sim_semantic_dedup": QueryEntry(sim_semantic_dedup, _semantic_dedup_sql()),
 }

@@ -314,8 +314,8 @@ def txt_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     All comparisons are bigint (quantized micro-units), so the lower
     median and tie handling are bit-identical on any engine.
 
-    Registry status: oracle-parity-gated in pytest this round; enters
-    the driver window in round 5 with the other late-r4 queries."""
+    Registry status: oracle-parity-gated in pytest this round; registered
+    in the round-5 driver window."""
     docs = tables.load(spark, sf_dir, "documents")
     q_u = F.round(TX.quality_score(F.col("text")) * 1e6).cast("long")
     hist = (
@@ -359,4 +359,5 @@ QUERIES: dict[str, QueryEntry] = {
     "txt_bigram_topk": QueryEntry(txt_bigram_topk, _BIGRAM_SQL),
     "txt_doc_frequency": QueryEntry(txt_doc_frequency, _DOC_FREQ_SQL),
     "txt_pii_redact": QueryEntry(txt_pii_redact, _PII_SQL),
+    "txt_quality_gate": QueryEntry(txt_quality_gate, _QUALITY_GATE_SQL),
 }

@@ -38,16 +38,20 @@ def get_spark(
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     # maxResultSize must stay well under the driver heap, or a large
     # legitimate broadcast build OOM-kills the JVM instead of aborting
-    # with the clean maxResultSize error: cap at heap/4, floor 1g, 4g max
+    # with the clean maxResultSize error: heap/4, floored at 256 MB and
+    # capped at 4 GB — computed in MB so a small configured heap (e.g.
+    # SPARK_GRAFT_DRIVER_MEM=512m or 2g) can never be assigned a limit
+    # at or above the heap itself, which would reintroduce the
+    # OOM-instead-of-clean-abort failure this exists to prevent
     try:
         m = driver_mem.lower()
         if m.endswith(("m", "mb")):
-            mem_gb = int(m.rstrip("mb")) // 1024
+            heap_mb = int(m.rstrip("mb"))
         else:
-            mem_gb = int(m.rstrip("gb") or "48")
+            heap_mb = int(m.rstrip("gb") or "48") * 1024
     except ValueError:
-        mem_gb = 48
-    max_result_gb = max(1, min(4, mem_gb // 4))
+        heap_mb = 48 * 1024
+    max_result_mb = min(4096, max(256, heap_mb // 4))
     # Python workers re-import this package when a UDF closure references
     # it (cloudpickle pickles module-level functions by reference), so the
     # package root must be on the workers' PYTHONPATH — the driver's
@@ -80,7 +84,7 @@ def get_spark(
         # per-join hints (dedup._attach_sizes); this raises the ceiling
         # for the ones that are genuinely the right plan, capped by the
         # configured driver heap (see max_result_gb above).
-        .config("spark.driver.maxResultSize", f"{max_result_gb}g")
+        .config("spark.driver.maxResultSize", f"{max_result_mb}m")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
         # test parquet uses TIMESTAMP(NANOS), which Spark's vectorized reader

@@ -110,10 +110,11 @@ def read_changelog(spark: SparkSession, log_dir: str) -> DataFrame:
 
     Cold start: a consumer can come up before the producer has written a
     single change — a missing log dir is created empty (schema'd read of
-    zero rows) rather than failing PATH_NOT_FOUND."""
-    import os
+    zero rows) rather than failing PATH_NOT_FOUND; via Hadoop FileSystem
+    so remote log dirs keep the contract (fsutil, ADVICE r4)."""
+    from sql_cdc_spark.streaming.fsutil import ensure_dir
 
-    os.makedirs(log_dir, exist_ok=True)
+    ensure_dir(spark, log_dir)
     df = spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir)
     if "version_bucket" in df.columns:
         df = df.drop("version_bucket")
@@ -148,9 +149,9 @@ def read_changelog_stream(spark: SparkSession, log_dir: str, max_files_per_trigg
     """Streaming view (file source). maxFilesPerTrigger is the
     backpressure bound — the reference's `limit` param analog (T8).
     Missing dir = empty cold-start log, same as the batch view."""
-    import os
+    from sql_cdc_spark.streaming.fsutil import ensure_dir
 
-    os.makedirs(log_dir, exist_ok=True)
+    ensure_dir(spark, log_dir)
     reader = spark.readStream.schema(CHANGELOG_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

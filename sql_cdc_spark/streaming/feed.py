@@ -40,10 +40,12 @@ def read_feed(
     Cold start: a maintenance job legitimately comes up before its feed
     has produced a single file, so a missing directory is created empty
     here (drain sees zero batches) instead of failing PATH_NOT_FOUND in
-    every maintenance module at once."""
-    import os
+    every maintenance module at once — via the Hadoop FileSystem API
+    (fsutil.ensure_dir), so a remote feed dir (hdfs://, s3a://) gets the
+    same contract instead of a bogus local mkdir (ADVICE r4)."""
+    from sql_cdc_spark.streaming.fsutil import ensure_dir
 
-    os.makedirs(feed_dir, exist_ok=True)
+    ensure_dir(spark, feed_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
@@ -68,15 +70,13 @@ def discover_feed_schema(spark: SparkSession, feed_dir: str, required: str):
     the evolved schema IS the contract until the first file lands.
 
     Returns the merged StructType to pass to ``read_feed``."""
-    import os
-
     from pyspark.sql.types import StructType
 
+    from sql_cdc_spark.streaming.fsutil import ensure_dir, has_parquet_files
+
     req = StructType.fromDDL(required)
-    os.makedirs(feed_dir, exist_ok=True)
-    if not any(
-        name.endswith(".parquet") for name in os.listdir(feed_dir)
-    ):
+    ensure_dir(spark, feed_dir)
+    if not has_parquet_files(spark, feed_dir):
         return req
     merged = (
         spark.read.option("mergeSchema", "true").parquet(feed_dir).schema

@@ -219,10 +219,16 @@ def manifest_from_state(
 
 def collapse_batch(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Latest-op-per-doc collapse carrying the multi-column payload
-    (lang, source, text); same winning rule as feed.collapse_latest."""
+    (lang, source, text); same winning rule as feed.collapse_latest —
+    including its (version, op, payload) ORDERING key, so a
+    same-version U/D duplicate pair (at-least-once source racing an
+    update against a delete) resolves deterministically and replay
+    routes the doc identically, which the idempotence claims both
+    modules inherit require (ADVICE r4)."""
     latest = batch_df.groupBy("doc_id").agg(
         F.max_by(
-            F.struct("op", "lang", "source", "text"), F.col("change_version")
+            F.struct("op", "lang", "source", "text"),
+            F.struct("change_version", "op", "lang", "source", "text"),
         ).alias("w")
     )
     upserts = latest.filter(

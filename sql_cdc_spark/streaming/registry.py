@@ -208,7 +208,7 @@ class JdbcSyncStateRegistry:
         finally:
             ps.close()
 
-    def _upsert(self, conn, state: SyncState) -> None:
+    def _try_update(self, conn, state: SyncState) -> bool:
         up = conn.prepareStatement(
             "UPDATE sync_state SET last_sync_version = ?, "
             "last_processed_id = ?, last_sync_time = ? WHERE sync_name = ?"
@@ -218,10 +218,20 @@ class JdbcSyncStateRegistry:
             up.setLong(2, state.last_processed_id)
             up.setDouble(3, state.last_sync_time)
             up.setString(4, state.sync_name)
-            if up.executeUpdate() > 0:
-                return
+            return up.executeUpdate() > 0
         finally:
             up.close()
+
+    def _upsert(self, conn, state: SyncState) -> None:
+        """UPDATE, INSERT if absent, and on a duplicate-key loss retry
+        the UPDATE once — the standard portable upsert fallback loop.
+        advance() is single-writer by contract, but first-use
+        auto-create (read() on a consumer no process has seen) is a
+        legitimate multi-process entry point: two processes can race the
+        INSERT, and the loser's duplicate-key failure just means the row
+        now exists — so it must UPDATE, not propagate (ADVICE r4)."""
+        if self._try_update(conn, state):
+            return
         ins = conn.prepareStatement(
             "INSERT INTO sync_state VALUES (?, ?, ?, ?)"
         )
@@ -231,6 +241,11 @@ class JdbcSyncStateRegistry:
             ins.setLong(3, state.last_processed_id)
             ins.setDouble(4, state.last_sync_time)
             ins.executeUpdate()
+        except Exception:  # noqa: BLE001 — duplicate-key race: another
+            # process inserted between our UPDATE and INSERT; the retry
+            # UPDATE must now hit the row, else it was a real error
+            if not self._try_update(conn, state):
+                raise
         finally:
             ins.close()
 

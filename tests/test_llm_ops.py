@@ -1222,7 +1222,7 @@ def test_grouped_pairing_equals_self_join_randomized(spark):
         df_cap = rng.choice([2, 5, 20])
         got_c = {
             (r.id_a, r.id_b, r.n_a, r.n_b, r.n_inter)
-            for r in DD._containment_base(sh, "doc_id", df_cap).collect()
+            for r in DD.containment_base(sh, "doc_id", df_cap).collect()
         }
         hashed = sh.select("doc_id", "sh64")
         hot = (

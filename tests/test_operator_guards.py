@@ -26,7 +26,7 @@ def test_salted_join_matches_unsalted_inner_and_left(spark):
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_registry_window_holds_all_round4_queries():
+def test_registry_window_holds_all_round5_queries():
     """Driver contract: only the first 50 registry entries are
     hash-checked per round, so every query added or changed this round
     must sit inside that window — silently rotating one out would skip
@@ -34,89 +34,55 @@ def test_registry_window_holds_all_round4_queries():
     from sql_cdc_spark.queries import _registry
 
     window = list(_registry())[:50]
-    round4_new = [
-        "tpch_q12_priority_by_status",   # oracle HUGEINT→BIGINT cast fix
-        "evt_histogram",                 # floor-division binning fix
-        "dd_lsh_candidate_pairs",        # band-key fold overflow guard
-        "tpch_q7_nation_volume",         # NEW: nation-pair volume
-        "tpch_q8_market_share",          # NEW: two-level market share
-        "tpch_q21_waiting_suppliers",    # NEW: decorrelated EXISTS chain
-        "dd_incremental_near_dup",       # NEW: CDC-driven dedup maintenance
-        "dd_incremental_containment",    # NEW: global-rarity-exact twin
-        "tpch_q13_customer_distribution",  # NEW: outer-join count dist
-        "tpch_q17_small_quantity_revenue", # NEW: decorrelated avg subquery
-        "tpch_q22_global_sales_opportunity",  # NEW: scalar subq + anti join
-        "tpch_q1_pricing_summary",       # NEW: full 8-agg pricing report
-        "tpch_q2_min_cost_supplier",     # NEW: correlated-MIN subquery
-        "tpch_q9_product_type_profit",   # NEW: profit by nation/year
-        "tpch_q11_important_stock",      # NEW: scalar-threshold HAVING
-        "tpch_q15_top_supplier",         # NEW: scalar-MAX view query
-        "tpch_q16_supplier_part_counts", # NEW: count-distinct + NOT IN
-        "tpch_q20_excess_suppliers",     # NEW: nested-IN semi join
-        "cdc_replica_as_of",             # NEW: point-in-time reconstruction
-        "cdc_incremental_join_view",     # NEW: delta join-view maintenance
-        "dd_duplicate_spans",            # NEW: cross-doc substring census
-        "sim_pq_topk",                   # NEW: product-quantization ANN
-        "evt_heavy_hitters_cms",         # NEW: count-min heavy hitters
-        "scl_zorder_key",                # NEW: Z-order layout key
-        "cdc_scd2_history",              # NEW: SCD Type 2 history build
-        "cdc_scd2_incremental",          # NEW: SCD2 merge == full recompute
-        "cdc_snapshot_diff",             # NEW: replica diff between versions
-        "crp_pps_sample",                # NEW: weighted systematic sampler
-        "scl_bloom_pruned_join",         # NEW: runtime Bloom semi-join prune
-        "dd_containment_pairs",          # NEW: asymmetric shingle containment
-        "crp_chunk_documents",           # NEW: overlapping context chunking
-        "crp_length_buckets",            # NEW: padding-efficiency census
-        "evt_sketch_setops",             # NEW: HLL union/intersection algebra
-        "cdc_scd2_temporal_join",        # NEW: as-of dimension enrichment
-        "evt_gap_fill_locf",             # NEW: LOCF time-series gap fill
-        "evt_join_size_estimate",        # NEW: CMS inner-product join sizing
-        "rel_unpivot_measures",          # NEW: stack()-based UNPIVOT/melt
-        "rel_dq_audit",                  # NEW: star-schema DQ expectation suite
-        "sim_random_projection",         # NEW: JL ±1 projection, int-exact
-        "evt_rate_anomaly",              # NEW: exact integer z² rate flags
+    round5_new = [
+        # the 13 late-r4 operators whose registry entries were deferred
+        # to round 5 so "added in round N => driver-checked in round N"
+        # stayed true (VERDICT r4 #1)
+        "dd_containment_sweep",      # multi-threshold containment census
+        "crp_fuzzy_contamination",   # eval-overlap via near-dup pairs
+        "rel_topn_other_rollup",     # top-N + OTHER rollup report
+        "evt_collapse_runs",         # gaps-and-islands run collapse
+        "dd_source_overlap",         # source-pair duplication matrix
+        "sim_knn_join",              # bucketed nearest-neighbor self-join
+        "evt_rolling_actives",       # rolling distinct-active census
+        "evt_props_topk",            # JSON property top-k (typed; r5
+                                     #   BIGINT-overflow pre-cast fix)
+        "txt_quality_gate",          # multi-rule quality gate + reasons
+        "crp_ngram_lm_score",        # trigram-LM perplexity proxy
+        "crp_filter_funnel",         # pipeline-stage attrition census
+        "crp_dsir_select",           # DSIR importance resampling
+        "sim_semantic_dedup",        # SemDeDup bucket election
+        # changed r5: shares the session-cached rare-domain containment
+        # base with dd_containment_sweep (VERDICT r4 #5)
+        "dd_containment_pairs",
     ]
-    missing = [n for n in round4_new if n not in window]
+    missing = [n for n in round5_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
-    # rotation-debt payoff (VERDICT r3 #2): the r1-green singles demoted
-    # for two rounds must be back inside the window this round. Four of
-    # them (rel_sample_avg, rel_distinct_flags, fn_date_arithmetic,
-    # fn_timestamp_format, fn_hash_bucket) ceded their slots to the five
-    # late-r4 operators, and four more (rel_cross_join_small,
-    # rel_derived_columns, rel_filter_composite, rel_union_all_segments,
-    # rel_multi_hop_dims) to the SCD2/snapshot-diff/PPS/bloom additions,
-    # under the verdict's published two-round overflow option —
-    # they re-enter FIRST in round 5 (see queries/__init__.py demote
-    # comment) and stay pytest-oracle-covered meanwhile.
-    # win_lag_delta / win_moving_avg / win_running_total ceded their r4
-    # slots to the containment/chunking/length-bucket trio (two-round
-    # overflow option; re-enter round 5 per the demote comment) — their
-    # frame shapes are re-proven vs DuckDB every round by fuzzer family 4.
-    # rel_rollup_lineitem likewise ceded its slot to evt_sketch_setops,
-    # rel_pivot_status to cdc_scd2_temporal_join (ROLLUP and PIVOT both
-    # compile to the conditional-agg shapes fuzzer family 2 re-proves
-    # every round), and rel_intersect_buyers to evt_gap_fill_locf
-    # (INTERSECT is fuzzed every round by family 5), as did
-    # rel_except_lost_customers to evt_join_size_estimate and
-    # rel_semi_join_big_spenders to rel_unpivot_measures (EXCEPT and the
-    # EXISTS semi shape are in the same family-5 rotation).
-    # rel_top_revenue_orders ceded its slot to rel_dq_audit late in r4
-    # (top-k shape stays window-checked via tpch_q3/q10 and fuzzed by
-    # family 1's topk branch), and rel_cube_status_flag to
-    # sim_random_projection (CUBE is the grouping-set/conditional-agg
-    # family fuzzer family 2 re-proves); both re-enter round 5 with the
-    # singles above. win_latest_n_per_user ceded to evt_rate_anomaly
-    # (ranked top-n per key stays covered by win_order_ranks in-window
-    # and family 1's window branch); re-enters round 5.
-    stale_r1 = [
-        "tpch_q10_returned_items", "rel_customer_order_stats",
-        "tpch_q18_large_orders",
-        "fn_invoice_numbering", "fn_json_extract", "win_order_ranks",
-        "rel_pricing_summary", "rel_header_line_view",
-        "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    # rotation-debt payoff, exactly as published in the r4 registry
+    # comment: the twenty-two r1/r2-green singles that ceded their r4
+    # slots re-enter this round, plus the three bumped by the late tpch
+    # additions, plus the head of the r2-green stale list.
+    stale_r5 = [
+        "rel_sample_avg", "rel_distinct_flags", "fn_date_arithmetic",
+        "fn_timestamp_format", "fn_hash_bucket", "rel_cross_join_small",
+        "rel_derived_columns", "rel_filter_composite",
+        "rel_union_all_segments", "rel_multi_hop_dims", "win_lag_delta",
+        "win_moving_avg", "win_running_total", "rel_rollup_lineitem",
+        "rel_pivot_status", "rel_intersect_buyers",
+        "rel_except_lost_customers", "rel_semi_join_big_spenders",
+        "rel_top_revenue_orders", "rel_cube_status_flag",
+        "win_latest_n_per_user", "cdc_flagship_changed_invoices",
+        "txt_token_stats", "mm_media_catalog", "scl_salted_pricing",
+        "cdc_keyset_resume", "cdc_latest_event_per_user",
+        "cdc_union_distinct_keys", "cdc_bounded_batch",
+        "cdc_version_watermark", "dd_jaccard_pairs", "dd_simhash",
+        "dd_simhash_pairs", "dd_embedding_dup_pairs", "sim_lsh_buckets",
+        "sim_bucketed_topk",
     ]
-    stale_missing = [n for n in stale_r1 if n not in window]
+    stale_missing = [n for n in stale_r5 if n not in window]
     assert not stale_missing, f"rotation debt unpaid: {stale_missing}"
+    # no wasted slots: the pinned sets fill the window exactly
+    assert len(set(round5_new) | set(stale_r5)) == 50 == len(window)
 
 
 def test_refresh_aggregate_groups_matches_full_recompute(spark):

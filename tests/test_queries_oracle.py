@@ -146,6 +146,41 @@ def test_props_topk_matches_oracle(spark, oracle):
             assert (a.n, -a.k) >= (b.n, -b.k)
 
 
+def test_props_topk_predicate_drops_bigint_overflow(spark, oracle):
+    """The shared pre-cast predicate must reject integer STRINGS that
+    overflow BIGINT on both engines identically: Spark's non-ANSI
+    cast('long') turns them into NULL (row silently kept) while
+    DuckDB's CAST raises — the {1,18} length bound keeps the oversized
+    payload from ever reaching either cast (ADVICE r4)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    overflow = "12345678901234567890123"  # 23 digits ≫ int64
+    ok = "42"
+    vals = [overflow, "-" + overflow, ok, "-7", "9" * 18, "9" * 19]
+    pred = r"^-?[0-9]{1,18}$"
+    df = spark.createDataFrame([(v,) for v in vals], ["raw_k"])
+    kept_spark = sorted(
+        r.raw_k
+        for r in df.filter(F.col("raw_k").rlike(pred)).collect()
+    )
+    con = duckdb.connect()
+    values = ", ".join(f"('{v}')" for v in vals)
+    kept_duck = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT raw_k FROM (VALUES {values}) t(raw_k) "
+            f"WHERE regexp_matches(raw_k, '^-?[0-9]{{1,18}}$')"
+        ).fetchall()
+    )
+    assert kept_spark == kept_duck == sorted([ok, "-7", "9" * 18])
+    # and the survivors cast cleanly on the DuckDB side (no raise)
+    con.execute(
+        f"SELECT CAST(raw_k AS BIGINT) FROM (VALUES {values}) t(raw_k) "
+        f"WHERE regexp_matches(raw_k, '^-?[0-9]{{1,18}}$')"
+    ).fetchall()
+
+
 def test_quality_gate_matches_oracle(spark, oracle):
     """Oracle-parity gate for txt_quality_gate ahead of its round-5
     driver-window entry. The median is independently recomputed with
