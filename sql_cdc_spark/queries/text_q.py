@@ -350,6 +350,180 @@ FROM cum GROUP BY lang ORDER BY lang
 """
 
 
+# BM25 constants, shared by the Spark plan and the oracle. k1 = 6/5 and
+# b = 3/4 as exact rationals; the query is a fixed term set so the whole
+# operator is SQL-expressible (per-term df + one tf census).
+BM25_QUERY = ("dup", "slow", "spark")
+BM25_TOPK = 10
+
+
+def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 lexical search over the documents table — the
+    retrieval primitive a RAG/corpus engine pairs with the ANN family
+    (sparse + dense hybrid search). Scores the fixed query term set
+    BM25_QUERY with k1=6/5, b=3/4 cleared of all floating point:
+
+    - saturation term: tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+      multiplied out over 20·A (A = 1000·total_tokens div N, the
+      milli-scaled average doc length) to the all-integer
+      (44000·tf·A) div (20·tf·A + 6·A + 18000·dl) — per-mille units.
+      Clearing over A instead of total keeps every product under
+      44000·tf_max·A_max ≈ 4.4e18 < 2^63 even at corpus scale, where
+      clearing over total_tokens (~1e13 at 100 TB) would overflow.
+    - idf surrogate: floor(log2(2(N−df)+1)) − floor(log2(2df+1)),
+      FLOORED AT 1 — the bin-length trick crp_ngram_lm_score proved
+      out (length(bin(x))−1 on both engines), monotone in the classic
+      (N−df+0.5)/(df+0.5) odds ratio. The floor (where classic BM25
+      lets idf go to ~0) keeps a matched common term worth at least
+      its saturation weight: on corpora whose query terms are frequent
+      the classic weight degenerates to an all-zero report, and a
+      search operator that returns ties-by-id is vacuous. Rare terms
+      still dominate (their bits dwarf the floor).
+
+    score_milli = Σ_terms idf_bits · sat_milli: pure bigint algebra, so
+    the ranking hashes identically on any engine. Top-k with doc_id
+    tiebreak plans as TakeOrderedAndProject.
+
+    Scale shape: one token explode filtered to the query terms AT THE
+    SCAN (|hits| ≪ corpus), one (doc, term) count, a |terms|-row df
+    aggregate and a one-row corpus census both broadcast back, one
+    per-doc sum, per-partition top-k heaps. The corpus is scanned twice
+    (census + hits) and never shuffled whole.
+
+    Registry status: implemented and oracle-parity-gated in pytest this
+    round; registration deferred to round 6 (the round-5 window was
+    committed when this landed — same discipline as the r4 deferrals)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    words = TX.normalize_words(F.col("text"))
+    base = docs.select("doc_id", F.size(words).alias("dl"), words.alias("w"))
+    census = base.agg(
+        F.count(F.lit(1)).alias("N"),
+        F.sum("dl").cast("long").alias("total"),
+    ).select("N", "total", F.expr("1000 * total div N").alias("A"))
+    hits = (
+        base.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+    )
+    tf = hits.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(census))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(1).cast("long"),
+                (
+                    (F.length(F.bin(2 * (F.col("N") - F.col("df")) + 1)) - 1)
+                    - (F.length(F.bin(2 * F.col("df") + 1)) - 1)
+                ).cast("long"),
+            ).alias("idf_bits"),
+            F.expr(
+                "(44000 * tf * A) div (20 * tf * A + 6 * A + 18000 * dl)"
+            ).alias("sat_milli"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.col("idf_bits") * F.col("sat_milli")).alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(string_split_regex({_NORM_SQL}, '\s+')) AS dl,
+         string_split_regex({_NORM_SQL}, '\s+') AS w
+  FROM documents
+),
+census AS (
+  SELECT COUNT(*) AS N, CAST(SUM(dl) AS BIGINT) AS total,
+         1000 * CAST(SUM(dl) AS BIGINT) // COUNT(*) AS A
+  FROM base
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(w) AS term FROM base)
+  WHERE term IN ({terms})
+  GROUP BY 1, 2, 3
+),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         GREATEST(1, (length(bin(2 * (c.N - dfc.df) + 1)) - 1)
+                    - (length(bin(2 * dfc.df + 1)) - 1)) AS idf_bits,
+         (44000 * tf.tf * c.A) // (20 * tf.tf * c.A + 6 * c.A + 18000 * tf.dl)
+           AS sat_milli
+  FROM tf JOIN dfc USING (term) CROSS JOIN census c
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(idf_bits * sat_milli) AS BIGINT) AS score_milli
+FROM scored GROUP BY doc_id
+ORDER BY score_milli DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+# BPE merge-candidate census: adjacent sub-token pair frequencies — the
+# counting step of one byte-pair-encoding merge round, at corpus scale.
+BPE_PAIR_TOPK = 20
+
+
+def txt_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top merge candidates for one BPE round: frequencies of ADJACENT
+    sub-token pairs over the corpus (the argmax of this census IS the
+    next BPE merge). Sub-tokens come from the same pre-tokenization
+    regex as txt_bpe_tokens; pairs are formed in-row with a positional
+    transform (no self-join), so the only shuffle is the pair groupBy —
+    map-side combined, the vocabulary-induction shape that holds at
+    100 TB. Top-k with (left, right) tiebreak so the report is total-
+    ordered on any engine.
+
+    Registry status: implemented and oracle-parity-gated in pytest this
+    round; registration deferred to round 6 (same discipline as the r4
+    deferrals)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = TX.bpe_tokens(F.col("text"))
+    pairs = F.expr(
+        "transform(slice(__t, 1, greatest(size(__t) - 1, 0)), "
+        "(x, i) -> struct(x AS left, element_at(__t, i + 2) AS right))"
+    )
+    return (
+        docs.select(toks.alias("__t"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.left", "p.right")
+        .groupBy("left", "right")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("left").asc(), F.col("right").asc())
+        .limit(BPE_PAIR_TOPK)
+    )
+
+
+_BPE_PAIR_SQL = rf"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{TX.BPE_RE}') AS t FROM documents
+),
+pairs AS (
+  SELECT t[i] AS "left", t[i + 1] AS "right"
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+)
+SELECT "left", "right", COUNT(*) AS n
+FROM pairs GROUP BY 1, 2
+ORDER BY n DESC, "left" ASC, "right" ASC
+LIMIT {BPE_PAIR_TOPK}
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "txt_token_stats": QueryEntry(txt_token_stats, _TOKEN_STATS_SQL),
     "txt_bpe_tokens": QueryEntry(txt_bpe_tokens, _BPE_SQL),

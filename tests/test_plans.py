@@ -489,6 +489,38 @@ def test_r5_queued_exchange_budgets(spark):
     assert not over, f"exchange budget exceeded (got, budget): {over}"
 
 
+# measured at sf0.01 (round 5) — ceilings for the queries implemented
+# this round whose registry entries land in round 6 (same deferral
+# discipline as the r4→r5 batch)
+R6_QUEUED_EXCHANGE_BUDGETS = {
+    # tf agg + df (distinct+count, re-derived: Spark shares no subtree
+    # across join sides) + 2 tiny broadcasts + 1-row census + doc agg;
+    # every exchange is post-IN-filter (≪ corpus) or a broadcast
+    "txt_bm25_search": 7,
+    "txt_bpe_pair_census": 1,  # ONE pair groupBy; top-k is TakeOrdered
+}
+
+
+def test_r6_queued_exchange_budgets(spark):
+    """Same gate as test_r5_queued_exchange_budgets for the round-5
+    implementations whose registry entries land in round 6."""
+    from sql_cdc_spark.plans import assert_scale_safe
+    from sql_cdc_spark.queries.text_q import txt_bm25_search, txt_bpe_pair_census
+
+    fns = {
+        "txt_bm25_search": txt_bm25_search,
+        "txt_bpe_pair_census": txt_bpe_pair_census,
+    }
+    over = {}
+    for name, budget in R6_QUEUED_EXCHANGE_BUDGETS.items():
+        spark.catalog.clearCache()
+        df = fns[name](spark, SF_DIR)
+        flags = assert_scale_safe(df)
+        if flags.exchanges > budget:
+            over[name] = (flags.exchanges, budget)
+    assert not over, f"exchange budget exceeded (got, budget): {over}"
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     """Dynamic partition pruning evidence: a date-partitioned fact joined
     to a SELECTIVE dim (filter on the dim, not the fact) must plan a

@@ -181,6 +181,62 @@ def test_props_topk_predicate_drops_bigint_overflow(spark, oracle):
     ).fetchall()
 
 
+def test_bm25_search_matches_oracle(spark, oracle):
+    """Oracle-parity gate for txt_bm25_search ahead of its round-6
+    driver-window entry, plus ranking invariants: scores strictly
+    ordered (desc, doc_id tiebreak), every score non-negative, the
+    report non-vacuous (the idf floor exists so a frequent-term corpus
+    cannot zero the whole ranking), and a doc matching the RARE term
+    ('dup', df≈25 of 500) outranks rows that matched only common
+    terms."""
+    from sql_cdc_spark.queries.text_q import (
+        BM25_TOPK,
+        _bm25_sql,
+        txt_bm25_search,
+    )
+
+    df = txt_bm25_search(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _bm25_sql())
+    rows = df.collect()
+    assert 0 < len(rows) <= BM25_TOPK
+    assert all(r.score_milli >= 0 for r in rows)
+    assert len({r.score_milli for r in rows}) > 1, "degenerate flat scores"
+    for a, b in zip(rows, rows[1:]):
+        assert (a.score_milli, -a.doc_id) >= (b.score_milli, -b.doc_id)
+    # the rare term dominates: the top row must contain 'dup'
+    top_text = (
+        oracle.execute(
+            f"SELECT lower(text) FROM documents WHERE doc_id = {rows[0].doc_id}"
+        ).fetchone()[0]
+    )
+    assert "dup" in top_text.split()
+
+
+def test_bpe_pair_census_matches_oracle(spark, oracle):
+    """Oracle-parity gate for txt_bpe_pair_census (round-6 queue), plus
+    shape invariants: counts non-increasing, (left, right) tiebreak
+    total order, and every reported pair actually adjacent somewhere
+    (spot-check the top pair via a string scan)."""
+    from sql_cdc_spark.queries.text_q import (
+        BPE_PAIR_TOPK,
+        _BPE_PAIR_SQL,
+        txt_bpe_pair_census,
+    )
+
+    df = txt_bpe_pair_census(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _BPE_PAIR_SQL)
+    rows = df.collect()
+    assert 0 < len(rows) <= BPE_PAIR_TOPK
+    for a, b in zip(rows, rows[1:]):
+        assert (a.n, (b.left, b.right)) >= (b.n, (a.left, a.right)) or a.n > b.n
+    top = rows[0]
+    n_docs = oracle.execute(
+        "SELECT COUNT(*) FROM documents "
+        f"WHERE lower(text) LIKE '%{top.left} {top.right}%'"
+    ).fetchone()[0]
+    assert n_docs > 0
+
+
 def test_quality_gate_matches_oracle(spark, oracle):
     """Oracle-parity gate for txt_quality_gate ahead of its round-5
     driver-window entry. The median is independently recomputed with
