@@ -590,6 +590,12 @@ def main() -> None:
         r["partitioned_sink_invoices_per_second"] for r in runs
     )
 
+    # drop the timed queries' persisted residue (shared containment
+    # base, near-dup shingle/sig caches) before the one-shot scale
+    # blocks: pinned storage silently becomes execution spill in the
+    # stress measurements (r5 measured containment-100x 647 s inside a
+    # loaded session vs ~6-7 min standalone band)
+    spark.catalog.clearCache()
     nd_passes, ct_passes, knn_passes = [], [], []
     for _ in range(2):
         nd_passes.append(dedup_10x_stress(spark, sf_dir))
@@ -633,6 +639,7 @@ def main() -> None:
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
     }
     if os.environ.get("SPARK_GRAFT_STRESS_100X") == "1":
+        spark.catalog.clearCache()
         detail["dedup_100x"] = stress_100x(spark, sf_dir)
 
     # the driver-facing line: headline per-query + group TOTALS only,

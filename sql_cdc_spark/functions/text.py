@@ -221,3 +221,46 @@ def quality_gate_from_hist(hist):
         )
         .orderBy("lang")
     )
+
+
+def bm25_rank(tf, census, k: int = 10):
+    """Integer-exact BM25 ranking over a prepared term-frequency frame —
+    the ONE scoring derivation shared by the batch query
+    (queries/text_q.py::txt_bm25_search) and the maintained search index
+    (streaming/search_maintenance.py::score_query), so the two surfaces
+    cannot drift.
+
+    ``tf``: (doc_id, dl, term, tf) — one row per (matched doc, query
+    term); ``census``: one row (N, A) where A = 1000·total_tokens div N
+    (milli-scaled average doc length). k1 = 6/5 and b = 3/4 multiplied
+    out over 20·A keep every product under int64 at corpus scale; the
+    idf surrogate is the bin-length floor(log2) trick, floored at 1 so
+    a frequent-term corpus cannot zero the whole ranking. Returns the
+    top-``k`` (doc_id, n_terms, score_milli), total-ordered."""
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(census))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(1).cast("long"),
+                (
+                    (F.length(F.bin(2 * (F.col("N") - F.col("df")) + 1)) - 1)
+                    - (F.length(F.bin(2 * F.col("df") + 1)) - 1)
+                ).cast("long"),
+            ).alias("idf_bits"),
+            F.expr(
+                "(44000 * tf * A) div (20 * tf * A + 6 * A + 18000 * dl)"
+            ).alias("sat_milli"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.col("idf_bits") * F.col("sat_milli")).alias("score_milli"),
+        )
+        .orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

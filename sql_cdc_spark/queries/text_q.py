@@ -407,33 +407,10 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = hits.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(census))
-        .select(
-            "doc_id",
-            F.greatest(
-                F.lit(1).cast("long"),
-                (
-                    (F.length(F.bin(2 * (F.col("N") - F.col("df")) + 1)) - 1)
-                    - (F.length(F.bin(2 * F.col("df") + 1)) - 1)
-                ).cast("long"),
-            ).alias("idf_bits"),
-            F.expr(
-                "(44000 * tf * A) div (20 * tf * A + 6 * A + 18000 * dl)"
-            ).alias("sat_milli"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms"),
-            F.sum(F.col("idf_bits") * F.col("sat_milli")).alias("score_milli"),
-        )
-        .orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOPK)
-    )
+    # scoring lives in functions/text.py::bm25_rank — ONE derivation
+    # shared with the maintained search index (search_maintenance), the
+    # same one-rule discipline as quality_gate_from_hist
+    return TX.bm25_rank(tf, census, k=BM25_TOPK)
 
 
 def _bm25_sql() -> str:

@@ -2385,6 +2385,120 @@ def test_kafka_shaped_stream_feeds_pipeline_byte_identical(spark, base, tmp_path
     )
 
 
+def test_streaming_search_maintenance_equals_batch_bm25(spark, tmp_path):
+    """Stream-equals-batch for the BM25 search index: (1) zero-state —
+    score_query over a freshly built index equals the batch query
+    txt_bm25_search bit-exactly (both call the ONE shared bm25_rank
+    derivation); (2) draining a document change feed through
+    run_search_maintenance ends at exactly the postings + length tables
+    a full rebuild of the final corpus produces — through inserts whose
+    text is query-term-rich (the ranking must actually MOVE), deletes,
+    and a same-batch double-update; (3) replaying the last batch is a
+    no-op."""
+    from sql_cdc_spark.queries.text_q import (
+        BM25_QUERY,
+        BM25_TOPK,
+        txt_bm25_search,
+    )
+    from sql_cdc_spark.streaming import search_maintenance as SM
+
+    corpus = tables.load(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    st0 = SM.build_search_state(
+        corpus.select("doc_id", "text"), checkpoint=False
+    )
+    got0 = [
+        tuple(r)
+        for r in SM.score_query(st0, BM25_QUERY, k=BM25_TOPK).collect()
+    ]
+    want0 = [tuple(r) for r in txt_bm25_search(spark, SF_DIR_SMALL).collect()]
+    assert got0 == want0 and got0
+
+    base = corpus.orderBy("doc_id").limit(120)
+    initial = SM.build_search_state(base.select("doc_id", "text"))
+    feed = str(tmp_path / "feed")
+
+    # batch 1: insert 6 docs saturated with query terms — these MUST
+    # enter the maintained top-k or the equality below is vacuous
+    b1 = base.orderBy("doc_id").limit(6).select(
+        (F.col("doc_id") + 700_000).alias("doc_id"), "lang", "source",
+        F.concat("text", F.lit(" dup dup stream dup")).alias("text"),
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+
+    # batch 2: delete 4, update 2 — one TWICE in-batch (v3 wins)
+    dels = base.orderBy("doc_id").limit(4).select(
+        "doc_id", "lang", "source",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_ids = base.orderBy(F.desc("doc_id")).limit(2).select(
+        "doc_id", "lang", "source", "text"
+    )
+    upd_v2 = upd_ids.select(
+        "doc_id", "lang", "source",
+        F.concat("text", F.lit(" dup slow")).alias("text"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_v3 = upd_ids.limit(1).select(
+        "doc_id", "lang", "source",
+        F.concat("text", F.lit(" entirely new body")).alias("text"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    dels.unionByName(upd_v2).unionByName(upd_v3).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    final, n_batches = SM.run_search_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+    )
+    assert n_batches >= 1
+
+    del_ids = base.orderBy("doc_id").limit(4).select("doc_id")
+    win_upd = upd_v3.select("doc_id", "text").unionByName(
+        upd_v2.join(upd_v3.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    final_corpus = (
+        base.select("doc_id", "text")
+        .join(del_ids, "doc_id", "left_anti")
+        .join(win_upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(win_upd)
+        .unionByName(b1.select("doc_id", "text"))
+    )
+    rebuilt = SM.build_search_state(final_corpus, checkpoint=False)
+    got_post = {tuple(r) for r in final.postings.collect()}
+    want_post = {tuple(r) for r in rebuilt.postings.collect()}
+    assert got_post == want_post
+    assert {tuple(r) for r in final.docs.collect()} == {
+        tuple(r) for r in rebuilt.docs.collect()
+    }
+    # the scored report agrees too, and the inserted term-rich docs
+    # actually moved the ranking (non-vacuous)
+    got_rank = [
+        tuple(r)
+        for r in SM.score_query(final, BM25_QUERY, k=BM25_TOPK).collect()
+    ]
+    want_rank = [
+        tuple(r)
+        for r in SM.score_query(rebuilt, BM25_QUERY, k=BM25_TOPK).collect()
+    ]
+    assert got_rank == want_rank
+    assert any(r[0] >= 700_000 for r in got_rank), (
+        "term-saturated inserts missing from the maintained top-k"
+    )
+
+    # idempotent replay of batch 2
+    b2 = dels.unionByName(upd_v2).unionByName(upd_v3)
+    ups2, dels2 = SM.collapse_batch(b2)
+    replay = SM.apply_search_changes(
+        final, ups2.select("doc_id", "text"), dels2
+    )
+    assert {tuple(r) for r in replay.postings.collect()} == got_post
+
+
 def test_streaming_quality_maintenance_equals_full_recompute(spark, tmp_path):
     """Stream-equals-batch for the quality-gate state: draining a
     document change feed through run_quality_maintenance ends at EXACTLY
