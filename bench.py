@@ -267,6 +267,30 @@ def stress_100x(spark, sf_dir: str) -> dict:
     out["containment_docs_per_second"] = round(n_docs / dt, 1)
     out["containment_probe_ms"] = probe
 
+    # incremental apply at 100×: the same 50-doc change batch applied to
+    # a 100×-corpus near-dup state — the third decade of the
+    # "apply cost is batch-proportional" curve (1×≈3.5 s, 10×≈1.4×,
+    # this point pins that 100× corpus growth does NOT become 100×
+    # apply cost; what scales is the state rewrite, which a cluster
+    # pays as an incremental parquet/Delta write)
+    from pyspark.sql import functions as F
+
+    batch = docs.orderBy("doc_id").limit(50).select(
+        (F.col("doc_id") + 77_000_000).alias("doc_id"), "text"
+    )
+    deletes = docs.orderBy("doc_id").limit(10).select("doc_id")
+    state = DD.build_near_dup_state(hx, max_bucket_size=50)
+    probe = _cpu_probe_ms()
+    t0 = perf_counter()
+    new_state = DD.apply_near_dup_changes(
+        state, batch, deletes, max_bucket_size=50
+    )
+    out["apply_100x_pairs"] = new_state.pairs.count()
+    out["apply_100x_seconds"] = round(perf_counter() - t0, 3)
+    out["apply_100x_probe_ms"] = probe
+    new_state.release()
+    state.release()
+
     # vectors side: the bucketed k-NN self-join and the SemDeDup election
     # at 100× vectors, bits scaled with the corpus (≈ log2(N / target
     # occupancy)) so per-bucket cost stays flat — the documented knob
