@@ -393,7 +393,17 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registry status: implemented and oracle-parity-gated in pytest this
     round; registration deferred to round 6 (the round-5 window was
     committed when this landed — same discipline as the r4 deferrals)."""
-    docs = tables.load(spark, sf_dir, "documents")
+    return bm25_search(
+        tables.load(spark, sf_dir, "documents"), BM25_QUERY, k=BM25_TOPK
+    )
+
+
+def bm25_search(docs: DataFrame, terms, k: int = 10) -> DataFrame:
+    """Parameterized BM25 search over any (doc_id, text) frame — see
+    txt_bm25_search. ``terms``/``k`` are the fuzz dimensions (family 10
+    re-derives this with arbitrary term sets against a parameterized
+    DuckDB twin); scoring is functions/text.py::bm25_rank, the ONE
+    derivation shared with the maintained search index."""
     words = TX.normalize_words(F.col("text"))
     base = docs.select("doc_id", F.size(words).alias("dl"), words.alias("w"))
     census = base.agg(
@@ -402,19 +412,16 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("N", "total", F.expr("1000 * total div N").alias("A"))
     hits = (
         base.select("doc_id", "dl", F.explode("w").alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
+        .filter(F.col("term").isin(*terms))
     )
     tf = hits.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    # scoring lives in functions/text.py::bm25_rank — ONE derivation
-    # shared with the maintained search index (search_maintenance), the
-    # same one-rule discipline as quality_gate_from_hist
-    return TX.bm25_rank(tf, census, k=BM25_TOPK)
+    return TX.bm25_rank(tf, census, k=k)
 
 
-def _bm25_sql() -> str:
-    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+def _bm25_sql(terms=BM25_QUERY, k: int = BM25_TOPK) -> str:
+    terms = ", ".join(f"'{t}'" for t in terms)
     return rf"""
 WITH base AS (
   SELECT doc_id,
@@ -446,7 +453,7 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
        CAST(SUM(idf_bits * sat_milli) AS BIGINT) AS score_milli
 FROM scored GROUP BY doc_id
 ORDER BY score_milli DESC, doc_id ASC
-LIMIT {BM25_TOPK}
+LIMIT {k}
 """
 
 

@@ -1251,3 +1251,42 @@ def test_random_query9_matches_duckdb(spark, oracle, seed):
     rng = random.Random(21000 + seed)
     q = _gen9(rng)
     assert_matches_oracle(_to_spark9(spark, q), oracle, _to_sql9(q))
+
+
+# ---- family 10: the BM25 parameter space — random query-term sets
+# (mixing rare, common, and ABSENT terms — absent terms must fall out of
+# the df join identically on both engines) and random top-k. The
+# hand-written oracle pins ONE term tuple; this family re-derives the
+# parameterized bm25_search + _bm25_sql from arbitrary terms, so a
+# latent dependence on the pinned query (an idf edge at df=0 handled
+# one-sidedly, a LIMIT tie broken differently) trips here. ----
+
+from sql_cdc_spark.queries.text_q import _bm25_sql as _bm25_sql10
+from sql_cdc_spark.queries.text_q import bm25_search as _bm25_search10
+
+# present-rare, present-common, and absent tokens in the test corpus
+_BM25_POOL = [
+    "dup", "slow", "spark", "hash", "join", "stream", "vector", "scan",
+    "quasar", "zyzzyva",  # absent: df = 0 path
+]
+
+
+def _gen10(rng: random.Random) -> dict:
+    return {
+        "terms": tuple(
+            rng.sample(_BM25_POOL, rng.randint(1, 4))
+        ),
+        "k": rng.choice([3, 5, 10, 25]),
+    }
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_query10_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(23000 + seed)
+    q = _gen10(rng)
+    docs = tables.load(spark, SF_DIR, "documents")
+    assert_matches_oracle(
+        _bm25_search10(docs, q["terms"], k=q["k"]),
+        oracle,
+        _bm25_sql10(q["terms"], k=q["k"]),
+    )
