@@ -2122,6 +2122,27 @@ def test_discover_feed_schema_cold_start(spark, tmp_path):
         StructType.fromDDL(req)
 
 
+def test_fsutil_probes_honor_uri_schemes(spark, tmp_path):
+    """The cold-start probes go through Hadoop FileSystem (ADVICE r4):
+    they must behave identically for a plain local path and an explicit
+    file:// URI — the shape a remote scheme (hdfs://, s3a://) takes —
+    where os.makedirs would have treated the URI as a literal relative
+    directory name and silently created garbage."""
+    from sql_cdc_spark.streaming.fsutil import ensure_dir, has_parquet_files
+
+    plain = str(tmp_path / "plain")
+    uri = "file://" + str(tmp_path / "via_uri")
+    for target, local in ((plain, plain), (uri, str(tmp_path / "via_uri"))):
+        assert not has_parquet_files(spark, target)
+        ensure_dir(spark, target)
+        assert os.path.isdir(local), f"not created at the real path: {target}"
+        assert not has_parquet_files(spark, target)  # exists, still empty
+        spark.range(3).coalesce(1).write.mode("append").parquet(target)
+        assert has_parquet_files(spark, target)
+    # and no literal 'file:' directory appeared under the cwd
+    assert not os.path.exists(os.path.join(os.getcwd(), "file:"))
+
+
 def test_read_violations_propagates_corrupt_evidence(spark, tmp_path):
     """An unreadable evidence file must RAISE, never read as 'no
     violations' — a quality audit that swallows read errors produces
