@@ -594,8 +594,18 @@ def main() -> None:
     # comes in multi-second windows — consecutive repeats of one query
     # would all land inside one window, so each pass runs the whole list
     # before repeating, spreading every query's samples minutes apart
-    all_names = HEADLINE + EXTENDED + ROUND5
-    dfs = {name: qs[name](spark, sf_dir) for name in all_names}
+    # round-5 implementations whose registry entries land in round 6 —
+    # timed from their module so this round's bench still carries their
+    # numbers (same discipline as the r4→r5 queue); DETAIL file only
+    from sql_cdc_spark.queries.text_q import txt_bm25_search, txt_bpe_pair_census
+
+    r6_queued = {
+        "txt_bm25_search": txt_bm25_search,
+        "txt_bpe_pair_census": txt_bpe_pair_census,
+    }
+    all_names = HEADLINE + EXTENDED + ROUND5 + list(r6_queued)
+    dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE + EXTENDED + ROUND5}
+    dfs.update({name: fn(spark, sf_dir) for name, fn in r6_queued.items()})
     timings: dict[str, float] = {name: float("inf") for name in all_names}
     for _ in range(3):
         for name in all_names:
@@ -605,6 +615,7 @@ def main() -> None:
     timings = {name: round(t, 3) for name, t in timings.items()}
     ext_timings = {name: timings.pop(name) for name in EXTENDED}
     r5_timings = {name: timings.pop(name) for name in ROUND5}
+    r6_timings = {name: timings.pop(name) for name in r6_queued}
 
     # pipeline throughput: best of 2 (same contention rationale; each run
     # writes 25k files so the pair is spread ~10s apart naturally)
@@ -630,6 +641,7 @@ def main() -> None:
     detail = {
         "extended_queries": ext_timings,
         "round5_queries": r5_timings,
+        "round6_queued_queries": r6_timings,
         "cdc_pipeline": cdc,
         # best-of-2 for the one-shot scale blocks: a single pass landing
         # in a host-contention window (probe 2×+ baseline) would record a
