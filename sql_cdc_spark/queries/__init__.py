@@ -64,7 +64,13 @@ def _registry() -> dict[str, QueryEntry]:
     # scl_salted_pricing (bumped from r4 by the late tpch additions).
     # (4) The remaining slots take the head of the published r2-green
     # stale list; sim_multiprobe_topk (its tail) cedes its slot to the
-    # dd_containment_pairs re-entry and HEADS the round-6 stale list:
+    # dd_containment_pairs re-entry and HEADS the round-6 stale list.
+    # Round-6 plan (published now, same discipline as r4's): FIRST the
+    # two operators implemented in round 5 with registration deferred —
+    # txt_bm25_search and txt_bpe_pair_census (oracles `_bm25_sql()` /
+    # `_BPE_PAIR_SQL` in text_q; budgets in
+    # tests/test_plans.py::R6_QUEUED_EXCHANGE_BUDGETS; bench times them
+    # in the round6_queued_queries detail block) — then the stale list:
     # sim_multiprobe_topk, txt_bpe_tokens, txt_rolling_fingerprint,
     # txt_quality_score, txt_language_id, mm_decode_features,
     # mm_resize_digest, mm_frame_sample, scl_salted_join_segments,
