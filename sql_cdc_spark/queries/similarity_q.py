@@ -893,6 +893,143 @@ ORDER BY vec_id
 """
 
 
+
+# ---- hybrid sparse+dense retrieval (round-6 queue) ----------------------
+# The generator emits embeddings FOR the documents (vec_id ≡ doc_id, same
+# 0..N-1 id space and cardinality at every sf), so fusing the lexical and
+# dense rankings over the shared id is the real hybrid-search shape, not
+# a synthetic join.
+HYBRID_L = 50        # per-branch retrieval depth
+HYBRID_TOPK = 10
+RRF_K = 60           # the standard reciprocal-rank-fusion damping
+
+
+def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-L and brute-force cosine dense
+    top-L fused by reciprocal-rank fusion — the sparse+dense pattern
+    production RAG search runs, integer-exact end to end. Each branch's
+    rank is derived WITHOUT a window: among the L retrieved rows, rank =
+    1 + count of strictly-better rows (better = (score, id) ordering),
+    a broadcast self-join over ≤L rows — so the plan carries no
+    partition-less window and ranks are engine-identical. RRF
+    contribution is the integer 1000000 div (RRF_K + rank); docs
+    retrieved by only one branch keep a NULL rank on the other and
+    score on the branches that found them. Top-k by (rrf_micro desc,
+    doc_id) total order.
+
+    Scale shape: each branch is its own already-scale-shaped operator
+    (term-filtered explode / broadcast-query scan, both
+    TakeOrderedAndProject); the fusion works on 2·L rows — constants,
+    not corpus — so hybrid costs the max of its branches at any scale.
+
+    Registry status: implemented and oracle-parity-gated in pytest this
+    round; registration deferred to round 6 with txt_bm25_search (the
+    round-5 window was committed when this landed)."""
+    from sql_cdc_spark.queries.text_q import BM25_QUERY, bm25_search
+
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    lex = bm25_search(docs, BM25_QUERY, k=HYBRID_L).select(
+        "doc_id", "score_milli"
+    )
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding")
+    dense = SIM.topk_cosine(emb, query, k=HYBRID_L).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+
+    def _ranked(branch: DataFrame, score: str, rank_name: str) -> DataFrame:
+        a = branch.alias("a")
+        b = branch.alias("b")
+        better = (F.col(f"b.{score}") > F.col(f"a.{score}")) | (
+            (F.col(f"b.{score}") == F.col(f"a.{score}"))
+            & (F.col("b.doc_id") < F.col("a.doc_id"))
+        )
+        return (
+            a.join(F.broadcast(b), better, "left")
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg((F.count(F.col("b.doc_id")) + 1).alias(rank_name))
+        )
+
+    # fusion WITHOUT a join: branch ranks union into (doc_id, branch,
+    # rank) rows and ONE aggregate pivots them back out while summing
+    # the RRF contributions — a full-outer join here would plan as a
+    # SortMergeJoin (outer joins never broadcast their preserved side)
+    # and trip the scale guard for no benefit on 2·L rows
+    lex_r = _ranked(lex, "score_milli", "lex_rank").select(
+        "doc_id", F.lit("lex").alias("branch"), F.col("lex_rank").alias("rnk")
+    )
+    dense_r = _ranked(dense, "cos_sim", "dense_rank").select(
+        "doc_id",
+        F.lit("dense").alias("branch"),
+        F.col("dense_rank").alias("rnk"),
+    )
+    rrf = (
+        lex_r.unionByName(dense_r)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("branch") == "lex", F.col("rnk"))).alias(
+                "lex_rank"
+            ),
+            F.max(F.when(F.col("branch") == "dense", F.col("rnk"))).alias(
+                "dense_rank"
+            ),
+            F.sum(F.expr(f"1000000 div ({RRF_K} + rnk)"))
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    return rrf.orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    ).limit(HYBRID_TOPK)
+
+
+def _hybrid_sql() -> str:
+    from sql_cdc_spark.queries.text_q import BM25_QUERY, _bm25_sql
+
+    bm = _bm25_sql(BM25_QUERY, k=HYBRID_L).strip()
+    return f"""
+WITH lex AS (SELECT doc_id, score_milli FROM ({bm})),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = {QUERY_VEC_ID}),
+dense AS (
+  SELECT v.vec_id AS doc_id,
+         ROUND(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6)
+           AS cos_sim
+  FROM v, q
+  ORDER BY cos_sim DESC, v.vec_id ASC
+  LIMIT {HYBRID_L}
+),
+lex_r AS (
+  SELECT a.doc_id, CAST(1 + COUNT(b.doc_id) AS BIGINT) AS lex_rank
+  FROM lex a LEFT JOIN lex b
+    ON b.score_milli > a.score_milli
+    OR (b.score_milli = a.score_milli AND b.doc_id < a.doc_id)
+  GROUP BY a.doc_id
+),
+dense_r AS (
+  SELECT a.doc_id, CAST(1 + COUNT(b.doc_id) AS BIGINT) AS dense_rank
+  FROM dense a LEFT JOIN dense b
+    ON b.cos_sim > a.cos_sim
+    OR (b.cos_sim = a.cos_sim AND b.doc_id < a.doc_id)
+  GROUP BY a.doc_id
+),
+fused AS (
+  SELECT doc_id, 'lex' AS branch, lex_rank AS rnk FROM lex_r
+  UNION ALL
+  SELECT doc_id, 'dense' AS branch, dense_rank AS rnk FROM dense_r
+)
+SELECT doc_id,
+       MAX(CASE WHEN branch = 'lex' THEN rnk END) AS lex_rank,
+       MAX(CASE WHEN branch = 'dense' THEN rnk END) AS dense_rank,
+       CAST(SUM(1000000 // ({RRF_K} + rnk)) AS BIGINT) AS rrf_micro
+FROM fused GROUP BY doc_id
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT {HYBRID_TOPK}
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_random_projection": QueryEntry(sim_random_projection, _rp_sql()),
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),

@@ -498,6 +498,10 @@ R6_QUEUED_EXCHANGE_BUDGETS = {
     # every exchange is post-IN-filter (≪ corpus) or a broadcast
     "txt_bm25_search": 7,
     "txt_bpe_pair_census": 1,  # ONE pair groupBy; top-k is TakeOrdered
+    # both branches' exchanges + 2 broadcast self-join rank stages over
+    # ≤L rows + rank aggs + the union-fusion aggregate + final top-k;
+    # everything past the branches operates on 2·L rows (constants)
+    "sim_hybrid_search": 18,
 }
 
 
@@ -505,11 +509,13 @@ def test_r6_queued_exchange_budgets(spark):
     """Same gate as test_r5_queued_exchange_budgets for the round-5
     implementations whose registry entries land in round 6."""
     from sql_cdc_spark.plans import assert_scale_safe
+    from sql_cdc_spark.queries.similarity_q import sim_hybrid_search
     from sql_cdc_spark.queries.text_q import txt_bm25_search, txt_bpe_pair_census
 
     fns = {
         "txt_bm25_search": txt_bm25_search,
         "txt_bpe_pair_census": txt_bpe_pair_census,
+        "sim_hybrid_search": sim_hybrid_search,
     }
     over = {}
     for name, budget in R6_QUEUED_EXCHANGE_BUDGETS.items():

@@ -237,6 +237,36 @@ def test_bpe_pair_census_matches_oracle(spark, oracle):
     assert n_docs > 0
 
 
+def test_hybrid_search_matches_oracle(spark, oracle):
+    """Oracle-parity gate for sim_hybrid_search (round-6 queue), plus
+    fusion invariants: RRF totals strictly ordered with doc_id
+    tiebreak, every rank within its branch depth, and BOTH branches
+    actually contribute (some result carries two non-null ranks, and
+    the two branches retrieve non-identical lists — otherwise the
+    fusion is vacuous)."""
+    from sql_cdc_spark.queries.similarity_q import (
+        HYBRID_L,
+        HYBRID_TOPK,
+        _hybrid_sql,
+        sim_hybrid_search,
+    )
+
+    df = sim_hybrid_search(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _hybrid_sql())
+    rows = df.collect()
+    assert 0 < len(rows) <= HYBRID_TOPK
+    for a, b in zip(rows, rows[1:]):
+        assert (a.rrf_micro, -a.doc_id) >= (b.rrf_micro, -b.doc_id)
+    for r in rows:
+        assert r.lex_rank is None or 1 <= r.lex_rank <= HYBRID_L
+        assert r.dense_rank is None or 1 <= r.dense_rank <= HYBRID_L
+        assert r.lex_rank is not None or r.dense_rank is not None
+    assert any(
+        r.lex_rank is not None and r.dense_rank is not None for r in rows
+    ), "no doc retrieved by both branches — fusion vacuous"
+    assert any(r.lex_rank != r.dense_rank for r in rows)
+
+
 def test_quality_gate_matches_oracle(spark, oracle):
     """Oracle-parity gate for txt_quality_gate ahead of its round-5
     driver-window entry. The median is independently recomputed with
