@@ -597,6 +597,7 @@ def main() -> None:
     # round-5 implementations whose registry entries land in round 6 —
     # timed from their module so this round's bench still carries their
     # numbers (same discipline as the r4→r5 queue); DETAIL file only
+    from sql_cdc_spark.queries.scale_q import scl_skew_census
     from sql_cdc_spark.queries.similarity_q import sim_hybrid_search
     from sql_cdc_spark.queries.text_q import txt_bm25_search, txt_bpe_pair_census
 
@@ -604,6 +605,7 @@ def main() -> None:
         "txt_bm25_search": txt_bm25_search,
         "txt_bpe_pair_census": txt_bpe_pair_census,
         "sim_hybrid_search": sim_hybrid_search,
+        "scl_skew_census": scl_skew_census,
     }
     all_names = HEADLINE + EXTENDED + ROUND5 + list(r6_queued)
     dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE + EXTENDED + ROUND5}

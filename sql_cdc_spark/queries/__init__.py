@@ -66,10 +66,12 @@ def _registry() -> dict[str, QueryEntry]:
     # stale list; sim_multiprobe_topk (its tail) cedes its slot to the
     # dd_containment_pairs re-entry and HEADS the round-6 stale list.
     # Round-6 plan (published now, same discipline as r4's): FIRST the
-    # three operators implemented in round 5 with registration deferred
+    # four operators implemented in round 5 with registration deferred
     # — txt_bm25_search, txt_bpe_pair_census (oracles `_bm25_sql()` /
-    # `_BPE_PAIR_SQL` in text_q) and sim_hybrid_search (BM25+cosine RRF
-    # fusion, `_hybrid_sql()` in similarity_q); budgets in
+    # `_BPE_PAIR_SQL` in text_q), sim_hybrid_search (BM25+cosine RRF
+    # fusion, `_hybrid_sql()` in similarity_q) and scl_skew_census
+    # (join-key hotness report, `_skew_census_sql()` in scale_q);
+    # budgets in
     # tests/test_plans.py::R6_QUEUED_EXCHANGE_BUDGETS; bench times them
     # in the round6_queued_queries detail block — then the stale list:
     # sim_multiprobe_topk, txt_bpe_tokens, txt_rolling_fingerprint,

@@ -186,6 +186,122 @@ WHERE c.c_mktsegment = '{BLOOM_SEGMENT}' AND c.c_acctbal > {BLOOM_BALANCE_MIN}
 """
 
 
+
+# ---- join-key skew census (round-6 queue) -------------------------------
+# the keys a CDC/analytics deployment actually joins and groups on
+SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def scl_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census — the diagnostic read BEFORE choosing a
+    salting factor or trusting AQE's skew split: for each tracked join/
+    group key, the per-key row-count distribution (exact p50/p90/p99 and
+    max) plus the hottest key's corpus share in ppm. Skew is a property
+    of the KEY DISTRIBUTION, not the data size, so the report is exact
+    at any scale for one shuffle per key:
+
+    corpus → per-key counts (ONE map-side-combined groupBy — the same
+    exchange the real join would pay) → count-of-counts (tiny: one row
+    per distinct multiplicity) → exact percentiles via a broadcast
+    self-join running sum over that tiny table (window-free: a Window
+    here would plan the partition-less single-task shape this engine
+    bans; the |cc|² pair space is bounded by distinct-multiplicity
+    counts, not keys). Percentile rule: smallest multiplicity whose
+    cumulative key count reaches ceil(p·K/100), all-bigint
+    (100·cum ≥ p·K), engine-identical.
+
+    Registry status: implemented and oracle-parity-gated in pytest this
+    round; registration deferred to round 6 with the other late-r5
+    operators (the round-5 window was committed when this landed)."""
+    out = None
+    for table, key in SKEW_KEYS:
+        one = _skew_one(tables.load(spark, sf_dir, table), f"{table}.{key}", key)
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("rel")
+
+
+def _skew_one(df: DataFrame, rel: str, key: str) -> DataFrame:
+    per = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    # persist the count-of-counts: THREE branches read it (census, cum
+    # self-join both sides) and Spark shares no subtrees across join
+    # sides — without the cache the corpus per-key shuffle would run
+    # once per branch. cc is one row per distinct multiplicity
+    # (O(sqrt(2N)) worst case, a handful in practice), never corpus-sized.
+    cc = per.groupBy("c").agg(F.count(F.lit(1)).alias("nk")).persist()
+    tot = cc.agg(
+        F.sum("nk").cast("long").alias("K"),
+        F.sum(F.col("c") * F.col("nk")).cast("long").alias("N"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    a, b = cc.alias("a"), cc.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.c") <= F.col("a.c"))
+        .groupBy(F.col("a.c").alias("c"))
+        .agg(F.sum("b.nk").cast("long").alias("cum"))
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+
+    def pct(x: int):
+        return F.min(
+            F.when(F.lit(100) * F.col("cum") >= F.lit(x) * F.col("K"), F.col("c"))
+        ).cast("long")
+
+    return (
+        j.groupBy("K", "N", "max_c")
+        .agg(pct(50).alias("p50"), pct(90).alias("p90"), pct(99).alias("p99"))
+        .select(
+            F.lit(rel).alias("rel"),
+            F.col("N").alias("n_rows"),
+            F.col("K").alias("n_keys"),
+            F.col("max_c").alias("max_per_key"),
+            "p50",
+            "p90",
+            "p99",
+            F.expr("max_c * 1000000 div N").alias("top_share_ppm"),
+        )
+    )
+
+
+def _skew_one_sql(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}.{key}' AS rel, t.N AS n_rows, t.K AS n_keys,
+       t.max_c AS max_per_key,
+       CAST(MIN(CASE WHEN 100 * cum >= 50 * t.K THEN c END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN 100 * cum >= 90 * t.K THEN c END) AS BIGINT) AS p90,
+       CAST(MIN(CASE WHEN 100 * cum >= 99 * t.K THEN c END) AS BIGINT) AS p99,
+       t.max_c * 1000000 // t.N AS top_share_ppm
+FROM (
+  SELECT a.c, CAST(SUM(b.nk) AS BIGINT) AS cum
+  FROM (SELECT c, COUNT(*) AS nk
+        FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY 1)
+        GROUP BY c) a
+  JOIN (SELECT c, COUNT(*) AS nk
+        FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY 1)
+        GROUP BY c) b ON b.c <= a.c
+  GROUP BY a.c
+) cum, (
+  SELECT CAST(SUM(nk) AS BIGINT) AS K,
+         CAST(SUM(c * nk) AS BIGINT) AS N,
+         CAST(MAX(c) AS BIGINT) AS max_c
+  FROM (SELECT c, COUNT(*) AS nk
+        FROM (SELECT {key} AS k, COUNT(*) AS c FROM {table} GROUP BY 1)
+        GROUP BY c)
+) t
+GROUP BY t.N, t.K, t.max_c
+"""
+
+
+def _skew_census_sql() -> str:
+    parts = " UNION ALL ".join(
+        f"({_skew_one_sql(t, k)})" for t, k in SKEW_KEYS
+    )
+    return f"SELECT * FROM ({parts}) ORDER BY rel"
+
+
 QUERIES: dict[str, QueryEntry] = {
     "scl_salted_pricing": QueryEntry(scl_salted_pricing, _SALTED_PRICING_SQL),
     "scl_salted_join_segments": QueryEntry(scl_salted_join_segments, _SALTED_JOIN_SQL),

@@ -502,6 +502,13 @@ R6_QUEUED_EXCHANGE_BUDGETS = {
     # ≤L rows + rank aggs + the union-fusion aggregate + final top-k;
     # everything past the branches operates on 2·L rows (constants)
     "sim_hybrid_search": 18,
+    # per tracked key the EXECUTED shape is: ONE corpus per-key shuffle
+    # + cc agg (both inside the persisted count-of-counts, computed
+    # once) + cum self-join + broadcasts + 1-row census; the PRINTED
+    # count is higher because explain renders the cached cc subtree's
+    # exchanges once per InMemoryRelation scan (3 scans/key × 2
+    # exchanges) — same counting artifact as the other persist users
+    "scl_skew_census": 34,
 }
 
 
@@ -509,6 +516,7 @@ def test_r6_queued_exchange_budgets(spark):
     """Same gate as test_r5_queued_exchange_budgets for the round-5
     implementations whose registry entries land in round 6."""
     from sql_cdc_spark.plans import assert_scale_safe
+    from sql_cdc_spark.queries.scale_q import scl_skew_census
     from sql_cdc_spark.queries.similarity_q import sim_hybrid_search
     from sql_cdc_spark.queries.text_q import txt_bm25_search, txt_bpe_pair_census
 
@@ -516,6 +524,7 @@ def test_r6_queued_exchange_budgets(spark):
         "txt_bm25_search": txt_bm25_search,
         "txt_bpe_pair_census": txt_bpe_pair_census,
         "sim_hybrid_search": sim_hybrid_search,
+        "scl_skew_census": scl_skew_census,
     }
     over = {}
     for name, budget in R6_QUEUED_EXCHANGE_BUDGETS.items():

@@ -267,6 +267,31 @@ def test_hybrid_search_matches_oracle(spark, oracle):
     assert any(r.lex_rank != r.dense_rank for r in rows)
 
 
+def test_skew_census_matches_oracle(spark, oracle):
+    """Oracle-parity gate for scl_skew_census (round-6 queue), plus
+    distribution invariants: p50 ≤ p90 ≤ p99 ≤ max per key,
+    Σ per-key rows == n_rows (cross-checked against the raw table),
+    and the census is non-degenerate (events is genuinely skewed:
+    max_per_key > p50)."""
+    from sql_cdc_spark.queries.scale_q import (
+        SKEW_KEYS,
+        _skew_census_sql,
+        scl_skew_census,
+    )
+
+    df = scl_skew_census(spark, SF_DIR)
+    assert_matches_oracle(df, oracle, _skew_census_sql())
+    rows = {r.rel: r for r in df.collect()}
+    assert set(rows) == {f"{t}.{k}" for t, k in SKEW_KEYS}
+    for rel, r in rows.items():
+        assert 1 <= r.p50 <= r.p90 <= r.p99 <= r.max_per_key
+        table = rel.split(".")[0]
+        n = oracle.execute(f"SELECT COUNT(*) FROM {table}").fetchone()[0]
+        assert r.n_rows == n
+        assert 0 < r.top_share_ppm <= 1_000_000
+    assert rows["events.user_id"].max_per_key > rows["events.user_id"].p50
+
+
 def test_quality_gate_matches_oracle(spark, oracle):
     """Oracle-parity gate for txt_quality_gate ahead of its round-5
     driver-window entry. The median is independently recomputed with
