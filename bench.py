@@ -96,6 +96,14 @@ ROUND5 = [
     "sim_semantic_dedup",       # SemDeDup bucket election
 ]
 
+# round-6 registrations (implemented r5, driver-visible r6)
+ROUND6 = [
+    "txt_bm25_search",      # integer-exact BM25 lexical search
+    "txt_bpe_pair_census",  # BPE merge-candidate pair census
+    "sim_hybrid_search",    # BM25+cosine RRF hybrid retrieval
+    "scl_skew_census",      # join-key hotness percentiles
+]
+
 
 REFERENCE_INVOICES = 25_000  # the reference generator's own scale
 
@@ -538,6 +546,11 @@ def incremental_apply_scaling(spark, sf_dir: str) -> dict:
     return out
 
 
+# documented single-thread probe baseline on this box (~55-65 ms); an
+# edge probe above 2× this marks the surrounding wall-clock contaminated
+PROBE_BASELINE_MS = 60.0
+
+
 def _cpu_probe_ms() -> float:
     """Wall time of a fixed single-thread integer loop — a
     steal-INDEPENDENT contention signal. This hypervisor (Firecracker)
@@ -594,32 +607,30 @@ def main() -> None:
     # comes in multi-second windows — consecutive repeats of one query
     # would all land inside one window, so each pass runs the whole list
     # before repeating, spreading every query's samples minutes apart
-    # round-5 implementations whose registry entries land in round 6 —
-    # timed from their module so this round's bench still carries their
-    # numbers (same discipline as the r4→r5 queue); DETAIL file only
-    from sql_cdc_spark.queries.scale_q import scl_skew_census
-    from sql_cdc_spark.queries.similarity_q import sim_hybrid_search
-    from sql_cdc_spark.queries.text_q import txt_bm25_search, txt_bpe_pair_census
-
-    r6_queued = {
-        "txt_bm25_search": txt_bm25_search,
-        "txt_bpe_pair_census": txt_bpe_pair_census,
-        "sim_hybrid_search": sim_hybrid_search,
-        "scl_skew_census": scl_skew_census,
-    }
-    all_names = HEADLINE + EXTENDED + ROUND5 + list(r6_queued)
-    dfs = {name: qs[name](spark, sf_dir) for name in HEADLINE + EXTENDED + ROUND5}
-    dfs.update({name: fn(spark, sf_dir) for name, fn in r6_queued.items()})
+    all_names = HEADLINE + EXTENDED + ROUND5 + ROUND6
+    dfs = {name: qs[name](spark, sf_dir) for name in all_names}
     timings: dict[str, float] = {name: float("inf") for name in all_names}
-    for _ in range(3):
-        for name in all_names:
-            t0 = time.perf_counter()
-            dfs[name].write.format("noop").mode("overwrite").save()
-            timings[name] = min(timings[name], time.perf_counter() - t0)
+    # probe-gated retry (VERDICT r5 #4): r5's official recording opened
+    # on a 149 ms probe and the re-run closed on 142.8 — one dirty edge
+    # makes the whole headline an upper bound. If either edge probe of
+    # an attempt reads > 2× the ~60 ms baseline, run ONE more 3-pass
+    # attempt (min-accumulating, so a retry can only improve the
+    # timings) and record every probe so a never-clean window is
+    # visible as two dirty attempts rather than silence.
+    probes = [probe0]
+    for _attempt in range(2):
+        for _ in range(3):
+            for name in all_names:
+                t0 = time.perf_counter()
+                dfs[name].write.format("noop").mode("overwrite").save()
+                timings[name] = min(timings[name], time.perf_counter() - t0)
+        probes.append(_cpu_probe_ms())
+        if probes[-2] <= 2 * PROBE_BASELINE_MS and probes[-1] <= 2 * PROBE_BASELINE_MS:
+            break
     timings = {name: round(t, 3) for name, t in timings.items()}
     ext_timings = {name: timings.pop(name) for name in EXTENDED}
     r5_timings = {name: timings.pop(name) for name in ROUND5}
-    r6_timings = {name: timings.pop(name) for name in r6_queued}
+    r6_timings = {name: timings.pop(name) for name in ROUND6}
 
     # pipeline throughput: best of 2 (same contention rationale; each run
     # writes 25k files so the pair is spread ~10s apart naturally)
@@ -645,7 +656,7 @@ def main() -> None:
     detail = {
         "extended_queries": ext_timings,
         "round5_queries": r5_timings,
-        "round6_queued_queries": r6_timings,
+        "round6_queries": r6_timings,
         "cdc_pipeline": cdc,
         # best-of-2 for the one-shot scale blocks: a single pass landing
         # in a host-contention window (probe 2×+ baseline) would record a
@@ -692,12 +703,15 @@ def main() -> None:
         "sf": sf,
         "extended_total": round(sum(ext_timings.values()), 3),
         "round5_total": round(sum(r5_timings.values()), 3),
+        "round6_total": round(sum(r6_timings.values()), 3),
         "cdc_invoices_per_second": cdc["invoices_per_second"],
         "cdc_partitioned_per_second": cdc[
             "partitioned_sink_invoices_per_second"
         ],
         "detail_file": "BENCH_DETAIL.json",
-        "cpu_probe_ms": [probe0, _cpu_probe_ms()],
+        # leading probe, one per headline attempt edge, then the
+        # closing probe after the stress blocks
+        "cpu_probe_ms": probes + [_cpu_probe_ms()],
     }
     ticks1 = _cpu_ticks()
     if ticks0 and ticks1 and ticks1[1] > ticks0[1]:

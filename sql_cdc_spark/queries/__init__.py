@@ -50,35 +50,39 @@ def _registry() -> dict[str, QueryEntry]:
     # — the families whose last driver check is oldest; (3) demoted
     # long-greens stay covered every round by the local pytest oracle
     # suite, which runs ALL queries vs DuckDB at sf0.01.
-    # Round-5 rotation (executes the plan published in r4; see git
-    # history for the r1-r4 narratives): the window below is explicit.
-    # (1) The thirteen late-r4 operators that deliberately deferred
-    # their registry entries enter FIRST — they are ADDED this round and
-    # the invariant "every query added or changed in round N is
-    # driver-checked in round N" pins them in-window. (2)
-    # dd_containment_pairs is CHANGED this round (the containment family
-    # now shares one cached rare-domain intersection base per session —
-    # VERDICT r4 #5), so it re-enters alongside its sweep twin. (3) The
-    # twenty-two r1/r2-green singles that ceded r4 slots re-enter in the
-    # published order, then txt_token_stats / mm_media_catalog /
-    # scl_salted_pricing (bumped from r4 by the late tpch additions).
-    # (4) The remaining slots take the head of the published r2-green
-    # stale list; sim_multiprobe_topk (its tail) cedes its slot to the
-    # dd_containment_pairs re-entry and HEADS the round-6 stale list.
-    # Round-6 plan (published now, same discipline as r4's): FIRST the
-    # four operators implemented in round 5 with registration deferred
-    # — txt_bm25_search, txt_bpe_pair_census (oracles `_bm25_sql()` /
-    # `_BPE_PAIR_SQL` in text_q), sim_hybrid_search (BM25+cosine RRF
-    # fusion, `_hybrid_sql()` in similarity_q) and scl_skew_census
-    # (join-key hotness report, `_skew_census_sql()` in scale_q);
-    # budgets in
-    # tests/test_plans.py::R6_QUEUED_EXCHANGE_BUDGETS; bench times them
-    # in the round6_queued_queries detail block — then the stale list:
-    # sim_multiprobe_topk, txt_bpe_tokens, txt_rolling_fingerprint,
-    # txt_quality_score, txt_language_id, mm_decode_features,
-    # mm_resize_digest, mm_frame_sample, scl_salted_join_segments,
-    # scl_group_zscore, then the then-stale r3/r4 greens (the r4 tpch
-    # completions and the SCD2/sketch/scale families).
+    # Round-6 rotation (executes the plan published in r5; see git
+    # history for the r1-r5 narratives): the window below is explicit.
+    # (1) The four operators implemented in round 5 with registration
+    # deferred enter FIRST — txt_bm25_search, txt_bpe_pair_census,
+    # sim_hybrid_search, scl_skew_census — they are ADDED this round
+    # and the invariant "every query added or changed in round N is
+    # driver-checked in round N" pins them in-window. (2) The
+    # containment twins re-enter as CHANGED: their shared rare-domain
+    # base moved to the documented _cache.session_cached lifecycle
+    # (re-persist after external clearCache, dead-session eviction —
+    # ADVICE r5), and scl_skew_census's count-of-counts joins the same
+    # contract (VERDICT r5 #5). txt_bm25_search also absorbed the
+    # single-evaluation normalize_words fix (VERDICT r5 #6), which
+    # sim_hybrid_search inherits through its lexical branch — both are
+    # already in-window as additions. (3) Operators LANDED in round 6
+    # register in the round they land (VERDICT r5 #3 — no more deferred
+    # batches). (4) The remaining slots pay rotation debt oldest-first:
+    # the ten published r2-green heads, the eight other r2 greens (all
+    # eighteen r2 rows now re-check), then the head of the r3-green
+    # stale list.
+    # Round-7 plan (published now, same discipline): the window opens
+    # with anything added or changed in round 7, then the twenty-one
+    # r3 greens left unpaid below (evt_daily_user_activity,
+    # evt_funnel_conversion, evt_interval_join_buckets,
+    # evt_percentile_sketch, evt_retention_cohorts,
+    # evt_type_transitions, evt_user_cardinality_sketch,
+    # mm_audio_features, rel_invoice_view_rollup, sim_label_centroids,
+    # sim_norm_stats, sim_quantized_topk, crp_contamination,
+    # crp_corpus_clean, crp_manifest, crp_mixture_sample,
+    # crp_pack_sequences, crp_repetition_filter, crp_source_mixture,
+    # txt_pii_redact, win_time_range_sum) plus any round-6 tail bumps,
+    # then the then-stale r4 greens (the tpch completions and the
+    # SCD2/sketch/scale families).
     for mod in (
         relational_q,
         functions_q,
@@ -97,65 +101,68 @@ def _registry() -> dict[str, QueryEntry]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         reg.update(mod.QUERIES)
-    # The round-5 driver window, explicit and order-significant: the
+    # The round-6 driver window, explicit and order-significant: the
     # driver hash-checks exactly these 50, top to bottom. Guarded by
-    # tests/test_operator_guards.py::test_registry_window_holds_all_round5_queries.
+    # tests/test_operator_guards.py::test_registry_window_holds_all_round6_queries.
     window = [
-        # -- added this round (the 13 late-r4 operators) --------------
-        "dd_containment_sweep",      # multi-threshold containment census
-        "crp_fuzzy_contamination",   # eval-overlap via near-dup pairs
-        "rel_topn_other_rollup",     # top-N + OTHER rollup report
-        "evt_collapse_runs",         # gaps-and-islands run collapse
-        "dd_source_overlap",         # source-pair duplication matrix
-        "sim_knn_join",              # bucketed nearest-neighbor self-join
-        "evt_rolling_actives",       # rolling distinct-active census
-        "evt_props_topk",            # JSON property top-k (typed)
-        "txt_quality_gate",          # multi-rule quality gate + reasons
-        "crp_ngram_lm_score",        # trigram-LM perplexity proxy
-        "crp_filter_funnel",         # pipeline-stage attrition census
-        "crp_dsir_select",           # DSIR importance resampling
-        "sim_semantic_dedup",        # SemDeDup bucket election
-        # -- changed this round (shared containment base, VERDICT r4 #5)
+        # -- added this round (the 4 late-r5 operators) ---------------
+        "txt_bm25_search",           # integer-exact BM25 lexical search
+        "txt_bpe_pair_census",       # BPE merge-candidate pair census
+        "sim_hybrid_search",         # BM25+cosine RRF hybrid retrieval
+        "scl_skew_census",           # join-key hotness percentiles
+        # -- changed this round (session-cache lifecycle, ADVICE r5) --
         "dd_containment_pairs",
-        # -- rotation debt: the 22 published r1/r2-green singles ------
-        "rel_sample_avg",
-        "rel_distinct_flags",
-        "fn_date_arithmetic",
-        "fn_timestamp_format",
-        "fn_hash_bucket",
-        "rel_cross_join_small",
-        "rel_derived_columns",
-        "rel_filter_composite",
-        "rel_union_all_segments",
-        "rel_multi_hop_dims",
-        "win_lag_delta",
-        "win_moving_avg",
-        "win_running_total",
-        "rel_rollup_lineitem",
-        "rel_pivot_status",
-        "rel_intersect_buyers",
-        "rel_except_lost_customers",
-        "rel_semi_join_big_spenders",
-        "rel_top_revenue_orders",
-        "rel_cube_status_flag",
-        "win_latest_n_per_user",
-        "cdc_flagship_changed_invoices",
-        # -- bumped from the r4 window by the late tpch additions -----
-        "txt_token_stats",
-        "mm_media_catalog",
-        "scl_salted_pricing",
-        # -- head of the published r2-green stale list ----------------
-        "cdc_keyset_resume",
-        "cdc_latest_event_per_user",
-        "cdc_union_distinct_keys",
-        "cdc_bounded_batch",
-        "cdc_version_watermark",
-        "dd_jaccard_pairs",
-        "dd_simhash",
-        "dd_simhash_pairs",
-        "dd_embedding_dup_pairs",
-        "sim_lsh_buckets",
-        "sim_bucketed_topk",
+        "dd_containment_sweep",
+        # -- rotation debt: the 10 published r2-green heads -----------
+        "sim_multiprobe_topk",
+        "txt_bpe_tokens",
+        "txt_rolling_fingerprint",
+        "txt_quality_score",
+        "txt_language_id",
+        "mm_decode_features",
+        "mm_resize_digest",
+        "mm_frame_sample",
+        "scl_salted_join_segments",
+        "scl_group_zscore",
+        # -- the 8 remaining r2 greens (equally stale) ----------------
+        "cdc_changes_scan",
+        "dd_exact",
+        "dd_minhash_signatures",
+        "evt_late_data_filter",
+        "evt_sliding_windows",
+        "evt_top_users_per_day",
+        "evt_value_percentiles",
+        "sim_topk_cosine",
+        # -- head of the r3-green stale list --------------------------
+        "cdc_flagship_documents",
+        "cdc_net_changes_enriched",
+        "cdc_replica_sync",
+        "dd_near_dup_pairs",
+        "dd_dup_clusters",
+        "dd_cluster_canonical",
+        "sim_ivf_topk",
+        "sim_centroid_assign",
+        "sim_embedding_quantize",
+        "evt_session_windows",
+        "evt_tumbling_hourly",
+        "evt_asof_last_purchase",
+        "crp_train_test_split",
+        "crp_stratified_sample",
+        "txt_bigram_topk",
+        "txt_doc_frequency",
+        "fn_string_ops",
+        "tpch_q14_promo_revenue",
+        "tpch_q19_discounted_revenue",
+        "tpch_q4_late_order_priority",
+        # -- tail: ceded to round-6-landed operators as they register
+        #    (VERDICT r5 #3); any still here at round end simply pay
+        #    more rotation debt
+        "tpch_q6_forecast_revenue",
+        "fn_bson_roundtrip",
+        "win_ntile_quartiles",
+        "rel_above_avg_orders",
+        "win_percent_rank",
+        "rel_anti_join_no_orders",
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

@@ -212,26 +212,34 @@ def scl_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     bans; the |cc|² pair space is bounded by distinct-multiplicity
     counts, not keys). Percentile rule: smallest multiplicity whose
     cumulative key count reaches ceil(p·K/100), all-bigint
-    (100·cum ≥ p·K), engine-identical.
-
-    Registry status: implemented and oracle-parity-gated in pytest this
-    round; registration deferred to round 6 with the other late-r5
-    operators (the round-5 window was committed when this landed)."""
+    (100·cum ≥ p·K), engine-identical."""
     out = None
     for table, key in SKEW_KEYS:
-        one = _skew_one(tables.load(spark, sf_dir, table), f"{table}.{key}", key)
+        one = _skew_one(spark, sf_dir, table, key)
         out = one if out is None else out.unionByName(one)
     return out.orderBy("rel")
 
 
-def _skew_one(df: DataFrame, rel: str, key: str) -> DataFrame:
-    per = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
-    # persist the count-of-counts: THREE branches read it (census, cum
-    # self-join both sides) and Spark shares no subtrees across join
+def _skew_one(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFrame:
+    from sql_cdc_spark.queries._cache import session_cached
+
+    rel = f"{table}.{key}"
+
+    def build() -> DataFrame:
+        df = tables.load(spark, sf_dir, table)
+        per = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        return per.groupBy("c").agg(F.count(F.lit(1)).alias("nk"))
+
+    # session-cache the count-of-counts: THREE branches read it (census,
+    # cum self-join both sides) and Spark shares no subtrees across join
     # sides — without the cache the corpus per-key shuffle would run
     # once per branch. cc is one row per distinct multiplicity
     # (O(sqrt(2N)) worst case, a handful in practice), never corpus-sized.
-    cc = per.groupBy("c").agg(F.count(F.lit(1)).alias("nk")).persist()
+    # The _cache.session_cached contract bounds pinned storage at one
+    # tiny frame per tracked key PER SESSION however often the census is
+    # invoked (VERDICT r5 #5: the old per-call persist() accumulated an
+    # InMemoryRelation per key per call and never released it).
+    cc = session_cached(spark, ("skew_cc", sf_dir, rel), build)
     tot = cc.agg(
         F.sum("nk").cast("long").alias("K"),
         F.sum(F.col("c") * F.col("nk")).cast("long").alias("N"),
@@ -308,4 +316,5 @@ QUERIES: dict[str, QueryEntry] = {
     "scl_group_zscore": QueryEntry(scl_group_zscore, _ZSCORE_SQL),
     "scl_zorder_key": QueryEntry(scl_zorder_key, _zorder_sql()),
     "scl_bloom_pruned_join": QueryEntry(scl_bloom_pruned_join, _BLOOM_JOIN_SQL),
+    "scl_skew_census": QueryEntry(scl_skew_census, _skew_census_sql()),
 }

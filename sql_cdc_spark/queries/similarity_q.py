@@ -920,11 +920,7 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each branch is its own already-scale-shaped operator
     (term-filtered explode / broadcast-query scan, both
     TakeOrderedAndProject); the fusion works on 2·L rows — constants,
-    not corpus — so hybrid costs the max of its branches at any scale.
-
-    Registry status: implemented and oracle-parity-gated in pytest this
-    round; registration deferred to round 6 with txt_bm25_search (the
-    round-5 window was committed when this landed)."""
+    not corpus — so hybrid costs the max of its branches at any scale."""
     from sql_cdc_spark.queries.text_q import BM25_QUERY, bm25_search
 
     docs = tables.load(spark, sf_dir, "documents")
@@ -1045,4 +1041,5 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_quantized_topk": QueryEntry(sim_quantized_topk, _QTOPK_SQL),
     "sim_knn_join": QueryEntry(sim_knn_join, _knn_join_sql()),
     "sim_semantic_dedup": QueryEntry(sim_semantic_dedup, _semantic_dedup_sql()),
+    "sim_hybrid_search": QueryEntry(sim_hybrid_search, _hybrid_sql()),
 }

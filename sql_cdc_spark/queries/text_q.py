@@ -388,11 +388,7 @@ def txt_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCAN (|hits| ≪ corpus), one (doc, term) count, a |terms|-row df
     aggregate and a one-row corpus census both broadcast back, one
     per-doc sum, per-partition top-k heaps. The corpus is scanned twice
-    (census + hits) and never shuffled whole.
-
-    Registry status: implemented and oracle-parity-gated in pytest this
-    round; registration deferred to round 6 (the round-5 window was
-    committed when this landed — same discipline as the r4 deferrals)."""
+    (census + hits) and never shuffled whole."""
     return bm25_search(
         tables.load(spark, sf_dir, "documents"), BM25_QUERY, k=BM25_TOPK
     )
@@ -404,8 +400,16 @@ def bm25_search(docs: DataFrame, terms, k: int = 10) -> DataFrame:
     re-derives this with arbitrary term sets against a parameterized
     DuckDB twin); scoring is functions/text.py::bm25_rank, the ONE
     derivation shared with the maintained search index."""
+    # materialize the normalization ONCE and derive dl from the result:
+    # projecting F.size(words) and words side-by-side evaluates the
+    # regex split twice per row, and at corpus scale the normalization
+    # regex is the scan's dominant cost (VERDICT r5 #6). The two-step
+    # Project survives CollapseProject because `w` is non-cheap and
+    # referenced twice — pinned by test_bm25_plan_single_normalization.
     words = TX.normalize_words(F.col("text"))
-    base = docs.select("doc_id", F.size(words).alias("dl"), words.alias("w"))
+    base = docs.select("doc_id", words.alias("w")).select(
+        "doc_id", F.size(F.col("w")).alias("dl"), "w"
+    )
     census = base.agg(
         F.count(F.lit(1)).alias("N"),
         F.sum("dl").cast("long").alias("total"),
@@ -470,11 +474,7 @@ def txt_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform (no self-join), so the only shuffle is the pair groupBy —
     map-side combined, the vocabulary-induction shape that holds at
     100 TB. Top-k with (left, right) tiebreak so the report is total-
-    ordered on any engine.
-
-    Registry status: implemented and oracle-parity-gated in pytest this
-    round; registration deferred to round 6 (same discipline as the r4
-    deferrals)."""
+    ordered on any engine."""
     docs = tables.load(spark, sf_dir, "documents")
     toks = TX.bpe_tokens(F.col("text"))
     pairs = F.expr(
@@ -518,4 +518,6 @@ QUERIES: dict[str, QueryEntry] = {
     "txt_doc_frequency": QueryEntry(txt_doc_frequency, _DOC_FREQ_SQL),
     "txt_pii_redact": QueryEntry(txt_pii_redact, _PII_SQL),
     "txt_quality_gate": QueryEntry(txt_quality_gate, _QUALITY_GATE_SQL),
+    "txt_bm25_search": QueryEntry(txt_bm25_search, _bm25_sql()),
+    "txt_bpe_pair_census": QueryEntry(txt_bpe_pair_census, _BPE_PAIR_SQL),
 }

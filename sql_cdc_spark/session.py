@@ -38,11 +38,13 @@ def get_spark(
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     # maxResultSize must stay well under the driver heap, or a large
     # legitimate broadcast build OOM-kills the JVM instead of aborting
-    # with the clean maxResultSize error: heap/4, floored at 256 MB and
-    # capped at 4 GB — computed in MB so a small configured heap (e.g.
-    # SPARK_GRAFT_DRIVER_MEM=512m or 2g) can never be assigned a limit
-    # at or above the heap itself, which would reintroduce the
+    # with the clean maxResultSize error: heap/4, floored at
+    # min(256 MB, heap/2) and capped at 4 GB — the floor itself is
+    # heap-relative so even a tiny configured heap (e.g.
+    # SPARK_GRAFT_DRIVER_MEM=200m) can never be assigned a limit at or
+    # above the heap, which would reintroduce the
     # OOM-instead-of-clean-abort failure this exists to prevent
+    # (ADVICE r5: a flat 256 MB floor broke the guarantee below ~1 GB)
     try:
         m = driver_mem.lower()
         if m.endswith(("m", "mb")):
@@ -51,7 +53,7 @@ def get_spark(
             heap_mb = int(m.rstrip("gb") or "48") * 1024
     except ValueError:
         heap_mb = 48 * 1024
-    max_result_mb = min(4096, max(256, heap_mb // 4))
+    max_result_mb = min(4096, max(min(256, heap_mb // 2), heap_mb // 4))
     # Python workers re-import this package when a UDF closure references
     # it (cloudpickle pickles module-level functions by reference), so the
     # package root must be on the workers' PYTHONPATH — the driver's

@@ -224,11 +224,17 @@ def collapse_batch(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     same-version U/D duplicate pair (at-least-once source racing an
     update against a delete) resolves deterministically and replay
     routes the doc identically, which the idempotence claims both
-    modules inherit require (ADVICE r4)."""
+    modules inherit require (ADVICE r4). TEXT is the first payload
+    tiebreak column — same position it holds in the single-payload
+    collapse — so a feed consumed through BOTH paths (manifest state
+    here, text-only dedup state there) elects the SAME winner for a
+    same-version same-op duplicate whose lang and text both differ;
+    ordering lang/source ahead of text could split the election
+    across modules (ADVICE r5)."""
     latest = batch_df.groupBy("doc_id").agg(
         F.max_by(
             F.struct("op", "lang", "source", "text"),
-            F.struct("change_version", "op", "lang", "source", "text"),
+            F.struct("change_version", "op", "text", "lang", "source"),
         ).alias("w")
     )
     upserts = latest.filter(

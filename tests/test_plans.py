@@ -107,6 +107,23 @@ def test_bigram_topk_is_take_ordered_with_partial_agg(spark):
     assert plan.count("Exchange") <= 1, "one count shuffle only"
 
 
+def test_bm25_plan_single_normalization(spark):
+    """The normalization regex is the BM25 scan's dominant cost at
+    corpus scale, so each document branch must evaluate it ONCE: the
+    Project that materializes `w` must not also compute dl from a
+    second split (VERDICT r5 #6 — the two-step Project survives
+    CollapseProject because `w` is non-cheap and referenced twice).
+    The census branch, where `w` itself is pruned away, legitimately
+    computes size(split(...)) directly — that is still one evaluation."""
+    import re
+
+    plan = _plan(spark, "txt_bm25_search")
+    for line in plan.splitlines():
+        if " AS w#" in line:
+            assert "size(split" not in line, f"double normalization: {line}"
+    assert re.search(r"size\(w#\d+", plan), "dl must derive from the w column"
+
+
 def test_quantize_is_scan_side_only(spark):
     """int8 quantization is pure per-row column algebra: the only
     exchange allowed is the final output ordering's range partition."""
@@ -337,6 +354,25 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "sim_random_projection": 1,    # presentation orderBy; projection is scan-local
     "evt_rate_anomaly": 3,         # hourly groupBy + per-type window + orderBy;
                                    # the window input is the aggregate, not events
+    # round-6 registrations (budgets measured at sf0.01 in round 5 as
+    # R6_QUEUED_EXCHANGE_BUDGETS; moved here when the four entered the
+    # registry):
+    # tf agg + df (distinct+count, re-derived: Spark shares no subtree
+    # across join sides) + 2 tiny broadcasts + 1-row census + doc agg;
+    # every exchange is post-IN-filter (≪ corpus) or a broadcast
+    "txt_bm25_search": 7,
+    "txt_bpe_pair_census": 1,  # ONE pair groupBy; top-k is TakeOrdered
+    # both branches' exchanges + 2 broadcast self-join rank stages over
+    # ≤L rows + rank aggs + the union-fusion aggregate + final top-k;
+    # everything past the branches operates on 2·L rows (constants)
+    "sim_hybrid_search": 18,
+    # per tracked key the EXECUTED shape is: ONE corpus per-key shuffle
+    # + cc agg (both inside the session-cached count-of-counts, computed
+    # once) + cum self-join + broadcasts + 1-row census; the PRINTED
+    # count is higher because explain renders the cached cc subtree's
+    # exchanges once per InMemoryRelation scan (3 scans/key × 2
+    # exchanges) — same counting artifact as the other persist users
+    "scl_skew_census": 34,
 }
 
 
@@ -484,53 +520,6 @@ def test_r5_queued_exchange_budgets(spark):
         # sort-merge joins allowed: the dedup shingle/pair self-joins are
         # genuinely fact-by-fact (same stance as the registered dd_ rows)
         flags = assert_scale_safe(df, max_sort_merge_joins=12)
-        if flags.exchanges > budget:
-            over[name] = (flags.exchanges, budget)
-    assert not over, f"exchange budget exceeded (got, budget): {over}"
-
-
-# measured at sf0.01 (round 5) — ceilings for the queries implemented
-# this round whose registry entries land in round 6 (same deferral
-# discipline as the r4→r5 batch)
-R6_QUEUED_EXCHANGE_BUDGETS = {
-    # tf agg + df (distinct+count, re-derived: Spark shares no subtree
-    # across join sides) + 2 tiny broadcasts + 1-row census + doc agg;
-    # every exchange is post-IN-filter (≪ corpus) or a broadcast
-    "txt_bm25_search": 7,
-    "txt_bpe_pair_census": 1,  # ONE pair groupBy; top-k is TakeOrdered
-    # both branches' exchanges + 2 broadcast self-join rank stages over
-    # ≤L rows + rank aggs + the union-fusion aggregate + final top-k;
-    # everything past the branches operates on 2·L rows (constants)
-    "sim_hybrid_search": 18,
-    # per tracked key the EXECUTED shape is: ONE corpus per-key shuffle
-    # + cc agg (both inside the persisted count-of-counts, computed
-    # once) + cum self-join + broadcasts + 1-row census; the PRINTED
-    # count is higher because explain renders the cached cc subtree's
-    # exchanges once per InMemoryRelation scan (3 scans/key × 2
-    # exchanges) — same counting artifact as the other persist users
-    "scl_skew_census": 34,
-}
-
-
-def test_r6_queued_exchange_budgets(spark):
-    """Same gate as test_r5_queued_exchange_budgets for the round-5
-    implementations whose registry entries land in round 6."""
-    from sql_cdc_spark.plans import assert_scale_safe
-    from sql_cdc_spark.queries.scale_q import scl_skew_census
-    from sql_cdc_spark.queries.similarity_q import sim_hybrid_search
-    from sql_cdc_spark.queries.text_q import txt_bm25_search, txt_bpe_pair_census
-
-    fns = {
-        "txt_bm25_search": txt_bm25_search,
-        "txt_bpe_pair_census": txt_bpe_pair_census,
-        "sim_hybrid_search": sim_hybrid_search,
-        "scl_skew_census": scl_skew_census,
-    }
-    over = {}
-    for name, budget in R6_QUEUED_EXCHANGE_BUDGETS.items():
-        spark.catalog.clearCache()
-        df = fns[name](spark, SF_DIR)
-        flags = assert_scale_safe(df)
         if flags.exchanges > budget:
             over[name] = (flags.exchanges, budget)
     assert not over, f"exchange budget exceeded (got, budget): {over}"

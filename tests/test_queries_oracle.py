@@ -229,10 +229,24 @@ def test_bpe_pair_census_matches_oracle(spark, oracle):
     assert 0 < len(rows) <= BPE_PAIR_TOPK
     for a, b in zip(rows, rows[1:]):
         assert (a.n, (b.left, b.right)) >= (b.n, (a.left, a.right)) or a.n > b.n
+    # adjacency check against the SAME tokenization the census uses —
+    # a LIKE '%left right%' scan would miss intra-word adjacent pairs
+    # (no space between a letter run and the punctuation run that
+    # follows it) and would need wildcard escaping (ADVICE r5); bound
+    # parameters sidestep quoting entirely
+    from sql_cdc_spark.functions import text as TX
+
     top = rows[0]
     n_docs = oracle.execute(
-        "SELECT COUNT(*) FROM documents "
-        f"WHERE lower(text) LIKE '%{top.left} {top.right}%'"
+        f"""
+        SELECT COUNT(*) FROM (
+          SELECT regexp_extract_all(lower(text), '{TX.BPE_RE}') AS t
+          FROM documents
+        )
+        WHERE len(list_filter(range(1, len(t)),
+                              i -> t[i] = ? AND t[i + 1] = ?)) > 0
+        """,
+        [top.left, top.right],
     ).fetchone()[0]
     assert n_docs > 0
 

@@ -1726,6 +1726,40 @@ def test_streaming_manifest_maintenance_equals_batch_pipeline(spark, tmp_path):
     assert clone_src[1] in by_id and clone_src[1] + 700_000 not in by_id
 
 
+def test_manifest_and_text_collapse_elect_same_winner(spark):
+    """A feed consumed through BOTH collapse paths — the multi-payload
+    manifest collapse and the single-payload text collapse the other
+    maintenance twins share — must elect the SAME winning text for a
+    same-version same-op duplicate pair whose lang AND text both
+    differ; ordering lang/source ahead of text in the manifest tiebreak
+    split the election across modules (ADVICE r5)."""
+    from sql_cdc_spark.streaming import dedup_maintenance as DM
+    from sql_cdc_spark.streaming import manifest_maintenance as MM
+
+    batch = spark.createDataFrame(
+        [
+            # lang order (de < en) disagrees with text order (zzz > aaa):
+            # a lang-first tiebreak elects 'aaa text', text-first 'zzz text'
+            (1, "en", "web", "aaa text", "U", 7),
+            (1, "de", "web", "zzz text", "U", 7),
+            # and a same-version U/D race still routes to delete wins/loses
+            # identically in both modules ('U' > 'D' in the op position)
+            (2, "en", "web", "alive", "U", 3),
+            (2, "en", "web", None, "D", 3),
+        ],
+        "doc_id long, lang string, source string, text string, "
+        "op string, change_version long",
+    )
+    m_ups, m_dels = MM.collapse_batch(batch)
+    t_ups, t_dels = DM.collapse_batch(
+        batch.select("doc_id", "text", "op", "change_version")
+    )
+    m_win = {r.doc_id: r.text for r in m_ups.collect()}
+    t_win = {r.doc_id: r.text for r in t_ups.collect()}
+    assert m_win == t_win == {1: "zzz text", 2: "alive"}
+    assert m_dels.count() == t_dels.count() == 0
+
+
 def test_manifest_maintenance_resumes_from_checkpoint(spark, tmp_path):
     """Two separate drains over the same checkpoint: the second must see
     ONLY files appended after the first (n_batches == 1, no replay of
