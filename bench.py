@@ -96,12 +96,19 @@ ROUND5 = [
     "sim_semantic_dedup",       # SemDeDup bucket election
 ]
 
-# round-6 registrations (implemented r5, driver-visible r6)
+# round-6 registrations (the four implemented in r5 plus the six that
+# landed and registered in round 6 itself)
 ROUND6 = [
     "txt_bm25_search",      # integer-exact BM25 lexical search
     "txt_bpe_pair_census",  # BPE merge-candidate pair census
     "sim_hybrid_search",    # BM25+cosine RRF hybrid retrieval
     "scl_skew_census",      # join-key hotness percentiles
+    "txt_tfidf_topterms",   # per-doc TF-IDF keyword extraction
+    "txt_ngram_novelty",    # trigram decontamination census
+    "dd_dedup_impact",      # per-source exact-dedup impact
+    "scl_compaction_plan",  # small-file compaction binning
+    "sim_mutual_knn",       # reciprocal nearest-neighbor edges
+    "sim_kmeans_step",      # one exact Lloyd iteration
 ]
 
 

@@ -820,8 +820,76 @@ ORDER BY doc_id
 """
 
 
+# ---- exact-dedup impact report (round 6) ---------------------------------
+
+
+def dd_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup impact — the report a curation run reads
+    BEFORE committing a dedup pass: how many docs (and how much text)
+    each source loses when every md5-digest group keeps only its
+    lowest-doc_id canonical. The duplicate flag is a per-digest MIN
+    window (partitioned by digest — a digest group is a handful of rows
+    at any corpus size), so the whole report is ONE digest shuffle plus
+    one per-source aggregate: no self-join, no pair materialization.
+    dup share is integer ppm (1e6·n_dup div n_docs), engine-identical."""
+    from pyspark.sql import Window
+
+    from sql_cdc_spark.functions.text import fingerprint
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", fingerprint(F.col("text")).alias("digest")
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("digest"))
+    flagged = docs.select(
+        "source",
+        "n_chars",
+        (F.col("doc_id") != canon).cast("long").alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum(F.col("is_dup") * F.col("n_chars")).cast("long").alias(
+                "n_dup_chars"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "n_chars",
+            "n_dup_chars",
+            F.expr("1000000 * n_dup_docs div n_docs").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_DEDUP_IMPACT_SQL = f"""
+WITH flagged AS (
+  SELECT source, n_chars,
+         CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5({_NORM_SQL}))
+              THEN 1 ELSE 0 END AS is_dup
+  FROM documents
+),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(is_dup * n_chars) AS BIGINT) AS n_dup_chars
+  FROM flagged GROUP BY source
+)
+SELECT source, n_docs, n_dup_docs, n_chars, n_dup_chars,
+       1000000 * n_dup_docs // n_docs AS dup_ppm
+FROM agg ORDER BY source
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "dd_exact": QueryEntry(dd_exact, _EXACT_SQL),
+    "dd_dedup_impact": QueryEntry(dd_dedup_impact, _DEDUP_IMPACT_SQL),
     "dd_duplicate_spans": QueryEntry(dd_duplicate_spans, _DUP_SPANS_SQL),
     "dd_minhash_signatures": QueryEntry(dd_minhash_signatures, _MINHASH_SQL),
     "dd_lsh_candidate_pairs": QueryEntry(dd_lsh_candidate_pairs, _LSH_SQL),

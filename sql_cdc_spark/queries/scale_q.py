@@ -240,6 +240,15 @@ def _skew_one(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFra
     # invoked (VERDICT r5 #5: the old per-call persist() accumulated an
     # InMemoryRelation per key per call and never released it).
     cc = session_cached(spark, ("skew_cc", sf_dir, rel), build)
+    return _skew_report(cc, rel)
+
+
+def _skew_report(cc: DataFrame, rel: str) -> DataFrame:
+    """The window-free exact-percentile report over a count-of-counts
+    frame (c = per-key multiplicity, nk = keys with that multiplicity)
+    — the arithmetic core of scl_skew_census, parameterized so the fuzz
+    harness (family 11) can drive arbitrary key distributions through
+    the SAME derivation the registered census uses."""
     tot = cc.agg(
         F.sum("nk").cast("long").alias("K"),
         F.sum(F.col("c") * F.col("nk")).cast("long").alias("N"),
@@ -274,9 +283,10 @@ def _skew_one(spark: SparkSession, sf_dir: str, table: str, key: str) -> DataFra
     )
 
 
-def _skew_one_sql(table: str, key: str) -> str:
+def _skew_one_sql(table: str, key: str, rel: str | None = None) -> str:
+    rel_label = rel if rel is not None else f"{table}.{key}"
     return f"""
-SELECT '{table}.{key}' AS rel, t.N AS n_rows, t.K AS n_keys,
+SELECT '{rel_label}' AS rel, t.N AS n_rows, t.K AS n_keys,
        t.max_c AS max_per_key,
        CAST(MIN(CASE WHEN 100 * cum >= 50 * t.K THEN c END) AS BIGINT) AS p50,
        CAST(MIN(CASE WHEN 100 * cum >= 90 * t.K THEN c END) AS BIGINT) AS p90,
@@ -310,6 +320,75 @@ def _skew_census_sql() -> str:
     return f"SELECT * FROM ({parts}) ORDER BY rel"
 
 
+# ---- small-file compaction planner (round 6) ----------------------------
+# target output-object size in chars (the doc corpus's byte surrogate);
+# real deployments feed file-listing stats through the same plan
+COMPACTION_TARGET_CHARS = 50_000
+
+
+def scl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the lakehouse maintenance read that
+    decides which input objects coalesce into which output file. Inputs
+    (here: documents standing in for file-listing rows, n_chars for
+    bytes) are binned per source in deterministic doc_id order by an
+    offset-begin rule: a file starts the bin its cumulative START
+    offset falls in (bin = (cum − n_chars) div target), so bins are
+    contiguous, every input lands in exactly one bin, and membership is
+    pure integer arithmetic — identical on any engine.
+
+    Scale shape: ONE per-source partitioned window for the running sum
+    (a source's listing fits a partition by construction — at 100 TB
+    the partition key would be (source, date-prefix) exactly like the
+    real listing), then one (source, bin) aggregate. No corpus
+    self-join, no global sort; the final orderBy is presentation on
+    |bins| rows."""
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start_off"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"start_off div {COMPACTION_TARGET_CHARS}").alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").cast("long").alias("bin_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+_COMPACTION_SQL = f"""
+WITH binned AS (
+  SELECT source, doc_id, n_chars,
+         (SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+           // {COMPACTION_TARGET_CHARS} AS bin
+  FROM documents
+)
+SELECT source, bin, COUNT(*) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS bin_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned GROUP BY 1, 2
+ORDER BY source, bin
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "scl_salted_pricing": QueryEntry(scl_salted_pricing, _SALTED_PRICING_SQL),
     "scl_salted_join_segments": QueryEntry(scl_salted_join_segments, _SALTED_JOIN_SQL),
@@ -317,4 +396,5 @@ QUERIES: dict[str, QueryEntry] = {
     "scl_zorder_key": QueryEntry(scl_zorder_key, _zorder_sql()),
     "scl_bloom_pruned_join": QueryEntry(scl_bloom_pruned_join, _BLOOM_JOIN_SQL),
     "scl_skew_census": QueryEntry(scl_skew_census, _skew_census_sql()),
+    "scl_compaction_plan": QueryEntry(scl_compaction_plan, _COMPACTION_SQL),
 }

@@ -1026,8 +1026,201 @@ LIMIT {HYBRID_TOPK}
 """
 
 
+# ---- mutual k-NN graph edges (round 6) -----------------------------------
+
+
+def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor pairs: (a, b) where a is b's bucketed
+    top-1 neighbor AND b is a's — the reciprocity filter that turns the
+    directed k-NN graph into the high-precision edge set cluster
+    pruning and duplicate election want (a hub vector is many points'
+    nearest neighbor but reciprocates at most one; mutuality cuts
+    exactly those hub edges).
+
+    Scale shape: ONE knn_join pass (the salted bucket self-join), then
+    reciprocity WITHOUT a second join or a recompute: each directed
+    edge folds to its undirected (least, greatest) key and one
+    map-side-combined groupBy keeps keys seen from BOTH directions
+    (count = 2 — a vector emits at most one directed edge, so the pair
+    key can only be hit once per endpoint). cos_sim is symmetric and
+    6-dp-rounded identically in both directions, so MIN is a no-op
+    made explicit for determinism."""
+    best = knn_join(tables.load(spark, sf_dir, "embeddings"))
+    e = best.select(
+        F.least("vec_id", "nn_id").alias("id_a"),
+        F.greatest("vec_id", "nn_id").alias("id_b"),
+        "cos_sim",
+    )
+    return (
+        e.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("cos_sim").alias("cos_sim"),
+        )
+        .filter(F.col("__n") == 2)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _mutual_knn_sql() -> str:
+    knn = _knn_join_sql().strip()
+    return f"""
+WITH best AS ({knn}),
+e AS (
+  SELECT LEAST(vec_id, nn_id) AS id_a, GREATEST(vec_id, nn_id) AS id_b,
+         cos_sim
+  FROM best
+)
+SELECT id_a, id_b, MIN(cos_sim) AS cos_sim
+FROM e GROUP BY 1, 2 HAVING COUNT(*) = 2
+ORDER BY id_a, id_b
+"""
+
+
+# ---- one exact Lloyd iteration (round 6) ----------------------------------
+KMEANS_K = 8  # deterministic seeds: the embeddings of vec_id 0..K-1
+
+
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means (Lloyd) iteration — the training step behind
+    every coarse quantizer in the ANN family (IVF lists, PQ codebooks,
+    SemDeDup's buckets): assign every vector to its nearest seed, then
+    report per cluster the assignment count, the inertia (Σ dist²) and
+    the centroid drift the M-step would apply. Everything lives in the
+    integer-micro domain (element → round(x·1e6)), so assignment,
+    inertia and drift are bigint-exact on any engine:
+
+    - seeds are the vectors with vec_id < KMEANS_K — a K-row bounded
+      collect baked into the plan as literals (the IVF sample pattern),
+      so assignment is SCAN-LOCAL: per-row argmin over K literal
+      centroids via least(struct(dist², cluster)), no join, no shuffle.
+    - dist² uses the ‖x‖² − 2x·c + ‖c‖² decomposition; ‖c‖² folds at
+      plan-build time into one literal per seed.
+    - drift_num = Σ_d |n·seed_d − Σ_assigned x_d| = n·Σ_d |seed_d −
+      mean_d| exactly, division-free (the M-step's movement, scaled by
+      n to stay integral).
+
+    The ONLY shuffle is the K-group aggregate. Bounds: |x_d| ≤ 2e6
+    micro, so dist² ≤ 64·(4e6)² ≈ 1e15 and inertia stays under 2^63
+    through ~9000× this corpus; a 100 TB run re-scales to milli-units,
+    same plan."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+    base = emb.select("vec_id", micro.alias("mv"))
+    seed_rows = base.filter(F.col("vec_id") < KMEANS_K).collect()  # K rows
+    seeds = {int(r["vec_id"]): [int(v) for v in r["mv"]] for r in seed_rows}
+    x2 = F.aggregate(
+        F.transform("mv", lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cands = []
+    for cid in sorted(seeds):
+        cv = seeds[cid]
+        c2 = sum(v * v for v in cv)
+        dot = F.aggregate(
+            F.zip_with(
+                "mv",
+                F.array(*[F.lit(v).cast("long") for v in cv]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cands.append(
+            F.struct(
+                (F.col("x2") - 2 * dot + F.lit(c2).cast("long")).alias("d"),
+                F.lit(cid).cast("long").alias("c"),
+            )
+        )
+    assigned = base.withColumn("x2", x2).select(
+        "vec_id", "mv", F.least(*cands).alias("b")
+    )
+    agg = assigned.groupBy(F.col("b.c").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b.d").cast("long").alias("inertia"),
+        *[
+            F.sum(F.element_at("mv", d + 1)).cast("long").alias(f"s{d}")
+            for d in range(DIM)
+        ],
+    )
+    seed_arr = F.map_from_arrays(
+        F.array(*[F.lit(cid).cast("long") for cid in sorted(seeds)]),
+        F.array(
+            *[
+                F.array(*[F.lit(v).cast("long") for v in seeds[cid]])
+                for cid in sorted(seeds)
+            ]
+        ),
+    )
+    drift = F.aggregate(
+        F.zip_with(
+            F.array(*[F.col(f"s{d}") for d in range(DIM)]),
+            F.element_at(seed_arr, F.col("cluster_id")),
+            lambda s, c: F.abs(F.col("n") * c - s),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        agg.select("cluster_id", "n", "inertia", drift.alias("drift"))
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_step_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+  FROM embeddings
+),
+seeds AS (SELECT vec_id AS cluster_id, mv AS cv FROM m WHERE vec_id < {KMEANS_K}),
+pairs AS (
+  SELECT m.vec_id, m.mv, s.cluster_id,
+         CAST(list_dot_product(m.mv, m.mv)
+              - 2 * list_dot_product(m.mv, s.cv)
+              + list_dot_product(s.cv, s.cv) AS BIGINT) AS dist2
+  FROM m CROSS JOIN seeds s
+),
+best AS (
+  SELECT vec_id, mv, cluster_id, dist2 FROM (
+    SELECT p.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist2, cluster_id) AS rn
+    FROM pairs p
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT cluster_id, COUNT(*) AS n, CAST(SUM(dist2) AS BIGINT) AS inertia
+  FROM best GROUP BY cluster_id
+),
+sums AS (
+  SELECT b.cluster_id, u.d, CAST(SUM(b.mv[u.d]) AS BIGINT) AS s
+  FROM best b, unnest(range(1, {DIM + 1})) AS u(d)
+  GROUP BY 1, 2
+),
+drift AS (
+  SELECT su.cluster_id,
+         CAST(SUM(abs(a.n * sd.cv[su.d] - su.s)) AS BIGINT) AS drift
+  FROM sums su
+  JOIN seeds sd ON sd.cluster_id = su.cluster_id
+  JOIN agg a ON a.cluster_id = su.cluster_id
+  GROUP BY 1
+)
+SELECT a.cluster_id, a.n, a.inertia, d.drift
+FROM agg a JOIN drift d ON d.cluster_id = a.cluster_id
+ORDER BY a.cluster_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_random_projection": QueryEntry(sim_random_projection, _rp_sql()),
+    "sim_mutual_knn": QueryEntry(sim_mutual_knn, _mutual_knn_sql()),
+    "sim_kmeans_step": QueryEntry(sim_kmeans_step, _kmeans_step_sql()),
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_pq_topk": QueryEntry(sim_pq_topk, _PQ_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),

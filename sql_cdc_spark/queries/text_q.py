@@ -508,8 +508,186 @@ LIMIT {BPE_PAIR_TOPK}
 """
 
 
+# ---- TF-IDF keyword extraction (round 6) ---------------------------------
+TFIDF_TOPK = 3  # terms kept per document
+
+
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top terms by an
+    integer tf·idf surrogate — the per-document companion to the
+    corpus-level txt_doc_frequency report (tagging, routing, index
+    enrichment). idf uses the same bin-length log2 surrogate as BM25
+    (length(bin(2(N−df)+1)) − length(bin(2df+1))) but UNFLOORED: a term
+    in more than half the corpus scores negative, which is exactly the
+    suppression keyword extraction wants (BM25's floor exists so a
+    *matched query term* never counts for nothing — a different
+    contract). score = tf · idf_bits, all bigint, so the per-doc
+    (score desc, term asc) ranking hashes identically on any engine.
+
+    Scale shape: one token explode → (doc, term) count (the posting
+    shuffle), a term-keyed df aggregate re-joined to the postings with
+    a pinned shuffle-hash (the vocabulary is corpus-scale and
+    integer-dense — the documented broadcast-abort band), a one-row
+    census broadcast, and a per-doc ranking window (partitioned by
+    doc_id — bounded by per-doc vocabulary). The corpus text is
+    scanned once."""
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    words = TX.normalize_words(F.col("text"))
+    terms = (
+        docs.select("doc_id", F.explode(words).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    census = docs.agg(F.count(F.lit(1)).alias("N"))
+    idf_bits = (
+        (F.length(F.bin(2 * (F.col("N") - F.col("df")) + 1)) - 1)
+        - (F.length(F.bin(2 * F.col("df") + 1)) - 1)
+    ).cast("long")
+    scored = (
+        tf.join(dfreq.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(census))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * idf_bits).alias("score_bits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_bits").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "rk", "term", "tf", "df", "score_bits")
+        .orderBy("doc_id", "rk")
+    )
+
+
+_TFIDF_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\s+') AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM base)
+  WHERE term <> '' GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+census AS (SELECT COUNT(*) AS N FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * CAST((length(bin(2 * (c.N - dfreq.df) + 1)) - 1)
+                    - (length(bin(2 * dfreq.df + 1)) - 1) AS BIGINT)
+           AS score_bits
+  FROM tf JOIN dfreq USING (term) CROSS JOIN census c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score_bits DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df, score_bits
+FROM ranked WHERE rk <= {TFIDF_TOPK}
+ORDER BY doc_id, rk
+"""
+
+
+# ---- n-gram novelty / decontamination census (round 6) -------------------
+# probe split: every doc_id ≡ 0 (mod NOVELTY_MOD) is scored against the
+# reference trigram set built from all OTHER docs
+NOVELTY_MOD = 10
+
+
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the decontamination/memorization
+    census: for each probe document (doc_id ≡ 0 mod NOVELTY_MOD), the
+    share of its distinct word trigrams that appear NOWHERE in the
+    reference corpus (all other docs). Low novelty = the doc is largely
+    stitched from corpus text (leakage / near-copy); high = genuinely
+    new. novelty is integer ppm so the report hashes identically on
+    any engine.
+
+    Scale shape: trigrams are formed IN-ROW (positional transform, no
+    self-join), one distinct over (doc, trigram), and the probe side —
+    a fixed 1/NOVELTY_MOD sample — anti-joins the reference trigram
+    set on the trigram key with a pinned shuffle-hash (the reference
+    set is corpus-scale and must never be broadcast). Cost is posting-
+    shaped end to end; documents are never paired."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = TX.normalize_words(F.col("text"))
+    tri = F.expr(
+        "transform(slice(__t, 1, greatest(size(__t) - 2, 0)), "
+        "(x, i) -> concat_ws(' ', x, element_at(__t, i + 2), "
+        "element_at(__t, i + 3)))"
+    )
+    dtri = (
+        docs.select("doc_id", toks.alias("__t"))
+        .select("doc_id", F.explode(F.array_distinct(tri)).alias("tri"))
+    )
+    probe = dtri.filter(F.col("doc_id") % NOVELTY_MOD == 0)
+    ref = (
+        dtri.filter(F.col("doc_id") % NOVELTY_MOD != 0)
+        .select("tri")
+        .distinct()
+    )
+    novel = (
+        probe.join(ref.hint("shuffle_hash"), "tri", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    base = probe.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tri"))
+    return (
+        base.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tri",
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_tri",
+            "n_novel",
+            F.expr("1000000 * n_novel div n_tri").alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NOVELTY_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex({_NORM_SQL}, '\s+') AS t FROM documents
+),
+dtri AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS tri
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+probe AS (SELECT * FROM dtri WHERE doc_id % {NOVELTY_MOD} = 0),
+ref AS (SELECT DISTINCT tri FROM dtri WHERE doc_id % {NOVELTY_MOD} <> 0),
+novel AS (
+  SELECT p.doc_id, COUNT(*) AS n_novel
+  FROM probe p ANTI JOIN ref r ON p.tri = r.tri
+  GROUP BY 1
+),
+base AS (SELECT doc_id, COUNT(*) AS n_tri FROM probe GROUP BY 1)
+SELECT b.doc_id, b.n_tri,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       1000000 * CAST(COALESCE(n.n_novel, 0) AS BIGINT) // b.n_tri
+         AS novelty_ppm
+FROM base b LEFT JOIN novel n ON b.doc_id = n.doc_id
+ORDER BY b.doc_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "txt_token_stats": QueryEntry(txt_token_stats, _TOKEN_STATS_SQL),
+    "txt_tfidf_topterms": QueryEntry(txt_tfidf_topterms, _TFIDF_SQL),
+    "txt_ngram_novelty": QueryEntry(txt_ngram_novelty, _NOVELTY_SQL),
     "txt_bpe_tokens": QueryEntry(txt_bpe_tokens, _BPE_SQL),
     "txt_rolling_fingerprint": QueryEntry(txt_rolling_fingerprint, _ROLLING_SQL),
     "txt_quality_score": QueryEntry(txt_quality_score, _QUALITY_SQL),

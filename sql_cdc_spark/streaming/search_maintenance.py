@@ -79,8 +79,13 @@ def _tokenize(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     per-document derivation both the full build and every batch apply
     run; scan-local explode + one groupBy of the FRAME (batch-sized on
     the apply path, never the corpus)."""
+    # two-step Project so the normalization regex runs ONCE per row —
+    # same fix (and same CollapseProject survival argument) as
+    # queries/text_q.py::bm25_search (VERDICT r5 #6)
     words = normalize_words(F.col("text"))
-    base = docs.select("doc_id", F.size(words).alias("dl"), words.alias("w"))
+    base = docs.select("doc_id", words.alias("w")).select(
+        "doc_id", F.size(F.col("w")).alias("dl"), "w"
+    )
     postings = (
         base.select("doc_id", F.explode("w").alias("term"))
         .groupBy("doc_id", "term")

@@ -1290,3 +1290,49 @@ def test_random_query10_matches_duckdb(spark, oracle, seed):
         oracle,
         _bm25_sql10(q["terms"], k=q["k"]),
     )
+
+
+# ---- family 11: the skew-census percentile space — random key
+# distributions (modulus grids, hot-key mixtures, all-unique and
+# single-key degenerate corpora) driven through the SAME window-free
+# integer percentile core the registered census uses (_skew_report) vs
+# the parameterized DuckDB twin. The hand-written oracle pins three
+# real keys; this family exercises the cumulative-count boundary
+# arithmetic (100·cum ≥ p·K) where an off-by-one survives
+# fixed-constant tests: K=1 (every percentile IS the single
+# multiplicity), all-unique (every percentile = 1), and two-mass
+# mixtures whose p90/p99 straddle the hot key. ----
+
+from sql_cdc_spark.queries.scale_q import _skew_one_sql, _skew_report
+
+
+def _gen11(rng: random.Random) -> str:
+    shape = rng.random()
+    if shape < 0.2:
+        # modulus grid; m=1 is the single-key degenerate corpus
+        m = rng.choice([1, 2, 7, 100, 4999])
+        return f"l_orderkey % {m}"
+    if shape < 0.4:
+        # all-unique: (l_orderkey, l_linenumber) is the lineitem PK
+        return "l_orderkey * 8 + l_linenumber"
+    if shape < 0.7:
+        # hot-key mixture: every h-th part collapses onto one key
+        h = rng.choice([2, 10, 50])
+        return f"CASE WHEN l_partkey % {h} = 0 THEN -1 ELSE l_partkey END"
+    return f"l_suppkey % {rng.randint(2, 500)}"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_query11_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(29000 + seed)
+    expr = _gen11(rng)
+    li = tables.load(spark, SF_DIR, "lineitem")
+    per = (
+        li.selectExpr(f"({expr}) AS k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cc = per.groupBy("c").agg(F.count(F.lit(1)).alias("nk"))
+    got = _skew_report(cc, "fuzz")
+    sql = _skew_one_sql(f"(SELECT ({expr}) AS k FROM lineitem)", "k", rel="fuzz")
+    assert_matches_oracle(got, oracle, sql)

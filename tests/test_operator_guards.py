@@ -50,6 +50,14 @@ def test_registry_window_holds_all_round6_queries():
         # external clearCache, dead-session eviction)
         "dd_containment_pairs",
         "dd_containment_sweep",
+        # landed AND registered in round 6 (VERDICT r5 #3 — operators
+        # register in the round they land)
+        "txt_tfidf_topterms",   # per-doc TF-IDF keyword extraction
+        "txt_ngram_novelty",    # trigram decontamination census
+        "dd_dedup_impact",      # per-source exact-dedup impact
+        "scl_compaction_plan",  # small-file compaction binning
+        "sim_mutual_knn",       # reciprocal nearest-neighbor edges
+        "sim_kmeans_step",      # one exact Lloyd iteration
     ]
     missing = [n for n in round6_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
@@ -77,12 +85,8 @@ def test_registry_window_holds_all_round6_queries():
     ]
     stale_missing = [n for n in stale_r6 if n not in window]
     assert not stale_missing, f"rotation debt unpaid: {stale_missing}"
-    # the tail slots hold round-6-landed operators or, where fewer
-    # landed, extra stale greens — either is a valid use of a slot;
-    # what matters is nothing added/changed sits outside and the pinned
-    # stale set is fully paid
-    assert len(window) == 50
-    assert len(set(round6_new) | set(stale_r6)) == 44
+    # no wasted slots: the pinned sets fill the window exactly
+    assert len(set(round6_new) | set(stale_r6)) == 50 == len(window)
 
 
 def test_refresh_aggregate_groups_matches_full_recompute(spark):

@@ -373,6 +373,17 @@ HEADLINE_EXCHANGE_BUDGETS = {
     # exchanges once per InMemoryRelation scan (3 scans/key × 2
     # exchanges) — same counting artifact as the other persist users
     "scl_skew_census": 34,
+    # round-6 landings (measured at sf0.01 on landing day):
+    "scl_compaction_plan": 2,   # per-source window + (source,bin) agg
+    "dd_dedup_impact": 3,       # digest window + source agg + orderBy
+    # postings agg + df agg (tf subtree re-derived) + pinned
+    # shuffle-hash join + per-doc rank window + presentation sort
+    "txt_tfidf_topterms": 8,
+    # probe/ref distincts + pinned shuffle-hash anti join + two
+    # per-doc aggs + final join/sort
+    "txt_ngram_novelty": 6,
+    "sim_mutual_knn": 4,        # knn_join shape + ONE reciprocity agg
+    "sim_kmeans_step": 2,       # scan-local assignment; K-group agg + sort
 }
 
 

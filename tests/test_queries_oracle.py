@@ -547,3 +547,170 @@ def test_semantic_dedup_matches_oracle(spark, oracle):
     # survives per redundancy group under the smaller-id rule)
     keepers = {r.keeper_id for r in rows}
     assert keepers - dropped, "every keeper was itself dropped"
+
+
+def test_tfidf_topterms_invariants(spark, oracle):
+    """Shape invariants for txt_tfidf_topterms beyond the parametrized
+    parity row: per-doc rank contiguity, the score ordering the rank
+    claims, and a ground-truth tf spot-check for one (doc, term)
+    against a raw token scan."""
+    from sql_cdc_spark.queries.text_q import TFIDF_TOPK, txt_tfidf_topterms
+
+    rows = txt_tfidf_topterms(spark, SF_DIR).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOPK
+        for a, b in zip(rs, rs[1:]):
+            assert (a.score_bits, b.term) >= (b.score_bits, a.term)
+    probe = rows[0]
+    n = oracle.execute(
+        r"""
+        SELECT COUNT(*) FROM (
+          SELECT unnest(string_split_regex(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+')) AS tk
+          FROM documents WHERE doc_id = ?
+        ) WHERE tk = ?
+        """,
+        [probe.doc_id, probe.term],
+    ).fetchone()[0]
+    assert n == probe.tf
+
+
+def test_ngram_novelty_invariants(spark, oracle):
+    """txt_ngram_novelty: probe set is exactly the mod class, bounds
+    hold, and n_tri for one probe doc equals an independent distinct-
+    trigram count."""
+    from sql_cdc_spark.queries.text_q import NOVELTY_MOD, txt_ngram_novelty
+
+    rows = txt_ngram_novelty(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % NOVELTY_MOD == 0
+        assert 0 <= r.n_novel <= r.n_tri
+        assert 0 <= r.novelty_ppm <= 1_000_000
+    probe = rows[0]
+    n_tri = oracle.execute(
+        r"""
+        SELECT COUNT(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        FROM (SELECT string_split_regex(
+                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+') AS t
+              FROM documents WHERE doc_id = ?),
+             unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+        """,
+        [probe.doc_id],
+    ).fetchone()[0]
+    assert n_tri == probe.n_tri
+
+
+def test_dedup_impact_invariants(spark, oracle):
+    """dd_dedup_impact totals must reconcile with the corpus and with
+    dd_exact's digest algebra: Σ n_docs == |documents| and Σ n_dup_docs
+    == |documents| − |distinct digests|."""
+    from sql_cdc_spark.queries.dedup_q import dd_dedup_impact
+
+    rows = dd_dedup_impact(spark, SF_DIR).collect()
+    n_docs_total = sum(r.n_docs for r in rows)
+    n_dup_total = sum(r.n_dup_docs for r in rows)
+    n_corpus, n_digests = oracle.execute(
+        r"""
+        SELECT COUNT(*),
+               COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        FROM documents
+        """
+    ).fetchone()
+    assert n_docs_total == n_corpus
+    assert n_dup_total == n_corpus - n_digests
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert 0 <= r.n_dup_chars <= r.n_chars
+
+
+def test_compaction_plan_invariants(spark, oracle):
+    """scl_compaction_plan conservation and contiguity: per source the
+    plan's files and chars sum to the listing's, bins are contiguous
+    from 0, and no bin except possibly a one-file bin starts past the
+    target (offset-begin rule: a bin only exists if some file STARTS
+    inside it)."""
+    from collections import defaultdict
+
+    from sql_cdc_spark.queries.scale_q import (
+        COMPACTION_TARGET_CHARS,
+        scl_compaction_plan,
+    )
+
+    rows = scl_compaction_plan(spark, SF_DIR).collect()
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r.source].append(r)
+    truth = dict(
+        (s, (n, c))
+        for s, n, c in oracle.execute(
+            "SELECT source, COUNT(*), SUM(n_chars) FROM documents GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(per_src) == set(truth)
+    for s, rs in per_src.items():
+        assert [r.bin for r in rs] == list(range(len(rs)))
+        assert sum(r.n_files for r in rs) == truth[s][0]
+        assert sum(r.bin_chars for r in rs) == truth[s][1]
+        # every non-final bin must have been filled past its start
+        for r in rs[:-1]:
+            assert r.bin_chars > 0
+        # a bin's contents start inside it: first_doc ordering is
+        # monotone across bins
+        for a, b in zip(rs, rs[1:]):
+            assert a.last_doc < b.first_doc
+
+
+def test_mutual_knn_is_reciprocal_subset(spark):
+    """Every mutual edge must appear in BOTH directions of the directed
+    knn_join result with the same cosine, and directed edges without a
+    reciprocal must be absent."""
+    from sql_cdc_spark.queries.similarity_q import (
+        sim_knn_join,
+        sim_mutual_knn,
+    )
+
+    directed = {
+        (r.vec_id, r.nn_id): r.cos_sim
+        for r in sim_knn_join(spark, SF_DIR).collect()
+    }
+    mutual = sim_mutual_knn(spark, SF_DIR).collect()
+    assert mutual
+    seen = set()
+    for r in mutual:
+        assert r.id_a < r.id_b
+        assert directed.get((r.id_a, r.id_b)) == r.cos_sim
+        assert directed.get((r.id_b, r.id_a)) == r.cos_sim
+        seen.add((r.id_a, r.id_b))
+    # completeness: every reciprocal directed pair is reported
+    expect = {
+        (a, b)
+        for (a, b) in ((min(x, y), max(x, y)) for (x, y) in directed)
+        if (a, b) in directed and (b, a) in directed
+    }
+    assert seen == expect
+
+
+def test_kmeans_step_invariants(spark, oracle):
+    """sim_kmeans_step conservation: assignment counts sum to the
+    corpus, every seed's own cluster contains at least the seed itself
+    with dist² 0 (so inertia of a singleton seed cluster is 0), and
+    clusters are the seed id space."""
+    from sql_cdc_spark.queries.similarity_q import KMEANS_K, sim_kmeans_step
+
+    rows = sim_kmeans_step(spark, SF_DIR).collect()
+    n_vecs = oracle.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert sum(r.n for r in rows) == n_vecs
+    assert {r.cluster_id for r in rows} <= set(range(KMEANS_K))
+    for r in rows:
+        assert r.n >= 1 and r.inertia >= 0 and r.drift >= 0
+        # a singleton cluster holds exactly its seed: zero inertia and
+        # zero drift by definition
+        if r.n == 1:
+            assert r.inertia == 0 and r.drift == 0
