@@ -933,6 +933,17 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = SIM.topk_cosine(emb, query, k=HYBRID_L).select(
         F.col("vec_id").alias("doc_id"), "cos_sim"
     )
+    return hybrid_fuse(lex, dense, k=HYBRID_TOPK)
+
+
+def hybrid_fuse(lex: DataFrame, dense: DataFrame, k: int = HYBRID_TOPK) -> DataFrame:
+    """The RRF fusion core of sim_hybrid_search over ANY pair of
+    retrieved branches — lex as (doc_id, score_milli), dense as
+    (doc_id, cos_sim), each ≤ L rows. Parameterized so the streaming
+    composition test fuses the MAINTAINED BM25 index and a maintained
+    vector table through the very same derivation the batch query runs
+    (stream == batch must hold through the fusion, not just per
+    branch)."""
 
     def _ranked(branch: DataFrame, score: str, rank_name: str) -> DataFrame:
         a = branch.alias("a")
@@ -977,7 +988,7 @@ def sim_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rrf.orderBy(
         F.col("rrf_micro").desc(), F.col("doc_id").asc()
-    ).limit(HYBRID_TOPK)
+    ).limit(k)
 
 
 def _hybrid_sql() -> str:

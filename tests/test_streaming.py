@@ -1635,6 +1635,158 @@ def test_incremental_rag_index_end_to_end(spark, tmp_path):
     assert len(got) == want_chunks.chunks.count()  # one posting per chunk
 
 
+def _doc_vec(docs):
+    """Deterministic doc-level pseudo-embedding: 8 floats from 4-hex-char
+    slices of md5(text) — the model-call stand-in for the hybrid-index
+    composition test (pure column algebra, so the maintained path and
+    the batch oracle derive identical vectors from identical text)."""
+    dims = [
+        (
+            F.conv(F.substring(F.md5(F.col("text")), d * 4 + 1, 4), 16, 10)
+            .cast("float")
+            / 65535.0
+        ).cast("float")
+        for d in range(8)
+    ]
+    return docs.select(
+        F.col("doc_id").alias("vec_id"), F.array(*dims).alias("embedding")
+    )
+
+
+def test_streaming_hybrid_index_composition_equals_batch(spark, tmp_path):
+    """The RAG read path, composed (VERDICT r5 #8): ONE document change
+    feed drives BOTH retrieval states — the incremental BM25 inverted
+    index (search_maintenance) and a maintained raw-vector table (the
+    brute-force/re-rank dense tier's storage, remove-then-readd through
+    the same collapse) — and the FUSED read over the two maintained
+    states must equal the batch hybrid (bm25_search + topk_cosine +
+    hybrid_fuse) on the final corpus, through inserts, updates and
+    deletes across two micro-batches. Fusion runs through the very
+    hybrid_fuse derivation sim_hybrid_search uses, so stream == batch
+    holds for the composition, not just per branch. A replay of the
+    final batch against both states must be a no-op (remove-then-readd
+    idempotence composes)."""
+    from sql_cdc_spark.functions import similarity as SIM
+    from sql_cdc_spark.queries.similarity_q import HYBRID_L, hybrid_fuse
+    from sql_cdc_spark.queries.text_q import BM25_QUERY, bm25_search
+    from sql_cdc_spark.streaming import feed as FEED
+    from sql_cdc_spark.streaming import search_maintenance as SM
+
+    base = (
+        tables.load(spark, SF_DIR_SMALL, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    search0 = SM.build_search_state(base)
+    vec0 = FEED.ckpt(_doc_vec(base), True)
+
+    feed_dir = str(tmp_path / "feed")
+    ins = base.orderBy("doc_id").limit(4).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.concat("text", F.lit(" dup dup slow spark retrieval tail")).alias(
+            "text"
+        ),
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    upd = base.orderBy(F.desc("doc_id")).limit(3).select(
+        "doc_id", F.concat("text", F.lit(" updated spark body")).alias("text"),
+        F.lit("U").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    dels = base.orderBy("doc_id").limit(2).select(
+        "doc_id", F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+
+    def _feedify(df):
+        return df.select(
+            "doc_id", F.lit("en").alias("lang"), F.lit("web").alias("source"),
+            "text", "op", "change_version",
+        )
+
+    _feedify(ins.unionByName(upd)).coalesce(1).write.mode("append").parquet(
+        feed_dir
+    )
+    _feedify(dels).coalesce(1).write.mode("append").parquet(feed_dir)
+
+    # lexical state through the streaming drain
+    search_final, n_batches = SM.run_search_maintenance(
+        spark, feed_dir, str(tmp_path / "chk_lex"), search0
+    )
+    assert n_batches >= 2
+
+    # dense state through the SAME feed, its own drain: latest-op
+    # collapse → remove-then-readd on the vector table
+    def _apply_vec(prev, batch_df):
+        ups, ds = SM.collapse_batch(batch_df)
+        changed = (
+            ups.select("doc_id").unionByName(ds).distinct()
+            .withColumnRenamed("doc_id", "vec_id")
+        )
+        kept = prev.join(F.broadcast(changed), "vec_id", "left_anti")
+        return FEED.ckpt(
+            kept.unionByName(_doc_vec(ups.select("doc_id", "text"))), True
+        )
+
+    vec_final, vn = FEED.drain_feed(
+        spark, feed_dir, SM.MANIFEST_CHANGE_SCHEMA,
+        str(tmp_path / "chk_vec"), vec0, _apply_vec,
+        lambda df: None,
+    )
+    assert vn >= 2
+
+    # batch oracle: the final corpus, rebuilt from scratch
+    final_docs = (
+        base.join(dels.select("doc_id"), "doc_id", "left_anti")
+        .join(upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(upd.select("doc_id", "text"))
+        .unionByName(ins.select("doc_id", "text"))
+    )
+    # query vector: an untouched surviving doc's embedding — identical
+    # whether derived from the maintained table or the rebuilt corpus
+    qid = [
+        r.doc_id
+        for r in base.join(dels.select("doc_id"), "doc_id", "left_anti")
+        .join(upd.select("doc_id"), "doc_id", "left_anti")
+        .orderBy("doc_id").limit(1).collect()
+    ][0]
+
+    def _fused(search_state, vec_table):
+        lex = SM.score_query(search_state, BM25_QUERY, k=HYBRID_L).select(
+            "doc_id", "score_milli"
+        )
+        qv = vec_table.filter(F.col("vec_id") == qid).select("embedding")
+        dense = SIM.topk_cosine(vec_table, qv, k=HYBRID_L).select(
+            F.col("vec_id").alias("doc_id"), "cos_sim"
+        )
+        return hybrid_fuse(lex, dense)
+
+    got = [tuple(r) for r in _fused(search_final, vec_final).collect()]
+
+    want_vecs = _doc_vec(final_docs)
+    want_lex = bm25_search(final_docs, BM25_QUERY, k=HYBRID_L).select(
+        "doc_id", "score_milli"
+    )
+    qv = want_vecs.filter(F.col("vec_id") == qid).select("embedding")
+    want_dense = SIM.topk_cosine(want_vecs, qv, k=HYBRID_L).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    want = [tuple(r) for r in hybrid_fuse(want_lex, want_dense).collect()]
+    assert got == want and got
+
+    # idempotent replay: re-apply the final batch to both states — the
+    # fused read must not move
+    last_batch = _feedify(dels)
+    ups2, ds2 = SM.collapse_batch(last_batch)
+    search_replay = SM.apply_search_changes(
+        search_final, ups2.select("doc_id", "text"), ds2
+    )
+    vec_replay = _apply_vec(vec_final, last_batch)
+    assert [
+        tuple(r) for r in _fused(search_replay, vec_replay).collect()
+    ] == want
+
+
 def test_streaming_manifest_maintenance_equals_batch_pipeline(spark, tmp_path):
     """Stream-equals-batch for the WHOLE corpus-prep composition: draining
     a document change feed through run_manifest_maintenance (foreachBatch
