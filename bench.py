@@ -109,6 +109,8 @@ ROUND6 = [
     "scl_compaction_plan",  # small-file compaction binning
     "sim_mutual_knn",       # reciprocal nearest-neighbor edges
     "sim_kmeans_step",      # one exact Lloyd iteration
+    "crp_domain_reweight",  # DoReMi-style mixture step
+    "sim_ann_recall_eval",  # recall@k panel vs brute force
 ]
 
 

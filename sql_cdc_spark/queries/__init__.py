@@ -71,10 +71,12 @@ def _registry() -> dict[str, QueryEntry]:
     # eighteen r2 rows now re-check), then the head of the r3-green
     # stale list.
     # Round-7 plan (published now, same discipline): the window opens
-    # with anything added or changed in round 7, then the six r3
-    # greens that ceded the tail to this round's landings
+    # with anything added or changed in round 7, then the nine r3
+    # greens that ceded slots to this round's landings
     # (tpch_q6_forecast_revenue, fn_bson_roundtrip, win_ntile_quartiles,
-    # rel_above_avg_orders, win_percent_rank, rel_anti_join_no_orders),
+    # rel_above_avg_orders, win_percent_rank, rel_anti_join_no_orders,
+    # tpch_q14_promo_revenue, tpch_q19_discounted_revenue,
+    # tpch_q4_late_order_priority),
     # then the twenty-one r3 greens left unpaid below
     # (evt_daily_user_activity,
     # evt_funnel_conversion, evt_interval_join_buckets,
@@ -155,18 +157,21 @@ def _registry() -> dict[str, QueryEntry]:
         "txt_bigram_topk",
         "txt_doc_frequency",
         "fn_string_ops",
-        "tpch_q14_promo_revenue",
-        "tpch_q19_discounted_revenue",
-        "tpch_q4_late_order_priority",
+        # -- changed this round: crp_ngram_lm_score's per-doc derivation
+        #    is now the _lm_doc_scores core crp_domain_reweight shares
+        "crp_ngram_lm_score",
         # -- landed this round, registered this round (VERDICT r5 #3:
-        #    no deferred batch; these six replaced the provisional
-        #    stale tail, which heads the round-7 list instead)
+        #    no deferred batch; these eight replaced the provisional
+        #    stale tail and the three late r3 tpch re-entries, all of
+        #    which head the round-7 list instead)
         "txt_tfidf_topterms",        # per-doc TF-IDF keyword extraction
         "txt_ngram_novelty",         # trigram decontamination census
         "dd_dedup_impact",           # per-source exact-dedup impact
         "scl_compaction_plan",       # small-file compaction binning
         "sim_mutual_knn",            # reciprocal nearest-neighbor edges
         "sim_kmeans_step",           # one exact Lloyd iteration
+        "crp_domain_reweight",       # DoReMi-style mixture step
+        "sim_ann_recall_eval",       # recall@k panel vs brute force
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

@@ -775,6 +775,25 @@ def crp_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registry status: oracle-parity-gated in pytest this round; registered
     in the round-5 driver window."""
+    return (
+        _lm_doc_scores(spark, sf_dir)
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_unseen",
+            F.expr("100 * n_unseen div n_ngrams").alias("novelty_pct"),
+            "lm_bits",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-test-document trigram-LM scores (doc_id, n_ngrams, n_unseen,
+    lm_bits) — the ONE derivation crp_ngram_lm_score reports per doc
+    and crp_domain_reweight aggregates per source; sharing it means the
+    quality filter and the mixture optimizer literally cannot disagree
+    about a document's score."""
     from sql_cdc_spark.functions import dedup as DD
 
     docs = tables.load(spark, sf_dir, "documents")
@@ -795,32 +814,25 @@ def crp_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     scored = grams.filter(F.col("split") == "test").join(lm, "sh64", "left")
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.sum(
-                F.when(F.col("cnt").isNull(), F.lit(1)).otherwise(F.lit(0))
-            ).alias("n_unseen"),
-            F.sum(
-                F.when(
-                    F.col("cnt").isNotNull(),
-                    F.length(F.bin(F.col("cnt"))) - F.lit(1),
-                ).otherwise(F.lit(0)).cast("long")
-            ).alias("lm_bits"),
-        )
-        .select(
-            "doc_id",
-            "n_ngrams",
-            "n_unseen",
-            F.expr("100 * n_unseen div n_ngrams").alias("novelty_pct"),
-            "lm_bits",
-        )
-        .orderBy("doc_id")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(
+            F.when(F.col("cnt").isNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_unseen"),
+        F.sum(
+            F.when(
+                F.col("cnt").isNotNull(),
+                F.length(F.bin(F.col("cnt"))) - F.lit(1),
+            ).otherwise(F.lit(0)).cast("long")
+        ).alias("lm_bits"),
     )
 
 
-def _ngram_lm_sql() -> str:
+def _lm_doc_sql() -> str:
+    """Per-test-document (doc_id, n_ngrams, n_unseen, lm_bits) — the
+    DuckDB twin of _lm_doc_scores, shared by the per-doc report and the
+    domain-reweight aggregate exactly as the Spark side shares its
+    derivation."""
     case = SP.split_sql("doc_id", TEST_FRAC, VAL_FRAC)
     k = LM_NGRAM
     return f"""
@@ -845,12 +857,154 @@ lm AS (
 SELECT g.doc_id,
        COUNT(*) AS n_ngrams,
        CAST(SUM(CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
-       100 * CAST(SUM(CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           // COUNT(*) AS novelty_pct,
        CAST(SUM(CASE WHEN lm.cnt IS NOT NULL THEN length(bin(lm.cnt)) - 1 ELSE 0 END) AS BIGINT) AS lm_bits
 FROM grams g LEFT JOIN lm ON g.sh64 = lm.sh64
 WHERE g.split = 'test'
-GROUP BY g.doc_id ORDER BY g.doc_id
+GROUP BY g.doc_id
+"""
+
+
+def _ngram_lm_sql() -> str:
+    return f"""
+SELECT doc_id, n_ngrams, n_unseen,
+       100 * n_unseen // n_ngrams AS novelty_pct, lm_bits
+FROM ({_lm_doc_sql()})
+ORDER BY doc_id
+"""
+
+
+# ---- DoReMi-style domain reweighting (round 6) ----------------------------
+# multiplicative-update surrogate: one weight doubling per this many
+# milli-bits of per-gram deficit vs the corpus reference, capped
+DOREMI_MILLI_PER_BIT = 100
+DOREMI_MAX_BITS = 10
+
+
+def crp_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-mixture reweighting step (Xie et al.,
+    arXiv:2305.10429): domains whose held-out text the reference LM
+    finds HARD (low trigram-LM bits per gram vs the corpus average) get
+    their sampling weight multiplied up, exactly the exponentiated-
+    gradient update DoReMi runs with a proxy model — here with the
+    engine's own integer surrogates so the step is bit-reproducible:
+
+    - per-domain loss: bits_milli = 1000·Σlm_bits div Σn_ngrams over
+      the domain's held-out docs (the SAME _lm_doc_scores derivation
+      the quality filter reports, so filter and optimizer cannot
+      disagree); reference = the corpus-wide ratio.
+    - excess loss: max(0, ref_milli − bits_milli) — only harder-than-
+      average domains move, matching DoReMi's clipped excess.
+    - multiplicative update in powers of two: one doubling per
+      DOREMI_MILLI_PER_BIT milli-bits of excess, capped at
+      DOREMI_MAX_BITS (the trust region); weight_ppm renormalizes the
+      2^boost factors to parts-per-million by integer division.
+
+    Scale shape: the LM side is the posting-shaped trigram census; the
+    doc join is fact-by-fact on doc_id; everything after the per-source
+    aggregate operates on |domains| rows with two broadcast one-row
+    censuses. No floats anywhere."""
+    from sql_cdc_spark.queries._cache import session_cached
+
+    def build_dom() -> DataFrame:
+        per_doc = _lm_doc_scores(spark, sf_dir)
+        docs = tables.load(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        )
+        return (
+            per_doc.join(docs, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_ngrams").cast("long").alias("n_grams"),
+                F.sum("lm_bits").cast("long").alias("bits"),
+            )
+        )
+
+    # session-cache the |domains|-row aggregate: THREE branches read it
+    # (the reference census, the per-domain projection, the weight
+    # normalizer) and Spark shares no subtrees across join sides —
+    # uncached, the whole corpus-scale LM pipeline would execute once
+    # per branch (same contract as scl_skew_census's count-of-counts)
+    dom = session_cached(spark, ("doremi_dom", sf_dir), build_dom)
+    ref = (
+        dom.agg(
+            F.sum("n_grams").cast("long").alias("tg"),
+            F.sum("bits").cast("long").alias("tb"),
+        )
+        .select(F.expr("1000 * tb div tg").alias("ref_milli"))
+    )
+    w = (
+        dom.crossJoin(F.broadcast(ref))
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            F.expr("1000 * bits div n_grams").alias("bits_milli"),
+            "ref_milli",
+        )
+        .withColumn(
+            "excess_milli",
+            F.greatest(F.lit(0).cast("long"), F.col("ref_milli") - F.col("bits_milli")),
+        )
+        .withColumn(
+            "boost_bits",
+            F.least(
+                F.expr(f"excess_milli div {DOREMI_MILLI_PER_BIT}"),
+                F.lit(DOREMI_MAX_BITS).cast("long"),
+            ),
+        )
+        .withColumn(
+            "unnorm",
+            F.expr("shiftleft(cast(1 as bigint), cast(boost_bits as int))"),
+        )
+    )
+    tot = w.agg(F.sum("unnorm").cast("long").alias("tu"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "bits_milli",
+            "excess_milli",
+            "boost_bits",
+            F.expr("1000000 * unnorm div tu").alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _domain_reweight_sql() -> str:
+    return f"""
+WITH perdoc AS ({_lm_doc_sql()}),
+dom AS (
+  SELECT d.source, COUNT(*) AS n_docs,
+         CAST(SUM(p.n_ngrams) AS BIGINT) AS n_grams,
+         CAST(SUM(p.lm_bits) AS BIGINT) AS bits
+  FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+  GROUP BY d.source
+),
+ref AS (
+  SELECT 1000 * CAST(SUM(bits) AS BIGINT) // CAST(SUM(n_grams) AS BIGINT)
+           AS ref_milli
+  FROM dom
+),
+sc AS (
+  SELECT source, n_docs, n_grams,
+         1000 * bits // n_grams AS bits_milli, r.ref_milli,
+         GREATEST(0, r.ref_milli - 1000 * bits // n_grams) AS excess_milli
+  FROM dom, ref r
+),
+w AS (
+  SELECT *, LEAST(excess_milli // {DOREMI_MILLI_PER_BIT}, {DOREMI_MAX_BITS})
+              AS boost_bits
+  FROM sc
+),
+u AS (SELECT *, CAST(1 << boost_bits AS BIGINT) AS unnorm FROM w),
+t AS (SELECT CAST(SUM(unnorm) AS BIGINT) AS tu FROM u)
+SELECT source, n_docs, n_grams, bits_milli, excess_milli, boost_bits,
+       1000000 * unnorm // t.tu AS weight_ppm
+FROM u, t ORDER BY source
 """
 
 
@@ -1128,6 +1282,9 @@ QUERIES: dict[str, QueryEntry] = {
         crp_fuzzy_contamination, _fuzzy_contamination_sql()
     ),
     "crp_ngram_lm_score": QueryEntry(crp_ngram_lm_score, _ngram_lm_sql()),
+    "crp_domain_reweight": QueryEntry(
+        crp_domain_reweight, _domain_reweight_sql()
+    ),
     "crp_filter_funnel": QueryEntry(crp_filter_funnel, _FILTER_FUNNEL_SQL),
     "crp_dsir_select": QueryEntry(crp_dsir_select, _dsir_sql()),
 }

@@ -1037,6 +1037,143 @@ LIMIT {HYBRID_TOPK}
 """
 
 
+# ---- ANN recall evaluation panel (round 6) --------------------------------
+# fixed probe panel: the eval cost is |panel| corpus-heap scans at ANY
+# corpus size, so the panel must be bounded by construction, never a
+# corpus fraction
+ANN_EVAL_PROBES = 6
+
+
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@k of the single-probe LSH path
+    against brute-force exact top-k, per probe — the measurement that
+    decides bucket bits / probe counts BEFORE trusting an approximate
+    index (every ANN family member here trades recall for scan
+    locality; this is the operator that prices the trade). For each
+    panel probe: the exact top-k (corpus heap scan), the bucketed
+    candidates' top-k (the sim_bucketed_topk shape), and their overlap
+    as integer recall_pct.
+
+    Scale shape: the panel is a CONSTANT (ANN_EVAL_PROBES), so the plan
+    is |panel| TakeOrderedAndProject heap scans plus |panel| broadcast
+    bucket filters — per-probe cost is one scan, total cost scales
+    linearly with corpus size and NOT with corpus × corpus. Everything
+    after the heaps operates on ≤ 2·k·|panel| rows. Membership of both
+    top-k sets is deterministic (cos 6-dp rounded, vec_id tiebreak), so
+    the report hashes identically on any engine."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    vb = emb.select(
+        "vec_id",
+        "embedding",
+        SIM.lsh_bucket(F.col("embedding"), n_bits=LSH_BITS, dim=DIM).alias(
+            "bucket"
+        ),
+    )
+    tagged = None
+    for p in range(ANN_EVAL_PROBES):
+        q = emb.filter(F.col("vec_id") == p).select("embedding")
+        exact = SIM.topk_cosine(
+            emb.filter(F.col("vec_id") != p), q, k=TOP_K
+        ).select(
+            F.lit(p).cast("long").alias("probe_id"),
+            "vec_id",
+            F.lit("e").alias("side"),
+        )
+        pb = vb.filter(F.col("vec_id") == p).select(
+            F.col("bucket").alias("pbucket"), F.col("embedding").alias("pe")
+        )
+        cand = vb.join(
+            F.broadcast(pb), F.col("bucket") == F.col("pbucket")
+        ).filter(F.col("vec_id") != p)
+        ann = (
+            cand.select(
+                "vec_id",
+                SIM.cosine(
+                    SIM.as_double_array(F.col("embedding")),
+                    SIM.as_double_array(F.col("pe")),
+                ).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(TOP_K)
+            .select(
+                F.lit(p).cast("long").alias("probe_id"),
+                "vec_id",
+                F.lit("a").alias("side"),
+            )
+        )
+        branch = exact.unionByName(ann)
+        tagged = branch if tagged is None else tagged.unionByName(branch)
+    per_vec = tagged.groupBy("probe_id", "vec_id").agg(
+        F.max((F.col("side") == "e").cast("int")).alias("e"),
+        F.max((F.col("side") == "a").cast("int")).alias("a"),
+    )
+    return (
+        per_vec.groupBy("probe_id")
+        .agg(
+            F.sum("e").cast("long").alias("n_exact"),
+            F.sum("a").cast("long").alias("n_ann"),
+            F.sum(F.col("e") * F.col("a")).cast("long").alias("n_hits"),
+        )
+        .select(
+            "probe_id",
+            "n_exact",
+            "n_ann",
+            "n_hits",
+            F.expr("100 * n_hits div n_exact").alias("recall_pct"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _ann_recall_sql() -> str:
+    lsh = _lsh_sql().strip()
+    cos = (
+        "ROUND(list_dot_product({a}, {b}) "
+        "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    cos_ve = cos.format(a="v.e", b="p.pe")
+    cos_ce = cos.format(a="c.e", b="p.pe")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS ({lsh.replace('WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)', '')} ),
+vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
+probes AS (
+  SELECT vec_id AS probe_id, e AS pe, bucket AS pbucket
+  FROM vb WHERE vec_id < {ANN_EVAL_PROBES}
+),
+exact AS (
+  SELECT probe_id, vec_id, 'e' AS side FROM (
+    SELECT p.probe_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+               ORDER BY {cos_ve} DESC, v.vec_id ASC) AS rn
+    FROM v JOIN probes p ON v.vec_id <> p.probe_id
+  ) WHERE rn <= {TOP_K}
+),
+ann AS (
+  SELECT probe_id, vec_id, 'a' AS side FROM (
+    SELECT p.probe_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.probe_id
+               ORDER BY {cos_ce} DESC, c.vec_id ASC) AS rn
+    FROM vb c JOIN probes p
+      ON c.bucket = p.pbucket AND c.vec_id <> p.probe_id
+  ) WHERE rn <= {TOP_K}
+),
+per_vec AS (
+  SELECT probe_id, vec_id,
+         MAX(CASE WHEN side = 'e' THEN 1 ELSE 0 END) AS e,
+         MAX(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS a
+  FROM (SELECT * FROM exact UNION ALL SELECT * FROM ann)
+  GROUP BY 1, 2
+)
+SELECT probe_id, CAST(SUM(e) AS BIGINT) AS n_exact,
+       CAST(SUM(a) AS BIGINT) AS n_ann,
+       CAST(SUM(e * a) AS BIGINT) AS n_hits,
+       100 * CAST(SUM(e * a) AS BIGINT) // CAST(SUM(e) AS BIGINT)
+         AS recall_pct
+FROM per_vec GROUP BY probe_id ORDER BY probe_id
+"""
+
+
 # ---- mutual k-NN graph edges (round 6) -----------------------------------
 
 
@@ -1232,6 +1369,7 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_random_projection": QueryEntry(sim_random_projection, _rp_sql()),
     "sim_mutual_knn": QueryEntry(sim_mutual_knn, _mutual_knn_sql()),
     "sim_kmeans_step": QueryEntry(sim_kmeans_step, _kmeans_step_sql()),
+    "sim_ann_recall_eval": QueryEntry(sim_ann_recall_eval, _ann_recall_sql()),
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_pq_topk": QueryEntry(sim_pq_topk, _PQ_SQL),
     "sim_lsh_buckets": QueryEntry(sim_lsh_buckets, _lsh_sql()),

@@ -58,6 +58,11 @@ def test_registry_window_holds_all_round6_queries():
         "scl_compaction_plan",  # small-file compaction binning
         "sim_mutual_knn",       # reciprocal nearest-neighbor edges
         "sim_kmeans_step",      # one exact Lloyd iteration
+        "crp_domain_reweight",  # DoReMi-style mixture step
+        "sim_ann_recall_eval",  # recall@k panel vs brute force
+        # changed r6: per-doc LM derivation extracted to _lm_doc_scores,
+        # now shared with crp_domain_reweight
+        "crp_ngram_lm_score",
     ]
     missing = [n for n in round6_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
@@ -80,8 +85,6 @@ def test_registry_window_holds_all_round6_queries():
         "evt_tumbling_hourly", "evt_asof_last_purchase",
         "crp_train_test_split", "crp_stratified_sample",
         "txt_bigram_topk", "txt_doc_frequency", "fn_string_ops",
-        "tpch_q14_promo_revenue", "tpch_q19_discounted_revenue",
-        "tpch_q4_late_order_priority",
     ]
     stale_missing = [n for n in stale_r6 if n not in window]
     assert not stale_missing, f"rotation debt unpaid: {stale_missing}"

@@ -384,6 +384,14 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "txt_ngram_novelty": 6,
     "sim_mutual_knn": 4,        # knn_join shape + ONE reciprocity agg
     "sim_kmeans_step": 2,       # scan-local assignment; K-group agg + sort
+    # EXECUTED shape: the corpus-scale LM pipeline runs ONCE into the
+    # session-cached |domains|-row aggregate; ref/weight branches read
+    # the cache. PRINTED count renders the cached subtree per scan
+    # (3 scans × ~11 exchanges) — same artifact as scl_skew_census
+    "crp_domain_reweight": 35,
+    # |panel| exact heaps + |panel| bucket filters + two tiny aggs;
+    # every branch is a TakeOrdered scan, nothing corpus×corpus
+    "sim_ann_recall_eval": 12,
 }
 
 

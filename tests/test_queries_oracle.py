@@ -714,3 +714,57 @@ def test_kmeans_step_invariants(spark, oracle):
         # zero drift by definition
         if r.n == 1:
             assert r.inertia == 0 and r.drift == 0
+
+
+def test_domain_reweight_invariants(spark, oracle):
+    """crp_domain_reweight: weights renormalize (Σ weight_ppm ≤ 1e6 with
+    only integer-division loss), only harder-than-reference domains
+    boost, the boost is capped, and the per-domain gram totals reconcile
+    with the shared per-doc LM scores (the _lm_doc_scores contract)."""
+    from sql_cdc_spark.queries.corpus_q import (
+        DOREMI_MAX_BITS,
+        crp_domain_reweight,
+        crp_ngram_lm_score,
+    )
+
+    rows = crp_domain_reweight(spark, SF_DIR).collect()
+    assert rows
+    n_domains = len(rows)
+    total_ppm = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - n_domains <= total_ppm <= 1_000_000
+    for r in rows:
+        assert 0 <= r.boost_bits <= DOREMI_MAX_BITS
+        assert r.boost_bits == min(r.excess_milli // 100, DOREMI_MAX_BITS)
+        assert r.weight_ppm > 0
+    # harder domains (positive excess) must never weigh less than an
+    # easier domain (zero excess)
+    boosted = [r.weight_ppm for r in rows if r.boost_bits > 0]
+    flat = [r.weight_ppm for r in rows if r.boost_bits == 0]
+    if boosted and flat:
+        assert min(boosted) > max(flat)
+    # gram totals reconcile with the per-doc report both operators share
+    per_doc = crp_ngram_lm_score(spark, SF_DIR).collect()
+    assert sum(r.n_grams for r in rows) == sum(d.n_ngrams for d in per_doc)
+
+
+def test_ann_recall_eval_invariants(spark, oracle):
+    """sim_ann_recall_eval: one row per panel probe, hit counts bounded
+    by both sides, recall_pct consistent with the counts, and the exact
+    side always retrieves the full k (corpus ≫ k)."""
+    from sql_cdc_spark.queries.similarity_q import (
+        ANN_EVAL_PROBES,
+        TOP_K,
+        sim_ann_recall_eval,
+    )
+
+    rows = sim_ann_recall_eval(spark, SF_DIR).collect()
+    assert [r.probe_id for r in rows] == list(range(ANN_EVAL_PROBES))
+    for r in rows:
+        assert r.n_exact == TOP_K
+        assert 0 <= r.n_ann <= TOP_K
+        assert 0 <= r.n_hits <= min(r.n_exact, r.n_ann)
+        assert r.recall_pct == 100 * r.n_hits // r.n_exact
+    # the panel must be informative: not all-zero and not vacuously
+    # perfect (single-probe LSH genuinely trades recall)
+    recalls = [r.recall_pct for r in rows]
+    assert any(v > 0 for v in recalls)
