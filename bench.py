@@ -111,6 +111,8 @@ ROUND6 = [
     "sim_kmeans_step",      # one exact Lloyd iteration
     "crp_domain_reweight",  # DoReMi-style mixture step
     "sim_ann_recall_eval",  # recall@k panel vs brute force
+    "dd_lsh_recall_eval",   # banded LSH recall vs exact truth
+    "rel_grouping_sets",    # explicit GROUPING SETS + gid
 ]
 
 

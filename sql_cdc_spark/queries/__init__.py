@@ -71,12 +71,12 @@ def _registry() -> dict[str, QueryEntry]:
     # eighteen r2 rows now re-check), then the head of the r3-green
     # stale list.
     # Round-7 plan (published now, same discipline): the window opens
-    # with anything added or changed in round 7, then the nine r3
+    # with anything added or changed in round 7, then the eleven r3
     # greens that ceded slots to this round's landings
     # (tpch_q6_forecast_revenue, fn_bson_roundtrip, win_ntile_quartiles,
     # rel_above_avg_orders, win_percent_rank, rel_anti_join_no_orders,
     # tpch_q14_promo_revenue, tpch_q19_discounted_revenue,
-    # tpch_q4_late_order_priority),
+    # tpch_q4_late_order_priority, txt_doc_frequency, fn_string_ops),
     # then the twenty-one r3 greens left unpaid below
     # (evt_daily_user_activity,
     # evt_funnel_conversion, evt_interval_join_buckets,
@@ -155,8 +155,6 @@ def _registry() -> dict[str, QueryEntry]:
         "crp_train_test_split",
         "crp_stratified_sample",
         "txt_bigram_topk",
-        "txt_doc_frequency",
-        "fn_string_ops",
         # -- changed this round: crp_ngram_lm_score's per-doc derivation
         #    is now the _lm_doc_scores core crp_domain_reweight shares
         "crp_ngram_lm_score",
@@ -172,6 +170,8 @@ def _registry() -> dict[str, QueryEntry]:
         "sim_kmeans_step",           # one exact Lloyd iteration
         "crp_domain_reweight",       # DoReMi-style mixture step
         "sim_ann_recall_eval",       # recall@k panel vs brute force
+        "dd_lsh_recall_eval",        # banded LSH recall vs exact truth
+        "rel_grouping_sets",         # explicit GROUPING SETS + gid
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

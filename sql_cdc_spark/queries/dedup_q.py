@@ -311,6 +311,71 @@ WITH {_SHINGLES_CTE}, {_JACCARD_CTE}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
+# ---- LSH recall evaluation (round 6) --------------------------------------
+
+
+def dd_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded recall of MinHash-LSH candidate generation against exact
+    shingle-Jaccard ground truth — the measurement that tunes band/row
+    counts and the hot-bucket cap BEFORE trusting the sketch (the text
+    twin of sim_ann_recall_eval): for each Jaccard decade band ≥ the
+    similarity floor (0.1 — the whole operating range, not just the
+    near-dup region), how many true pairs exist and how many the banded
+    signatures actually surfaced. The classic LSH S-curve should be
+    visible in the output — low recall in the sub-threshold bands, high
+    recall above the 0.5 design point — and a cap-induced recall hole
+    shows up as a depressed band.
+
+    Scale shape: truth = the shared-shingle-blocked exact pairs (pairs
+    with zero overlap never generated); candidates = the capped band
+    join; the two pair tables meet on (id_a, id_b) with a pinned
+    shuffle-hash (both sides scale with the corpus — the documented
+    pair-table broadcast ban). The shingle table is persisted once and
+    feeds both sides, the same materialization dd_near_dup_pairs uses."""
+    docs = tables.load(spark, sf_dir, "documents")
+    shingled = DD.doc_shingles(docs).persist()
+    exact = DD.jaccard_pairs(shingled, threshold=JACCARD_THRESHOLD)
+    cands = DD.lsh_candidate_pairs(
+        DD.minhash_signatures(shingled), max_bucket_size=LSH_MAX_BUCKET
+    ).select("id_a", "id_b", F.lit(1).alias("caught"))
+    joined = exact.join(cands.hint("shuffle_hash"), ["id_a", "id_b"], "left")
+    banded = joined.select(
+        (F.least(F.floor(F.col("jaccard") * 10), F.lit(9)) * 10)
+        .cast("long")
+        .alias("band_lo"),
+        F.coalesce("caught", F.lit(0)).alias("caught"),
+    )
+    return (
+        banded.groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum("caught").cast("long").alias("n_caught"),
+        )
+        .select(
+            "band_lo",
+            "n_exact",
+            "n_caught",
+            F.expr("100 * n_caught div n_exact").alias("recall_pct"),
+        )
+        .orderBy("band_lo")
+    )
+
+
+_LSH_RECALL_SQL = f"""
+WITH {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE}, {_JACCARD_CTE},
+ex AS (SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+flagged AS (
+  SELECT CAST(LEAST(floor(e.jaccard * 10), 9) * 10 AS BIGINT) AS band_lo,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+  FROM ex e LEFT JOIN cands c ON e.id_a = c.id_a AND e.id_b = c.id_b
+)
+SELECT band_lo, COUNT(*) AS n_exact,
+       CAST(SUM(caught) AS BIGINT) AS n_caught,
+       100 * CAST(SUM(caught) AS BIGINT) // COUNT(*) AS recall_pct
+FROM flagged GROUP BY band_lo ORDER BY band_lo
+"""
+
+
 # ---- SimHash ----
 
 _TOK_CTE = rf"""
@@ -899,6 +964,7 @@ QUERIES: dict[str, QueryEntry] = {
         dd_cluster_canonical, _CLUSTER_CANONICAL_SQL
     ),
     "dd_jaccard_pairs": QueryEntry(dd_jaccard_pairs, _JACCARD_PAIRS_SQL),
+    "dd_lsh_recall_eval": QueryEntry(dd_lsh_recall_eval, _LSH_RECALL_SQL),
     "dd_simhash": QueryEntry(dd_simhash, _SIMHASH_SQL),
     "dd_simhash_pairs": QueryEntry(dd_simhash_pairs, _SIMHASH_PAIRS_SQL),
     "dd_containment_pairs": QueryEntry(dd_containment_pairs, _CONTAINMENT_SQL),

@@ -493,6 +493,51 @@ GROUP BY CUBE (o_orderstatus, l_returnflag)
 """
 
 
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an explicit, non-hierarchical set list — the
+    member of the grouping family ROLLUP and CUBE cannot express (an
+    arbitrary subset of combinations in ONE pass instead of a UNION of
+    grouped scans). grouping_id() disambiguates genuine NULL group
+    values from subtotal rows — the reason the raw columns stay
+    un-coalesced here, unlike the cube report. Revenue in integer cents
+    (the summation-order rule), total order (gid, flag, status) with
+    explicit NULLS FIRST so both engines sort subtotals identically."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"],
+             ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("long").alias("revenue_cents"),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "n_rows", "revenue_cents")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())
+ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
 def rel_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT: customers active in both halves of the key space's
     order stream (set semantics — dedup built in)."""
@@ -765,6 +810,7 @@ QUERIES: dict[str, QueryEntry] = {
     "rel_topn_other_rollup": QueryEntry(rel_topn_other_rollup, _TOPN_OTHER_SQL),
     "rel_pricing_summary": QueryEntry(rel_pricing_summary, _PRICING_SQL),
     "rel_cube_status_flag": QueryEntry(rel_cube_status_flag, _CUBE_SQL),
+    "rel_grouping_sets": QueryEntry(rel_grouping_sets, _GROUPING_SETS_SQL),
     "rel_intersect_buyers": QueryEntry(rel_intersect_buyers, _INTERSECT_SQL),
     "rel_except_lost_customers": QueryEntry(rel_except_lost_customers, _EXCEPT_SQL),
     "rel_header_line_view": QueryEntry(rel_header_line_view, _HEADER_LINE_VIEW_SQL),

@@ -524,13 +524,17 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract). score = tf · idf_bits, all bigint, so the per-doc
     (score desc, term asc) ranking hashes identically on any engine.
 
-    Scale shape: one token explode → (doc, term) count (the posting
+    Scale shape: token explode → (doc, term) count (the posting
     shuffle), a term-keyed df aggregate re-joined to the postings with
     a pinned shuffle-hash (the vocabulary is corpus-scale and
     integer-dense — the documented broadcast-abort band), a one-row
     census broadcast, and a per-doc ranking window (partitioned by
-    doc_id — bounded by per-doc vocabulary). The corpus text is
-    scanned once."""
+    doc_id — bounded by per-doc vocabulary). Honest cost note: the tf
+    subtree feeds BOTH join sides and Spark shares no subtrees across
+    them, so the one-shot plan tokenizes the corpus twice (same
+    documented trade as bm25_search / crp_ngram_lm_score); the
+    repeated-use path is the materialized postings table
+    search_maintenance keeps current."""
     from pyspark.sql import Window
 
     docs = tables.load(spark, sf_dir, "documents")

@@ -392,6 +392,11 @@ HEADLINE_EXCHANGE_BUDGETS = {
     # |panel| exact heaps + |panel| bucket filters + two tiny aggs;
     # every branch is a TakeOrdered scan, nothing corpus×corpus
     "sim_ann_recall_eval": 12,
+    # truth (shingle-blocked exact pairs) + candidates (capped band
+    # join) + pinned shuffle-hash pair meet + band agg; the persisted
+    # shingle subtree renders per scan like the other persist users
+    "dd_lsh_recall_eval": 27,
+    "rel_grouping_sets": 2,     # ONE expand+agg pass + presentation sort
 }
 
 

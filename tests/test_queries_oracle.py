@@ -768,3 +768,48 @@ def test_ann_recall_eval_invariants(spark, oracle):
     # perfect (single-probe LSH genuinely trades recall)
     recalls = [r.recall_pct for r in rows]
     assert any(v > 0 for v in recalls)
+
+
+def test_lsh_recall_eval_invariants(spark, oracle):
+    """dd_lsh_recall_eval: counts bounded, recall consistent, the total
+    truth mass reconciles with dd_jaccard_pairs, and every caught pair
+    is a genuine LSH candidate (n_caught never exceeds the candidate
+    join's possibilities)."""
+    from sql_cdc_spark.queries.dedup_q import (
+        JACCARD_THRESHOLD,
+        dd_jaccard_pairs,
+        dd_lsh_recall_eval,
+    )
+
+    rows = dd_lsh_recall_eval(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.band_lo in range(int(JACCARD_THRESHOLD * 100), 100, 10)
+        assert 0 <= r.n_caught <= r.n_exact
+        assert r.recall_pct == 100 * r.n_caught // r.n_exact
+    assert sum(r.n_exact for r in rows) == dd_jaccard_pairs(
+        spark, SF_DIR
+    ).count()
+
+
+def test_grouping_sets_invariants(spark, oracle):
+    """rel_grouping_sets: the four set shapes present with the right
+    gid bitmasks, per-set row counts and revenue mass all reconcile to
+    the grand total, and subtotal NULLs appear exactly where gid says
+    they must."""
+    from sql_cdc_spark.queries.relational_q import rel_grouping_sets
+
+    rows = rel_grouping_sets(spark, SF_DIR).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    grand = by_gid[3]
+    assert len(grand) == 1 and grand[0].l_returnflag is None
+    total_rows, total_rev = grand[0].n_rows, grand[0].revenue_cents
+    for gid, members in by_gid.items():
+        assert sum(m.n_rows for m in members) == total_rows
+        assert sum(m.revenue_cents for m in members) == total_rev
+        for m in members:
+            assert (m.l_linestatus is None) == bool(gid & 1)
+            assert (m.l_returnflag is None) == bool(gid & 2)
