@@ -264,3 +264,49 @@ def bm25_rank(tf, census, k: int = 10):
         .orderBy(F.col("score_milli").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def tfidf_rank(postings, n_census, k: int = 3):
+    """Integer-exact per-document TF-IDF top-k over a postings frame —
+    the ONE derivation shared by the batch query
+    (queries/text_q.py::txt_tfidf_topterms) and the maintained inverted
+    index (streaming/search_maintenance.py::topterms_from_index), so
+    the two surfaces cannot drift.
+
+    ``postings``: (doc_id, term, tf) — all terms, live docs (empty-
+    string tokens from empty documents are dropped HERE so both
+    surfaces agree); ``n_census``: one row (N,). idf is the bin-length
+    log2 surrogate UNFLOORED — corpus-dominant terms score negative,
+    the suppression keyword extraction wants (BM25's floor is a
+    matched-query contract, not a keyword one). The df join is a
+    pinned shuffle-hash: the vocabulary is corpus-scale and
+    integer-dense (the documented broadcast-abort band); the ranking
+    window partitions by doc_id (bounded by per-doc vocabulary)."""
+    from pyspark.sql import Window
+
+    postings = postings.filter(F.col("term") != "")
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_bits = (
+        (F.length(F.bin(2 * (F.col("N") - F.col("df")) + 1)) - 1)
+        - (F.length(F.bin(2 * F.col("df") + 1)) - 1)
+    ).cast("long")
+    scored = (
+        postings.join(dfreq.hint("shuffle_hash"), "term")
+        .crossJoin(F.broadcast(n_census))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * idf_bits).alias("score_bits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_bits").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rk", "term", "tf", "df", "score_bits")
+        .orderBy("doc_id", "rk")
+    )

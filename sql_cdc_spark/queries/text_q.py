@@ -534,42 +534,29 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     them, so the one-shot plan tokenizes the corpus twice (same
     documented trade as bm25_search / crp_ngram_lm_score); the
     repeated-use path is the materialized postings table
-    search_maintenance keeps current."""
-    from pyspark.sql import Window
+    search_maintenance keeps current (topterms_from_index serves this
+    exact report from the maintained index with zero corpus re-scan).
+    Scoring is functions/text.py::tfidf_rank — the ONE derivation both
+    surfaces share."""
+    return tfidf_topterms(
+        tables.load(spark, sf_dir, "documents"), k=TFIDF_TOPK
+    )
 
-    docs = tables.load(spark, sf_dir, "documents")
+
+def tfidf_topterms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Parameterized TF-IDF keyword extraction over any (doc_id, text)
+    frame — see txt_tfidf_topterms. Builds the postings and the one-row
+    census, then ranks through the shared
+    functions/text.py::tfidf_rank (which also drops empty-string tokens
+    so the batch and index-served surfaces agree on empty documents)."""
     words = TX.normalize_words(F.col("text"))
-    terms = (
+    postings = (
         docs.select("doc_id", F.explode(words).alias("term"))
-        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     census = docs.agg(F.count(F.lit(1)).alias("N"))
-    idf_bits = (
-        (F.length(F.bin(2 * (F.col("N") - F.col("df")) + 1)) - 1)
-        - (F.length(F.bin(2 * F.col("df") + 1)) - 1)
-    ).cast("long")
-    scored = (
-        tf.join(dfreq.hint("shuffle_hash"), "term")
-        .crossJoin(F.broadcast(census))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            (F.col("tf") * idf_bits).alias("score_bits"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_bits").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TFIDF_TOPK)
-        .select("doc_id", "rk", "term", "tf", "df", "score_bits")
-        .orderBy("doc_id", "rk")
-    )
+    return TX.tfidf_rank(postings, census, k=k)
 
 
 _TFIDF_SQL = rf"""

@@ -57,6 +57,7 @@ __all__ = [
     "build_search_state",
     "apply_search_changes",
     "score_query",
+    "topterms_from_index",
     "run_search_maintenance",
 ]
 
@@ -138,6 +139,21 @@ def score_query(
         .select("doc_id", "dl", "term", "tf")
     )
     return bm25_rank(tf, census, k=k)
+
+
+def topterms_from_index(state: SearchState, k: int = 3) -> DataFrame:
+    """Per-document TF-IDF keywords served FROM the maintained index:
+    the postings table plus the one-row doc census — zero corpus
+    re-scan, and bit-equal to the batch query
+    (queries/text_q.py::txt_tfidf_topterms) on the same corpus because
+    both rank through the ONE shared derivation
+    functions/text.py::tfidf_rank. The batch query's honest cost note
+    (two corpus tokenizations per one-shot run) is exactly what this
+    surface amortizes away."""
+    from sql_cdc_spark.functions.text import tfidf_rank
+
+    census = state.docs.agg(F.count(F.lit(1)).alias("N"))
+    return tfidf_rank(state.postings, census, k=k)
 
 
 def run_search_maintenance(
