@@ -376,9 +376,9 @@ def scl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COMPACTION_SQL = f"""
 WITH binned AS (
   SELECT source, doc_id, n_chars,
-         (SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+         CAST((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
-           // {COMPACTION_TARGET_CHARS} AS bin
+           // {COMPACTION_TARGET_CHARS} AS BIGINT) AS bin
   FROM documents
 )
 SELECT source, bin, COUNT(*) AS n_files,
