@@ -1193,7 +1193,15 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     key can only be hit once per endpoint). cos_sim is symmetric and
     6-dp-rounded identically in both directions, so MIN is a no-op
     made explicit for determinism."""
-    best = knn_join(tables.load(spark, sf_dir, "embeddings"))
+    return _mutual_edges(tables.load(spark, sf_dir, "embeddings")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _mutual_edges(emb: DataFrame) -> DataFrame:
+    """Undirected mutual-NN edge set (id_a < id_b, symmetric cos_sim) —
+    the shared core of sim_mutual_knn and sim_pagerank_step."""
+    best = knn_join(emb)
     e = best.select(
         F.least("vec_id", "nn_id").alias("id_a"),
         F.greatest("vec_id", "nn_id").alias("id_b"),
@@ -1207,7 +1215,6 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__n") == 2)
         .select("id_a", "id_b", "cos_sim")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -1223,6 +1230,106 @@ e AS (
 SELECT id_a, id_b, MIN(cos_sim) AS cos_sim
 FROM e GROUP BY 1, 2 HAVING COUNT(*) = 2
 ORDER BY id_a, id_b
+"""
+
+
+# ---- one PageRank power iteration over the mutual-NN graph (round 6) ------
+PR_RANK_UNIT = 1_000_000  # integer rank mass per node (ppm domain)
+PR_TOPN = 50  # hub report depth
+
+
+def sim_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power iteration (damping 0.85) over the SYMMETRIZED
+    NN graph — every vector's top-1 edge folded undirected (the
+    UMAP/spectral-clustering graph; NOT the mutual subset, whose degree
+    is 1 everywhere by construction) — the hub-centrality read that
+    finds the vectors at the center of redundancy clusters, and the
+    repo's second iterative-graph operator after dd_dup_clusters'
+    min-label propagation. One iteration IS the fixpoint building
+    block: a full PageRank is this step looped, each round one join +
+    one aggregate over the edge list, the Pregel-without-Pregel shape
+    that scales to any edge count. Degrees genuinely vary here (a hub
+    is many vectors' nearest neighbor: degree = 1 + in-degree), so one
+    step already separates cluster centers from leaves — rank is NOT a
+    monotone function of degree (it depends on the NEIGHBORS' degrees:
+    a node fed by leaves outranks one fed by other hubs).
+
+    Integer-exact: every node starts with PR_RANK_UNIT ppm of rank and
+    sends floor(unit / degree) along each edge; the new rank is
+    floor(0.15·unit) + floor(0.85·inflow) computed as bigint floor
+    divisions (150000 + (85·inflow) div 100), so ranks are bit-identical
+    on any engine — no float mass, no normalization drift.
+
+    Scale shape: the undirected edge set (ONE knn_join pass + one
+    fold-distinct aggregate) fans out to 2·|E| directed rows; degree is
+    one map-side-combined groupBy; the contribution join pins the
+    one-row-per-node side as the shuffle-hash build side (both sides
+    scale with the corpus — the documented broadcast-abort band);
+    inflow is a second groupBy on dst. The hub report is
+    TakeOrderedAndProject over (rank desc, vec_id) — a total order, so
+    the limit is deterministic."""
+    best = knn_join(tables.load(spark, sf_dir, "embeddings"))
+    edges = (
+        best.select(
+            F.least("vec_id", "nn_id").alias("id_a"),
+            F.greatest("vec_id", "nn_id").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
+    )
+    directed = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    contrib = deg.select(
+        "src", "degree", F.expr(f"{PR_RANK_UNIT} div degree").alias("contrib")
+    )
+    inflow = (
+        directed.join(contrib.hint("shuffle_hash"), "src")
+        .groupBy(F.col("dst").alias("vec_id"))
+        .agg(F.sum("contrib").alias("inflow"))
+    )
+    ranked = inflow.join(
+        deg.select(F.col("src").alias("vec_id"), "degree").hint("shuffle_hash"),
+        "vec_id",
+    ).select(
+        "vec_id",
+        "degree",
+        F.expr(f"{PR_RANK_UNIT * 15 // 100} + (85 * inflow) div 100").alias(
+            "rank_ppm"
+        ),
+    )
+    return ranked.orderBy(F.desc("rank_ppm"), F.asc("vec_id")).limit(PR_TOPN)
+
+
+def _pagerank_sql() -> str:
+    knn = _knn_join_sql().strip()
+    return f"""
+WITH best AS ({knn}),
+und AS (
+  SELECT LEAST(vec_id, nn_id) AS id_a, GREATEST(vec_id, nn_id) AS id_b
+  FROM best GROUP BY 1, 2
+),
+directed AS (
+  SELECT id_a AS src, id_b AS dst FROM und
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM und
+),
+deg AS (SELECT src AS node, COUNT(*) AS degree FROM directed GROUP BY 1),
+inflow AS (
+  SELECT d.dst AS node,
+         CAST(SUM(CAST({PR_RANK_UNIT} AS BIGINT) // g.degree) AS BIGINT)
+           AS inflow
+  FROM directed d JOIN deg g ON g.node = d.src
+  GROUP BY 1
+)
+SELECT g.node AS vec_id, g.degree,
+       CAST({PR_RANK_UNIT * 15 // 100}
+            + (85 * i.inflow) // 100 AS BIGINT) AS rank_ppm
+FROM deg g JOIN inflow i ON i.node = g.node
+ORDER BY rank_ppm DESC, vec_id ASC
+LIMIT {PR_TOPN}
 """
 
 
@@ -1368,6 +1475,7 @@ ORDER BY a.cluster_id
 QUERIES: dict[str, QueryEntry] = {
     "sim_random_projection": QueryEntry(sim_random_projection, _rp_sql()),
     "sim_mutual_knn": QueryEntry(sim_mutual_knn, _mutual_knn_sql()),
+    "sim_pagerank_step": QueryEntry(sim_pagerank_step, _pagerank_sql()),
     "sim_kmeans_step": QueryEntry(sim_kmeans_step, _kmeans_step_sql()),
     "sim_ann_recall_eval": QueryEntry(sim_ann_recall_eval, _ann_recall_sql()),
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
