@@ -113,6 +113,7 @@ ROUND6 = [
     "sim_ann_recall_eval",  # recall@k panel vs brute force
     "dd_lsh_recall_eval",   # banded LSH recall vs exact truth
     "rel_grouping_sets",    # explicit GROUPING SETS + gid
+    "sim_pagerank_step",    # one integer PageRank iteration
 ]
 
 

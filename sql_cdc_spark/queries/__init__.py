@@ -76,7 +76,8 @@ def _registry() -> dict[str, QueryEntry]:
     # (tpch_q6_forecast_revenue, fn_bson_roundtrip, win_ntile_quartiles,
     # rel_above_avg_orders, win_percent_rank, rel_anti_join_no_orders,
     # tpch_q14_promo_revenue, tpch_q19_discounted_revenue,
-    # tpch_q4_late_order_priority, txt_doc_frequency, fn_string_ops),
+    # tpch_q4_late_order_priority, txt_doc_frequency, fn_string_ops,
+    # txt_bigram_topk — ceded its r6 slot to sim_pagerank_step),
     # then the twenty-one r3 greens left unpaid below
     # (evt_daily_user_activity,
     # evt_funnel_conversion, evt_interval_join_buckets,
@@ -154,7 +155,6 @@ def _registry() -> dict[str, QueryEntry]:
         "evt_asof_last_purchase",
         "crp_train_test_split",
         "crp_stratified_sample",
-        "txt_bigram_topk",
         # -- changed this round: crp_ngram_lm_score's per-doc derivation
         #    is now the _lm_doc_scores core crp_domain_reweight shares
         "crp_ngram_lm_score",
@@ -172,6 +172,7 @@ def _registry() -> dict[str, QueryEntry]:
         "sim_ann_recall_eval",       # recall@k panel vs brute force
         "dd_lsh_recall_eval",        # banded LSH recall vs exact truth
         "rel_grouping_sets",         # explicit GROUPING SETS + gid
+        "sim_pagerank_step",         # one integer PageRank iteration
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

@@ -62,6 +62,7 @@ def test_registry_window_holds_all_round6_queries():
         "sim_ann_recall_eval",  # recall@k panel vs brute force
         "dd_lsh_recall_eval",   # banded LSH recall vs exact truth
         "rel_grouping_sets",    # explicit GROUPING SETS + gid
+        "sim_pagerank_step",    # one integer PageRank iteration
         # changed r6: per-doc LM derivation extracted to _lm_doc_scores,
         # now shared with crp_domain_reweight
         "crp_ngram_lm_score",
@@ -86,7 +87,6 @@ def test_registry_window_holds_all_round6_queries():
         "sim_embedding_quantize", "evt_session_windows",
         "evt_tumbling_hourly", "evt_asof_last_purchase",
         "crp_train_test_split", "crp_stratified_sample",
-        "txt_bigram_topk",
     ]
     stale_missing = [n for n in stale_r6 if n not in window]
     assert not stale_missing, f"rotation debt unpaid: {stale_missing}"

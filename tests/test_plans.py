@@ -397,6 +397,11 @@ HEADLINE_EXCHANGE_BUDGETS = {
     # shingle subtree renders per scan like the other persist users
     "dd_lsh_recall_eval": 27,
     "rel_grouping_sets": 2,     # ONE expand+agg pass + presentation sort
+    # EXECUTED shape: ONE knn_join pass into the undirected-edge agg,
+    # then degree agg + pinned shuffle-hash contribution join + inflow
+    # agg + rank join + top-k; the PRINTED count re-renders the shared
+    # knn/edge subtree per consumer (ReuseExchange dedupes at runtime)
+    "sim_pagerank_step": 22,
 }
 
 
