@@ -114,6 +114,10 @@ ROUND6 = [
     "dd_lsh_recall_eval",   # banded LSH recall vs exact truth
     "rel_grouping_sets",    # explicit GROUPING SETS + gid
     "sim_pagerank_step",    # one integer PageRank iteration
+    "txt_pmi_collocations",     # PMI collocation mining
+    "txt_dup_passage_census",   # chunked exact-substr dup census
+    "rel_fuzzy_match_block",    # blocked Levenshtein entity match
+    "sim_power_iteration",      # one PCA power-iteration step
 ]
 
 

@@ -77,7 +77,10 @@ def _registry() -> dict[str, QueryEntry]:
     # rel_above_avg_orders, win_percent_rank, rel_anti_join_no_orders,
     # tpch_q14_promo_revenue, tpch_q19_discounted_revenue,
     # tpch_q4_late_order_priority, txt_doc_frequency, fn_string_ops,
-    # txt_bigram_topk — ceded its r6 slot to sim_pagerank_step),
+    # plus the five r3 greens that ceded r6 slots to late round-6
+    # landings: txt_bigram_topk, evt_tumbling_hourly,
+    # evt_asof_last_purchase, crp_train_test_split,
+    # crp_stratified_sample),
     # then the twenty-one r3 greens left unpaid below
     # (evt_daily_user_activity,
     # evt_funnel_conversion, evt_interval_join_buckets,
@@ -151,10 +154,6 @@ def _registry() -> dict[str, QueryEntry]:
         "sim_centroid_assign",
         "sim_embedding_quantize",
         "evt_session_windows",
-        "evt_tumbling_hourly",
-        "evt_asof_last_purchase",
-        "crp_train_test_split",
-        "crp_stratified_sample",
         # -- changed this round: crp_ngram_lm_score's per-doc derivation
         #    is now the _lm_doc_scores core crp_domain_reweight shares
         "crp_ngram_lm_score",
@@ -173,6 +172,10 @@ def _registry() -> dict[str, QueryEntry]:
         "dd_lsh_recall_eval",        # banded LSH recall vs exact truth
         "rel_grouping_sets",         # explicit GROUPING SETS + gid
         "sim_pagerank_step",         # one integer PageRank iteration
+        "txt_pmi_collocations",      # PMI collocation mining
+        "txt_dup_passage_census",    # chunked exact-substr dup census
+        "rel_fuzzy_match_block",     # blocked Levenshtein entity match
+        "sim_power_iteration",       # one PCA power-iteration step
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

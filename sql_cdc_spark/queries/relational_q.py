@@ -805,6 +805,77 @@ ORDER BY n_name, rnk
 """
 
 
+# ---- blocked fuzzy entity match (round 6) ----------------------------------
+FUZZY_MAX_EDIT = 2  # Levenshtein acceptance threshold
+
+
+def rel_fuzzy_match_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution — near-duplicate part names by
+    Levenshtein distance inside (p_brand, p_type) blocks, the classic
+    record-linkage shape (block on cheap equality keys so the quadratic
+    string metric only ever runs inside a block, never corpus×corpus).
+    A length band |len(a)−len(b)| ≤ d prunes before the distance, and
+    the Spark side passes the threshold INTO levenshtein (the 3-arg
+    early-exit form short-circuits the DP once a row of the edit matrix
+    exceeds d — the dominant saving when most in-block pairs are far
+    apart); kept pairs carry the true distance, so the plain-levenshtein
+    oracle agrees exactly.
+
+    Scale shape: ONE self-join shuffled on the block key (pinned
+    shuffle-hash: both sides are the same corpus-scale table). Block
+    population is the quadratic hazard — the scl_skew_census operator is
+    the diagnostic for a hot block, and the fix (salting the block key
+    with a name prefix) preserves completeness only for d < prefix
+    agreement, so it is a policy knob, not a default. key_a < key_b
+    halves the pair space and makes the report a canonical edge set."""
+    part = tables.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        "p_type",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand",
+        "p_type",
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), ["p_brand", "p_type"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b"))
+                <= FUZZY_MAX_EDIT
+            )
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("name_a", "name_b", FUZZY_MAX_EDIT),
+        )
+        .filter(F.col("edit_dist") >= 0)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+        .orderBy("key_a", "key_b")
+    )
+
+
+_FUZZY_MATCH_SQL = f"""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_MAX_EDIT}
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDIT}
+ORDER BY key_a, key_b
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "rel_dq_audit": QueryEntry(rel_dq_audit, _DQ_AUDIT_SQL),
     "rel_topn_other_rollup": QueryEntry(rel_topn_other_rollup, _TOPN_OTHER_SQL),
@@ -832,4 +903,5 @@ QUERIES: dict[str, QueryEntry] = {
     "rel_pivot_status": QueryEntry(rel_pivot_status, _PIVOT_SQL),
     "rel_unpivot_measures": QueryEntry(rel_unpivot_measures, _UNPIVOT_SQL),
     "rel_above_avg_orders": QueryEntry(rel_above_avg_orders, _ABOVE_AVG_SQL),
+    "rel_fuzzy_match_block": QueryEntry(rel_fuzzy_match_block, _FUZZY_MATCH_SQL),
 }

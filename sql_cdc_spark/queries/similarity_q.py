@@ -1472,10 +1472,94 @@ ORDER BY a.cluster_id
 """
 
 
+# ---- one power-iteration step toward the dominant direction (round 6) -----
+POWER_SEED_ID = 0  # v0 = the embedding of this vector, milli-quantized
+POWER_UNIT = 1_000  # milli quantization — the bigint-overflow budget:
+# |x| ≤ 0.53 ⇒ |x_int| ≤ 530, dot ≤ 64·530² ≈ 1.8e7, per-row term ≤
+# 9.5e9, so the per-dim sum stays under 2^63 through ~10^9 vectors
+# (micros would overflow on a SINGLE row: 64·(5.3e5)²·5.3e5 ≈ 9.5e18)
+
+
+def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's dominant embedding
+    direction: y = Xᵀ(X·v₀) — the building block of PCA / spectral
+    drift monitoring over an embedding column (iterate + normalize to
+    converge on the top singular vector; each iteration is this exact
+    plan re-run with the previous y as v). Everything lives in an
+    integer-milli domain (element → round(x·1e3), the established
+    quantizer recipe at a coarser unit — see POWER_UNIT for the
+    overflow budget), so the per-dimension accumulator is bigint-exact
+    and bit-identical on any engine.
+
+    Scale shape: v₀ is ONE bounded-collect row baked into the plan as a
+    literal array (the kmeans-seed pattern), so the dot product x·v₀ is
+    SCAN-LOCAL; the only exchange is the |dims|-row per-dimension
+    aggregate after posexplode — map-side combined, 64 groups, the
+    treeAggregate shape. No joins, nothing corpus×corpus; doubling the
+    corpus doubles only the scan."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * POWER_UNIT).cast("long"),
+    )
+    base = emb.select("vec_id", milli.alias("mv"))
+    seed_row = base.filter(F.col("vec_id") == POWER_SEED_ID).collect()  # 1 row
+    assert len(seed_row) == 1, "power-iteration seed vector missing"
+    seed = [int(v) for v in seed_row[0]["mv"]]
+    dot = F.aggregate(
+        F.zip_with(
+            "mv",
+            F.array(*[F.lit(v).cast("long") for v in seed]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        base.select(F.posexplode("mv").alias("pos", "x"), dot.alias("dot"))
+        .groupBy((F.col("pos") + 1).alias("dim_id"))
+        .agg(F.sum(F.col("dot") * F.col("x")).alias("y"))
+        .orderBy("dim_id")
+    )
+
+
+def _power_iteration_sql() -> str:
+    u = POWER_UNIT
+    return f"""
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {u}) AS BIGINT)) AS mv
+  FROM embeddings
+),
+seed AS (
+  SELECT i AS dim_id, mv[i] AS v
+  FROM m, UNNEST(generate_series(1, len(mv))) AS t(i)
+  WHERE vec_id = {POWER_SEED_ID}
+),
+xi AS (
+  SELECT vec_id, i AS dim_id, mv[i] AS x
+  FROM m, UNNEST(generate_series(1, len(mv))) AS t(i)
+),
+dots AS (
+  SELECT xi.vec_id, CAST(SUM(xi.x * s.v) AS BIGINT) AS dot
+  FROM xi JOIN seed s USING (dim_id)
+  GROUP BY 1
+)
+SELECT xi.dim_id, CAST(SUM(d.dot * xi.x) AS BIGINT) AS y
+FROM xi JOIN dots d USING (vec_id)
+GROUP BY 1
+ORDER BY dim_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "sim_random_projection": QueryEntry(sim_random_projection, _rp_sql()),
     "sim_mutual_knn": QueryEntry(sim_mutual_knn, _mutual_knn_sql()),
     "sim_pagerank_step": QueryEntry(sim_pagerank_step, _pagerank_sql()),
+    "sim_power_iteration": QueryEntry(
+        sim_power_iteration, _power_iteration_sql()
+    ),
     "sim_kmeans_step": QueryEntry(sim_kmeans_step, _kmeans_step_sql()),
     "sim_ann_recall_eval": QueryEntry(sim_ann_recall_eval, _ann_recall_sql()),
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),

@@ -675,6 +675,168 @@ ORDER BY b.doc_id
 """
 
 
+# ---- PMI collocation mining (round 6) --------------------------------------
+PMI_MIN_SUPPORT = 20  # min bigram occurrences before a lift is trusted
+PMI_TOPK = 30
+
+
+def txt_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the corpus
+    statistic behind multi-word-expression discovery and tokenizer
+    merge pre-scoring (Church & Hanks 1990). Lift = P(x,y) /
+    (P(x·)·P(·y)) over bigram-slot marginals, kept integer-exact as a
+    staged ppm floor ratio: ((n_xy·1e6) div n_x)·N div n_y — n_xy ≤
+    min(n_x, n_y) bounds the first stage to ≤ 1e6, so the product is
+    overflow-safe while Σ bigrams < 2^63/1e6 ≈ 9.2e12 (≈ a 10 PB text
+    corpus at this doc shape; past that the unit drops to per-mille,
+    same plan). Both engines evaluate the SAME staged expression, so
+    floor compounding cannot diverge.
+
+    Scale shape: ONE corpus explode → (left, right) pair groupBy
+    (map-side combined — the only corpus-wide exchange); both marginals
+    and the 1-row total derive from the PAIR table (vocab²-bounded, ≪
+    corpus), so the corpus is tokenized and shuffled exactly once. The
+    marginal joins pin shuffle-hash (vocab tables are the documented
+    integer-dense broadcast-abort band at 100 TB); the support filter
+    cuts the pair table before any join; top-k is TakeOrdered over the
+    (lift desc, left, right) total order."""
+    docs = tables.load(spark, sf_dir, "documents")
+    w = TX.normalize_words(F.col("text"))
+    pairs = (
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(w, 1, F.size(w) - 1),
+                    F.slice(w, 2, F.size(w) - 1),
+                    lambda a, b: F.struct(a.alias("left_w"), b.alias("right_w")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.left_w", "bg.right_w")
+        .groupBy("left_w", "right_w")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    lm = pairs.groupBy("left_w").agg(F.sum("n_xy").alias("n_x"))
+    rm = pairs.groupBy("right_w").agg(F.sum("n_xy").alias("n_y"))
+    tot = pairs.agg(F.sum("n_xy").alias("n_bi"))
+    return (
+        pairs.filter(F.col("n_xy") >= PMI_MIN_SUPPORT)
+        .join(lm.hint("shuffle_hash"), "left_w")
+        .join(rm.hint("shuffle_hash"), "right_w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "left_w",
+            "right_w",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr("((n_xy * 1000000) div n_x) * n_bi div n_y").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "left_w", "right_w")
+        .limit(PMI_TOPK)
+    )
+
+
+_PMI_SQL = rf"""
+WITH d AS (SELECT string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+bg AS (
+  SELECT ws[i] AS left_w, ws[i + 1] AS right_w
+  FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+pc AS (SELECT left_w, right_w, COUNT(*) AS n_xy FROM bg GROUP BY 1, 2),
+lm AS (SELECT left_w, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM pc GROUP BY 1),
+rm AS (SELECT right_w, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM pc GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_bi FROM pc)
+SELECT p.left_w, p.right_w, p.n_xy, l.n_x, r.n_y,
+       CAST(((p.n_xy * 1000000) // l.n_x) * t.n_bi // r.n_y AS BIGINT)
+         AS lift_ppm
+FROM pc p
+JOIN lm l USING (left_w)
+JOIN rm r USING (right_w)
+CROSS JOIN tot t
+WHERE p.n_xy >= {PMI_MIN_SUPPORT}
+ORDER BY lift_ppm DESC, left_w, right_w
+LIMIT {PMI_TOPK}
+"""
+
+
+# ---- duplicated-passage census (round 6) ------------------------------------
+PASSAGE_WORDS = 8  # disjoint chunk width, words
+
+
+def txt_dup_passage_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-passage census — the chunked approximation
+    of exact-substring dedup (Lee et al. 2021, arXiv:2107.06499):
+    tile every document into disjoint PASSAGE_WORDS-word passages, count
+    each passage string across the corpus, and report per source how
+    much of its text is corpus-duplicated passage mass (integer ppm).
+    The suffix-array substring dedup this approximates needs a global
+    sort; the chunked form is ONE explode + ONE passage groupBy + one
+    counts join — every stage embarrassingly parallel.
+
+    Scale shape: passages shuffle once (the count groupBy, map-side
+    combined); the instance⨝counts join pins shuffle-hash — BOTH sides
+    are corpus-scale (the documented pair-table broadcast-abort band).
+    The per-source rollup is a |sources|-row aggregate. Dup mass is
+    instance-counted (a passage occurring k times contributes k), so
+    the ppm reads as 'share of passages a dedup pass would touch'."""
+    docs = tables.load(spark, sf_dir, "documents")
+    w = TX.normalize_words(F.col("text"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor(F.size(w) / PASSAGE_WORDS) - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(w, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
+        ),
+    )
+    inst = docs.select(
+        "source", F.explode(chunks).alias("passage")
+    )
+    counts = inst.groupBy("passage").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        inst.join(counts.hint("shuffle_hash"), "passage")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum((F.col("n_occ") > 1).cast("long")).alias("n_dup_passages"),
+        )
+        .select(
+            "source",
+            "n_passages",
+            "n_dup_passages",
+            F.expr("(n_dup_passages * 1000000) div n_passages").alias(
+                "dup_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_DUP_PASSAGE_SQL = rf"""
+WITH d AS (
+  SELECT source, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+),
+inst AS (
+  SELECT source,
+         array_to_string(
+           list_slice(ws, i * {PASSAGE_WORDS} + 1, (i + 1) * {PASSAGE_WORDS}),
+           ' ') AS passage
+  FROM d, UNNEST(generate_series(0, len(ws) // {PASSAGE_WORDS} - 1)) AS t(i)
+),
+counts AS (SELECT passage, COUNT(*) AS n_occ FROM inst GROUP BY 1)
+SELECT i.source,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_passages,
+       CAST((SUM(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS dup_ppm
+FROM inst i JOIN counts c USING (passage)
+GROUP BY 1
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "txt_token_stats": QueryEntry(txt_token_stats, _TOKEN_STATS_SQL),
     "txt_tfidf_topterms": QueryEntry(txt_tfidf_topterms, _TFIDF_SQL),
@@ -689,4 +851,8 @@ QUERIES: dict[str, QueryEntry] = {
     "txt_quality_gate": QueryEntry(txt_quality_gate, _QUALITY_GATE_SQL),
     "txt_bm25_search": QueryEntry(txt_bm25_search, _bm25_sql()),
     "txt_bpe_pair_census": QueryEntry(txt_bpe_pair_census, _BPE_PAIR_SQL),
+    "txt_pmi_collocations": QueryEntry(txt_pmi_collocations, _PMI_SQL),
+    "txt_dup_passage_census": QueryEntry(
+        txt_dup_passage_census, _DUP_PASSAGE_SQL
+    ),
 }

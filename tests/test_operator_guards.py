@@ -63,6 +63,10 @@ def test_registry_window_holds_all_round6_queries():
         "dd_lsh_recall_eval",   # banded LSH recall vs exact truth
         "rel_grouping_sets",    # explicit GROUPING SETS + gid
         "sim_pagerank_step",    # one integer PageRank iteration
+        "txt_pmi_collocations",     # PMI collocation mining
+        "txt_dup_passage_census",   # chunked exact-substr dup census
+        "rel_fuzzy_match_block",    # blocked Levenshtein entity match
+        "sim_power_iteration",      # one PCA power-iteration step
         # changed r6: per-doc LM derivation extracted to _lm_doc_scores,
         # now shared with crp_domain_reweight
         "crp_ngram_lm_score",
@@ -85,8 +89,6 @@ def test_registry_window_holds_all_round6_queries():
         "cdc_replica_sync", "dd_near_dup_pairs", "dd_dup_clusters",
         "dd_cluster_canonical", "sim_ivf_topk", "sim_centroid_assign",
         "sim_embedding_quantize", "evt_session_windows",
-        "evt_tumbling_hourly", "evt_asof_last_purchase",
-        "crp_train_test_split", "crp_stratified_sample",
     ]
     stale_missing = [n for n in stale_r6 if n not in window]
     assert not stale_missing, f"rotation debt unpaid: {stale_missing}"

