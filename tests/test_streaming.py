@@ -3263,3 +3263,113 @@ def test_streaming_semdedup_maintenance_equals_full_recompute(spark, tmp_path):
     ups2, dels2 = SD.collapse_batch(b2)
     replay = SD.apply_semdedup_changes(final, ups2, dels2, checkpoint=False)
     assert _drops(replay) == got
+
+
+def test_streaming_passage_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the duplicated-passage census: the state
+    built from the full documents table serves EXACTLY the registered
+    txt_dup_passage_census rows; draining a change feed (inserts incl. a
+    planted cross-source duplicate, deletes, a same-batch double-update)
+    ends at exactly the census a full rebuild of the final corpus
+    produces; replaying the last batch is a no-op."""
+    from sql_cdc_spark.queries.text_q import txt_dup_passage_census
+    from sql_cdc_spark.streaming import passage_maintenance as PM
+
+    full = tables.load(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "source", "text"
+    )
+    state0 = PM.build_passage_state(full)
+    assert [tuple(r) for r in PM.dup_passage_census(state0).collect()] == [
+        tuple(r) for r in txt_dup_passage_census(spark, SF_DIR_SMALL).collect()
+    ]
+    state0.release()
+
+    base = full.orderBy("doc_id").limit(120)
+    initial = PM.build_passage_state(base)
+    feed = str(tmp_path / "feed")
+
+    # batch 1: inserts — 5 fresh docs plus ONE exact copy of an existing
+    # doc under a DIFFERENT source (its passages become corpus-duplicated
+    # in both sources, which only the corpus-wide counts can see). The
+    # donor is the 4th doc: it survives batch 2's delete of the first 3
+    # and sits outside the update set, so both copies stay live.
+    donor = base.orderBy("doc_id").limit(4).orderBy(F.desc("doc_id")).limit(1)
+    b1 = (
+        base.orderBy("doc_id").limit(5)
+        .select(
+            (F.col("doc_id") + 700_000).alias("doc_id"),
+            F.lit(None).cast("string").alias("lang"),
+            "source", "text",
+            F.lit("I").alias("op"),
+            F.lit(1).cast("long").alias("change_version"),
+        )
+        .unionByName(
+            donor.select(
+                (F.col("doc_id") + 800_000).alias("doc_id"),
+                F.lit(None).cast("string").alias("lang"),
+                F.lit("planted_twin").alias("source"), "text",
+                F.lit("I").alias("op"),
+                F.lit(1).cast("long").alias("change_version"),
+            )
+        )
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+
+    # batch 2: deletes + a double-update (v3 must win over v2)
+    dels = base.orderBy("doc_id").limit(3).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"),
+        F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_ids = base.orderBy(F.desc("doc_id")).limit(2).select(
+        "doc_id", "source", "text"
+    )
+    filler = " ".join(["zz"] * (2 * 8))  # two full passages of filler
+    upd_v2 = upd_ids.select(
+        "doc_id", F.lit(None).cast("string").alias("lang"), "source",
+        F.concat("text", F.lit(" " + filler)).alias("text"),
+        F.lit("U").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    upd_v3 = upd_ids.limit(1).select(
+        "doc_id", F.lit(None).cast("string").alias("lang"), "source",
+        F.concat("text", F.lit(" " + filler + " yy")).alias("text"),
+        F.lit("U").alias("op"), F.lit(3).cast("long").alias("change_version"),
+    )
+    dels.unionByName(upd_v2).unionByName(upd_v3).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    final, n_batches = PM.run_passage_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+    )
+    assert n_batches >= 1
+
+    del_ids = dels.select("doc_id")
+    win_upd = upd_v3.select("doc_id", "source", "text").unionByName(
+        upd_v2.join(upd_v3.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "source", "text")
+    )
+    final_corpus = (
+        base.join(del_ids, "doc_id", "left_anti")
+        .join(win_upd.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(win_upd)
+        .unionByName(b1.select("doc_id", "source", "text"))
+    )
+    want_state = PM.build_passage_state(final_corpus, checkpoint=False)
+    got = [tuple(r) for r in PM.dup_passage_census(final).collect()]
+    want = [tuple(r) for r in PM.dup_passage_census(want_state).collect()]
+    assert got == want
+    # the planted twin source is fully duplicated mass
+    twin = next(r for r in got if r[0] == "planted_twin")
+    assert twin[1] > 0 and twin[1] == twin[2] and twin[3] == 1_000_000
+
+    # idempotent replay of batch 2
+    b2 = dels.unionByName(upd_v2).unionByName(upd_v3)
+    ups2, dels2 = PM.collapse_batch(b2)
+    replay = PM.apply_passage_changes(final, ups2, dels2, checkpoint=False)
+    assert [
+        tuple(r) for r in PM.dup_passage_census(replay).collect()
+    ] == got
