@@ -1336,3 +1336,76 @@ def test_random_query11_matches_duckdb(spark, oracle, seed):
     got = _skew_report(cc, "fuzz")
     sql = _skew_one_sql(f"(SELECT ({expr}) AS k FROM lineitem)", "k", rel="fuzz")
     assert_matches_oracle(got, oracle, sql)
+
+
+# ---- family 12: the blocked-fuzzy-match space — random corpora
+# (part / customer / supplier names), random equality-block keys, and
+# random thresholds d ∈ 1..5 through the SAME shape as the registered
+# rel_fuzzy_match_block: Spark's 3-arg early-exit levenshtein (returns
+# -1 past the threshold) vs DuckDB's plain levenshtein + WHERE. The
+# hand-written oracle pins (part, (brand, type), d=2); this family is
+# aimed at the early-exit/plain parity boundary (a DP cutoff bug shows
+# as a pair present on one side only) and at the length-band prune
+# (|len(a)−len(b)| ≤ d must never drop an accepted pair — customer
+# names are equal-length, part names vary). ----
+
+_F12_CORPORA = {
+    "part": ("p_partkey", "p_name", ["p_brand", "p_type"]),
+    "customer": ("c_custkey", "c_name", ["c_nationkey"]),
+    "supplier": ("s_suppkey", "s_name", ["s_nationkey"]),
+}
+
+
+def _gen12(rng: random.Random) -> dict:
+    table = rng.choice(sorted(_F12_CORPORA))
+    key, name, blocks = _F12_CORPORA[table]
+    n_block = rng.randint(1, len(blocks))
+    return {
+        "table": table,
+        "key": key,
+        "name": name,
+        "blocks": blocks[:n_block],
+        "d": rng.randint(1, 5),
+    }
+
+
+def _fuzzy12(df, q: dict):
+    key, name, blocks, d = q["key"], q["name"], q["blocks"], q["d"]
+    a = df.select(
+        F.col(key).alias("key_a"), F.col(name).alias("name_a"), *blocks
+    )
+    b = df.select(
+        F.col(key).alias("key_b"), F.col(name).alias("name_b"), *blocks
+    )
+    return (
+        a.join(b.hint("shuffle_hash"), blocks)
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= d)
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", d))
+        .filter(F.col("edit_dist") >= 0)
+        .select("key_a", "key_b", "edit_dist")
+        .orderBy("key_a", "key_b")
+    )
+
+
+def _fuzzy12_sql(q: dict) -> str:
+    key, name, d = q["key"], q["name"], q["d"]
+    on = " AND ".join(f"a.{c} = b.{c}" for c in q["blocks"])
+    return f"""
+SELECT a.{key} AS key_a, b.{key} AS key_b,
+       CAST(levenshtein(a.{name}, b.{name}) AS INTEGER) AS edit_dist
+FROM {q["table"]} a JOIN {q["table"]} b
+  ON {on} AND a.{key} < b.{key}
+WHERE levenshtein(a.{name}, b.{name}) <= {d}
+ORDER BY key_a, key_b
+"""
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_query12_matches_duckdb(spark, oracle, seed):
+    rng = random.Random(31000 + seed)
+    q = _gen12(rng)
+    df = tables.load(spark, SF_DIR, q["table"])
+    assert_matches_oracle(_fuzzy12(df, q), oracle, _fuzzy12_sql(q))
