@@ -1,0 +1,244 @@
+"""Iterative distributed algorithms — the full loops whose single-step
+bodies are registered, oracle-gated queries (sim_pagerank_step,
+sim_kmeans_step, sim_power_iteration). The registry pins one exact
+iteration against DuckDB; these drivers compose that iteration to a
+fixpoint, the Pregel-without-Pregel pattern dup_clusters established:
+
+- every round is declarative DataFrame work (one join + one aggregate,
+  or one scan + one aggregate) — the engine stays fully distributed;
+- the driver holds only BOUNDED state between rounds (a per-round delta
+  scalar, a k-row centroid table, a |dims|-length direction vector),
+  never corpus-scale data;
+- ``localCheckpoint`` truncates lineage each round so iteration k does
+  not replan k rounds deep, and superseded snapshots are released
+  eagerly (the dup_clusters discipline).
+
+All arithmetic stays in the step operators' integer domains (ppm rank
+mass, micro centroids, milli vector elements), so every round — and
+therefore the whole trajectory — is bit-deterministic on any engine and
+recomputable row-for-row in plain Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_cdc_spark.functions.dedup import release_local_checkpoint
+
+__all__ = ["pagerank", "kmeans_train", "power_iteration"]
+
+PR_RANK_UNIT = 1_000_000  # integer rank mass per node (ppm domain)
+
+
+def pagerank(
+    edges: DataFrame, max_iters: int = 20, damping_pct: int = 85
+) -> DataFrame:
+    """Full PageRank over an undirected edge list (id_a, id_b) →
+    (node, degree, rank_ppm). Iteration 1 is exactly the registered
+    sim_pagerank_step recurrence (rank' = floor((100−d)%·unit) +
+    floor(d%·inflow) with floor-division contributions), looped to the
+    integer fixpoint: stop when a round moves zero rank mass, else after
+    ``max_iters``. Integer dynamics can 2-cycle instead of fixing, so
+    the L1 delta is a stop signal, not an invariant; the returned state
+    is the last round's.
+
+    Per round: one shuffle-hash join (ranks are one-row-per-node and
+    corpus-scale — the documented broadcast-abort band) + one inflow
+    aggregate. The driver reads one scalar per round."""
+    und = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    deg = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    base_ppm = PR_RANK_UNIT * (100 - damping_pct) // 100
+    snap = deg.select(
+        F.col("src").alias("node"),
+        "degree",
+        F.lit(PR_RANK_UNIT).cast("long").alias("rank_ppm"),
+    ).localCheckpoint()
+    ranks = snap
+    for _ in range(max_iters):
+        contrib = ranks.select(
+            F.col("node").alias("src"),
+            F.expr("rank_ppm div degree").alias("contrib"),
+        )
+        inflow = (
+            und.join(contrib.hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        nxt = (
+            ranks.join(inflow.hint("shuffle_hash"), "node")
+            .select(
+                "node",
+                "degree",
+                F.expr(
+                    f"{base_ppm} + ({damping_pct} * inflow) div 100"
+                ).alias("rank_ppm"),
+                F.col("rank_ppm").alias("__prev"),
+            )
+            .localCheckpoint()
+        )
+        delta = nxt.agg(
+            F.sum(F.abs(F.col("rank_ppm") - F.col("__prev")))
+        ).first()[0]
+        release_local_checkpoint(snap)
+        snap = nxt
+        ranks = nxt.drop("__prev")
+        if delta == 0:
+            break
+    und.unpersist()
+    deg.unpersist()
+    return ranks
+
+
+def _micro(col):
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * 1e6).cast("long")
+    )
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = 8, n_iters: int = 5
+) -> tuple[DataFrame, list[int]]:
+    """Full Lloyd's k-means in the integer-micro domain → (assignments
+    (vec_id, cluster_id), per-round inertia list). Each round is the
+    registered sim_kmeans_step body: centroids baked as literals so
+    assignment is scan-local least(struct(dist², cluster)); the M-step
+    centroid is the element-wise floor(Σx / n) — an exact integer
+    division, so the whole trajectory is engine-independent. Seeds are
+    the vectors with vec_id < k (the step operator's convention).
+
+    Per round: one corpus scan + one k-group aggregate; the driver
+    holds k centroid arrays (bounded). Empty clusters keep their
+    previous centroid."""
+    base = emb.select("vec_id", _micro(F.col("embedding")).alias("mv")).persist()
+    seed_rows = base.filter(F.col("vec_id") < k).collect()
+    cents = {int(r["vec_id"]): [int(v) for v in r["mv"]] for r in seed_rows}
+    assert len(cents) == k, f"need vec_id 0..{k - 1} as seeds"
+    x2 = F.aggregate(
+        F.transform("mv", lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    inertia_by_round: list[int] = []
+    assigned = None
+    for _ in range(n_iters):
+        cands = []
+        for cid in sorted(cents):
+            cv = cents[cid]
+            c2 = sum(v * v for v in cv)
+            dot = F.aggregate(
+                F.zip_with(
+                    "mv",
+                    F.array(*[F.lit(v).cast("long") for v in cv]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            cands.append(
+                F.struct(
+                    (F.col("x2") - 2 * dot + F.lit(c2).cast("long")).alias("d"),
+                    F.lit(cid).cast("long").alias("c"),
+                )
+            )
+        assigned = base.withColumn("x2", x2).select(
+            "vec_id", "mv", F.least(*cands).alias("b")
+        )
+        stats = (
+            assigned.groupBy(F.col("b.c").alias("cluster_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("b.d").alias("inertia"),
+                *[
+                    F.sum(F.element_at("mv", d + 1)).alias(f"s{d}")
+                    for d in range(len(next(iter(cents.values()))))
+                ],
+            )
+            .collect()
+        )
+        inertia_by_round.append(sum(int(r["inertia"]) for r in stats))
+        for r in stats:  # empty clusters keep their previous centroid
+            n = int(r["n"])
+            cents[int(r["cluster_id"])] = [
+                int(r[f"s{d}"]) // n for d in range(len(cents[0]))
+            ]
+    out = assigned.select(
+        "vec_id", F.col("b.c").alias("cluster_id")
+    )
+    # NOTE: `base` stays persisted while the returned frame is live;
+    # callers collect promptly (the frame is (vec_id, cluster_id) only)
+    out = out.localCheckpoint()
+    base.unpersist()
+    return out, inertia_by_round
+
+
+def power_iteration(
+    emb: DataFrame, n_iters: int = 10, unit: int = 1_000
+) -> tuple[list[int], list[float]]:
+    """Converging power iteration toward the corpus's dominant embedding
+    direction → (final integer direction vector at scale ``unit``,
+    per-round cosines with the previous direction). Each round is the
+    registered sim_power_iteration body (y = Xᵀ(X·v), scan-local dot
+    against a literal v, one |dims|-row aggregate); the re-normalization
+    v' = round(y·unit / ‖y‖) happens DRIVER-side on the collected
+    |dims|-length y — exact integers in, one deterministic float sqrt,
+    so the whole trajectory is recomputable in plain Python.
+
+    ‖v‖ ≈ unit keeps the milli-domain overflow budget of the step
+    operator: |x|≤0.53·unit', per-row term ≤ dims·(0.53·1e3)²·1e3."""
+    base = emb.select("vec_id", F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * unit).cast("long"),
+    ).alias("mv")).persist()
+    first = base.filter(F.col("vec_id") == 0).first()
+    assert first is not None, "power-iteration seed vector (vec_id 0) missing"
+    v = [int(x) for x in first["mv"]]
+    dims = len(v)
+    cosines: list[float] = []
+    for _ in range(n_iters):
+        dot = F.aggregate(
+            F.zip_with(
+                "mv",
+                F.array(*[F.lit(x).cast("long") for x in v]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, val: acc + val,
+        )
+        rows = (
+            base.select(F.posexplode("mv").alias("pos", "x"), dot.alias("dot"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("dot") * F.col("x")).alias("y"))
+            .collect()
+        )
+        y = [0] * dims
+        for r in rows:
+            y[int(r["pos"])] = int(r["y"])
+        norm = math.sqrt(sum(e * e for e in y))
+        assert norm > 0, "degenerate corpus: y vanished"
+        v_new = [
+            math.floor(e * unit / norm + 0.5)
+            if e >= 0
+            else -math.floor(-e * unit / norm + 0.5)
+            for e in y
+        ]
+        na = math.sqrt(sum(e * e for e in v))
+        nb = math.sqrt(sum(e * e for e in v_new))
+        cosines.append(
+            sum(a * b for a, b in zip(v, v_new)) / (na * nb)
+        )
+        v = v_new
+    base.unpersist()
+    return v, cosines
