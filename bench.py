@@ -507,6 +507,90 @@ def retrieval_10x_stress(spark, sf_dir: str) -> dict:
     return out
 
 
+def round6_10x_stress(spark, sf_dir: str) -> dict:
+    """Measured 10× scale points for the round-6 families, single pass
+    with a probe per sub-block (the costs are linear-or-designed, so
+    one attributable sample suffices; contaminated probes mark the
+    surrounding number suspect):
+
+    - passage census: 10× documents corpus (synthetic per-doc-id
+      sources) through the SAME passage_census core the registered
+      query calls — the linear explode + one-groupBy claim as a number;
+    - fuzzy match: 10× part rows (per-copy name rotations) through the
+      SAME fuzzy_match core — block population grows 10× so the
+      in-block pair space grows ~100×; the early-exit distance keeps
+      wall-clock sub-quadratic, and THIS is the documented quadratic
+      hazard of equality blocking, measured rather than asserted;
+    - power iteration: 3 rounds over 10× vectors — per-round cost is
+      one scan + one 64-group aggregate, linear in the corpus."""
+    from time import perf_counter
+
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.operators.iterative import power_iteration
+    from sql_cdc_spark.queries.relational_q import fuzzy_match
+    from sql_cdc_spark.queries.text_q import passage_census
+
+    out = {}
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    tenx_docs = _tenx_corpus(docs).select(
+        "doc_id",
+        F.concat(F.lit("s"), F.pmod("doc_id", F.lit(20)).cast("string")).alias(
+            "source"
+        ),
+        "text",
+    ).persist()
+    out["passage_input_docs"] = tenx_docs.count()
+    out["passage_probe_ms"] = _cpu_probe_ms()
+    t0 = perf_counter()
+    out["passage_sources"] = passage_census(tenx_docs).count()
+    dt = perf_counter() - t0
+    out["passage_seconds"] = round(dt, 3)
+    out["passage_docs_per_second"] = round(out["passage_input_docs"] / dt, 1)
+    tenx_docs.unpersist()
+
+    part = tables.load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type"
+    )
+    tenx_part = None
+    for k in range(10):
+        nm = F.col("p_name")
+        if k % 5:
+            v = k % 5
+            nm = F.translate(nm, "aeiou", "aeiou"[v:] + "aeiou"[:v])
+        if k >= 5:
+            nm = F.translate(nm, "nrst", "rstn")
+        vdf = part.select(
+            (F.col("p_partkey") + k * 10_000_000).alias("p_partkey"),
+            nm.alias("p_name"),
+            "p_brand",
+            "p_type",
+        )
+        tenx_part = vdf if tenx_part is None else tenx_part.unionByName(vdf)
+    tenx_part = tenx_part.persist()
+    out["fuzzy_input_rows"] = tenx_part.count()
+    out["fuzzy_probe_ms"] = _cpu_probe_ms()
+    t0 = perf_counter()
+    out["fuzzy_pairs"] = fuzzy_match(tenx_part).count()
+    out["fuzzy_seconds"] = round(perf_counter() - t0, 3)
+    tenx_part.unpersist()
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    tenx_emb = _tenx_embeddings(emb).persist()
+    out["power_input_vecs"] = tenx_emb.count()
+    out["power_probe_ms"] = _cpu_probe_ms()
+    t0 = perf_counter()
+    _, cosines = power_iteration(tenx_emb, n_iters=3)
+    out["power_seconds_3_iters"] = round(perf_counter() - t0, 3)
+    out["power_last_cosine"] = round(cosines[-1], 6)
+    tenx_emb.unpersist()
+    return out
+
+
 def dedup_10x_stress(spark, sf_dir: str) -> dict:
     """Measured 10× scale point for the near-dup path (VERDICT r3 #8):
     synthesize a 10×-row documents corpus IN MEMORY — each copy k gets a
@@ -737,6 +821,7 @@ def main() -> None:
         ct_passes.append(containment_10x_stress(spark, sf_dir))
         knn_passes.append(knn_10x_stress(spark, sf_dir))
         rt_passes.append(retrieval_10x_stress(spark, sf_dir))
+    r6_stress = round6_10x_stress(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -751,6 +836,7 @@ def main() -> None:
         # land inside a single multi-minute contention window (measured:
         # 51.9 s twice in one run vs 5.5 s clean); alternating the blocks
         # spreads each block's two samples minutes apart.
+        "round6_10x": r6_stress,
         "dd_near_dup_pairs_10x": min(nd_passes, key=lambda r: r["seconds"]),
         "dd_containment_pairs_10x": min(ct_passes, key=lambda r: r["seconds"]),
         # per-metric best-of: one pass can be clean for the scaled run

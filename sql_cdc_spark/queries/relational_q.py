@@ -828,9 +828,17 @@ def rel_fuzzy_match_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a name prefix) preserves completeness only for d < prefix
     agreement, so it is a policy knob, not a default. key_a < key_b
     halves the pair space and makes the report a canonical edge set."""
-    part = tables.load(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_type"
+    return fuzzy_match(
+        tables.load(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", "p_brand", "p_type"
+        )
     )
+
+
+def fuzzy_match(part: DataFrame) -> DataFrame:
+    """The blocked-match core over any (p_partkey, p_name, p_brand,
+    p_type) frame — shared by the registered query and the bench 10×
+    stress block so the two measured scenarios can never drift apart."""
     a = part.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),

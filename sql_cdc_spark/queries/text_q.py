@@ -782,7 +782,13 @@ def txt_dup_passage_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-source rollup is a |sources|-row aggregate. Dup mass is
     instance-counted (a passage occurring k times contributes k), so
     the ppm reads as 'share of passages a dedup pass would touch'."""
-    docs = tables.load(spark, sf_dir, "documents")
+    return passage_census(tables.load(spark, sf_dir, "documents"))
+
+
+def passage_census(docs: DataFrame) -> DataFrame:
+    """The census core over any (source, text) frame — shared by the
+    registered query and the bench 10× stress block so the two measured
+    scenarios can never drift apart."""
     w = TX.normalize_words(F.col("text"))
     chunks = F.transform(
         F.sequence(F.lit(0), F.floor(F.size(w) / PASSAGE_WORDS) - 1),
