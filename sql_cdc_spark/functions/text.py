@@ -68,6 +68,105 @@ def bpe_tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(BPE_RE), 0)
 
 
+BPE_MERGE_MIN = 2  # stop training when the best pair is this rare
+
+
+def merge_pair(tokens: Column, left: str, right: str) -> Column:
+    """One BPE merge applied to a token array: every LEFT-TO-RIGHT
+    NON-OVERLAPPING adjacent (left, right) occurrence fuses into one
+    token (the standard BPE convention: in 'a a a' the first two fuse,
+    the third survives). Implemented as a scan-local F.aggregate left
+    fold carrying (emitted-so-far, pending token) — no UDF, no join, no
+    regex on re-joined strings (token text may contain any punctuation,
+    so string-level replace would need fragile escaping)."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        return (
+            F.when(
+                acc.pend.isNull(),
+                F.struct(acc.out.alias("out"), t.alias("pend")),
+            )
+            .when(
+                (acc.pend == F.lit(left)) & (t == F.lit(right)),
+                F.struct(
+                    F.concat(acc.out, F.array(F.lit(left + right))).alias(
+                        "out"
+                    ),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc.out, F.array(acc.pend)).alias("out"),
+                    t.alias("pend"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        tokens,
+        init,
+        step,
+        lambda acc: F.when(acc.pend.isNull(), acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.pend))
+        ),
+    )
+
+
+def bpe_train(
+    docs, n_merges: int = 10
+) -> tuple[list[tuple[str, str, int]], "object"]:
+    """Distributed BPE tokenizer training — the full loop whose census
+    step is the registered txt_bpe_pair_census shape: each round counts
+    adjacent pairs over the CURRENT token sequences (one map-side-
+    combined groupBy — the round's only shuffle), elects the most
+    frequent pair ((n desc, left, right) total order, so the learned
+    merge table is deterministic on any engine), applies the merge with
+    the scan-local fold above, and repeats on the rewritten corpus.
+    Stops early when the best pair drops under BPE_MERGE_MIN.
+
+    Returns (merge table [(left, right, count)], final tokenized frame
+    (doc_id, t)). Driver state per round is ONE collected row; the
+    token table is localCheckpoint'ed and the superseded snapshot
+    released each round (the dup_clusters lineage discipline). Cost per
+    round is one corpus scan + one pair groupBy — the reason real BPE
+    trainers batch merges; this is the exact, unbatched reference
+    semantics."""
+    from sql_cdc_spark.functions.dedup import release_local_checkpoint
+
+    toks = docs.select(
+        "doc_id", bpe_tokens(F.col("text")).alias("t")
+    ).localCheckpoint()
+    pairs_expr = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+        "(x, i) -> struct(x AS left, element_at(t, i + 2) AS right))"
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            toks.select(F.explode(pairs_expr).alias("p"))
+            .groupBy("p.left", "p.right")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or int(top[0]["n"]) < BPE_MERGE_MIN:
+            break
+        left, right, n = top[0]["left"], top[0]["right"], int(top[0]["n"])
+        merges.append((left, right, n))
+        nxt = toks.select(
+            "doc_id", merge_pair(F.col("t"), left, right).alias("t")
+        ).localCheckpoint()
+        release_local_checkpoint(toks)
+        toks = nxt
+    return merges, toks
+
+
 def rolling_hash(col: Column) -> Column:
     """Polynomial (Rabin–Karp) rolling hash of the full text:
     h = Σ c_i·B^(n−i) mod M, folded left-to-right with built-in

@@ -156,3 +156,59 @@ def test_power_iteration_matches_python_and_stabilizes(spark):
     # bound is loose; exactness is pinned by the recompute above)
     assert got_cos[-1] > 0.99
     assert got_cos[-1] > got_cos[0]
+
+
+def test_bpe_train_matches_python(spark):
+    """functions/text.py::bpe_train: the learned merge table (pair +
+    count per round) and EVERY document's final token sequence must
+    equal a plain-Python BPE trainer run with the same tokenization,
+    election tiebreak, and left-to-right non-overlapping merge rule."""
+    import re
+
+    from sql_cdc_spark.functions.text import BPE_RE, bpe_train
+
+    docs = tables.load(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    corpus = {
+        int(r.doc_id): re.findall(BPE_RE, r.text.lower())
+        for r in docs.collect()
+    }
+    n_merges = 5
+    py_merges = []
+    for _ in range(n_merges):
+        census: dict[tuple, int] = {}
+        for t in corpus.values():
+            for a, b in zip(t, t[1:]):
+                census[(a, b)] = census.get((a, b), 0) + 1
+        if not census:
+            break
+        (left, right), n = min(
+            census.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < 2:
+            break
+        py_merges.append((left, right, n))
+        for did, t in corpus.items():
+            out, pend = [], None
+            for tok in t:
+                if pend is None:
+                    pend = tok
+                elif pend == left and tok == right:
+                    out.append(left + right)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = tok
+            if pend is not None:
+                out.append(pend)
+            corpus[did] = out
+
+    merges, toks = bpe_train(docs, n_merges=n_merges)
+    assert merges == py_merges
+    got = {int(r.doc_id): list(r.t) for r in toks.collect()}
+    assert got == corpus
+    # the loop genuinely rewrote the corpus: every learned merge token
+    # exists somewhere in the final sequences
+    final_vocab = {tok for t in got.values() for tok in t}
+    assert all(left + right in final_vocab for left, right, _ in merges)
