@@ -167,6 +167,23 @@ def bpe_train(
     return merges, toks
 
 
+def bpe_encode(docs, merges: list[tuple[str, str, int]]):
+    """Tokenizer INFERENCE: apply a learned merge table to fresh text —
+    pre-tokenize, then chain every merge in learned order as nested
+    scan-local folds. The whole encode is ONE shuffle-free projection
+    (|merges| nested aggregates in a single whole-stage-codegen'd
+    expression), so encoding throughput is pure scan speed at any
+    corpus size — the property that makes the trained tokenizer
+    deployable inside the ingest pipeline itself. By construction
+    bpe_encode(docs, merges) equals the training loop's final token
+    table when run on the training corpus (each fold IS the loop's
+    merge step, applied in the same order)."""
+    t = bpe_tokens(F.col("text"))
+    for left, right, _ in merges:
+        t = merge_pair(t, left, right)
+    return docs.select("doc_id", t.alias("t"))
+
+
 def rolling_hash(col: Column) -> Column:
     """Polynomial (Rabin–Karp) rolling hash of the full text:
     h = Σ c_i·B^(n−i) mod M, folded left-to-right with built-in

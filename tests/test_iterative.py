@@ -212,3 +212,22 @@ def test_bpe_train_matches_python(spark):
     # exists somewhere in the final sequences
     final_vocab = {tok for t in got.values() for tok in t}
     assert all(left + right in final_vocab for left, right, _ in merges)
+
+
+def test_bpe_encode_equals_training_corpus_and_is_shuffle_free(spark):
+    """bpe_encode with the learned table reproduces the training loop's
+    final token sequences exactly, and the encode plan contains ZERO
+    exchanges — the deploy-inside-ingest property."""
+    from sql_cdc_spark.functions.text import bpe_encode, bpe_train
+    from sql_cdc_spark.plans import plan_flags
+
+    docs = tables.load(spark, SF_DIR_SMALL, "documents").select(
+        "doc_id", "text"
+    )
+    merges, trained = bpe_train(docs, n_merges=4)
+    assert merges
+    enc = bpe_encode(docs, merges)
+    assert plan_flags(enc).exchanges == 0
+    got = {int(r.doc_id): list(r.t) for r in enc.collect()}
+    want = {int(r.doc_id): list(r.t) for r in trained.collect()}
+    assert got == want
