@@ -331,3 +331,67 @@ def test_manifest_maintenance_equals_full_rebuild(spark):
     # idempotent replay: re-applying the same batch is a state no-op
     again = MM.apply_manifest_changes(got, upserts, deletes)
     assert _manifest_rows(MM.manifest_from_state(again)) == got_manifest
+
+
+def test_tokenizer_in_pipeline_end_to_end(spark):
+    """Capstone composition for the tokenizer path: prepare the corpus
+    (gates → dedup → split), train BPE on the TRAIN split only (the
+    decontaminated-tokenizer discipline — test text never influences the
+    merge table), encode EVERY surviving document with the learned table
+    (shuffle-free), and pack the encoded sequences into fixed-token
+    bins. Invariants: merges are non-trivial and train-derived; encoding
+    never lengthens a sequence and strictly shortens at least one train
+    doc; bins conserve the encoded token mass exactly."""
+    from pyspark.sql.window import Window
+
+    from sql_cdc_spark.functions.text import bpe_encode, bpe_train
+
+    docs = tables.load(spark, SF_DIR_SMALL, "documents")
+    manifest = prepare_training_corpus(docs).select("doc_id", "split")
+    kept = docs.join(manifest, "doc_id")
+
+    train_docs = kept.filter(F.col("split") == "train").select(
+        "doc_id", "text"
+    )
+    merges, trained = bpe_train(train_docs, n_merges=4)
+    assert merges, "train split learned no merges"
+
+    enc = bpe_encode(kept.select("doc_id", "text"), merges).withColumn(
+        "n_enc", F.size("t")
+    )
+    pre = kept.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)")).alias("n_pre"),
+    )
+    both = enc.join(pre, "doc_id").select("doc_id", "n_enc", "n_pre")
+    rows = both.collect()
+    assert rows and all(r.n_enc <= r.n_pre for r in rows)
+    train_ids = {r.doc_id for r in train_docs.select("doc_id").collect()}
+    assert any(r.n_enc < r.n_pre for r in rows if r.doc_id in train_ids)
+
+    # the train-split encode equals the training loop's final sequences
+    got_train = {
+        r.doc_id: list(r.t)
+        for r in enc.filter(F.col("doc_id").isin(train_ids)).collect()
+    }
+    want_train = {r.doc_id: list(r.t) for r in trained.collect()}
+    assert got_train == want_train
+
+    # pack the ENCODED token counts (the crp_pack_sequences shape)
+    budget = 512
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = enc.select(
+        "doc_id",
+        "n_enc",
+        ((F.sum("n_enc").over(w) - F.col("n_enc")) / budget)
+        .cast("long")
+        .alias("bin"),
+    )
+    bins = binned.groupBy("bin").agg(F.sum("n_enc").alias("bin_tokens"))
+    assert bins.agg(F.sum("bin_tokens")).first()[0] == sum(
+        r.n_enc for r in rows
+    )
