@@ -354,3 +354,67 @@ def lsh_bucket(vec: Column, n_bits: int = 8, dim: int = 64) -> Column:
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def assign_to_centroids(base: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Scan-local nearest-centroid assignment in the integer-micro
+    domain — the ONE E-step expression shared by the registered
+    sim_kmeans_step query and the full kmeans_train loop
+    (operators/iterative.py), so the two cannot drift by edit. ``base``
+    is (vec_id, mv: array<long>); centroids are baked as literals, so
+    assignment is one scan: per-row argmin over the k candidates via
+    least(struct(dist², cluster)) with the ‖x‖² − 2x·c + ‖c‖²
+    decomposition (‖c‖² folds at plan-build time). Returns (vec_id, mv,
+    b: struct(d, c))."""
+    assert len(cents) >= 2, "nearest-centroid assignment needs k >= 2"
+    x2 = F.aggregate(
+        F.transform("mv", lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cands = []
+    for cid in sorted(cents):
+        cv = cents[cid]
+        c2 = sum(v * v for v in cv)
+        dot = F.aggregate(
+            F.zip_with(
+                "mv",
+                F.array(*[F.lit(v).cast("long") for v in cv]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        cands.append(
+            F.struct(
+                (F.col("x2") - 2 * dot + F.lit(c2).cast("long")).alias("d"),
+                F.lit(cid).cast("long").alias("c"),
+            )
+        )
+    return base.withColumn("x2", x2).select(
+        "vec_id", "mv", F.least(*cands).alias("b")
+    )
+
+
+def power_step(base: DataFrame, seed: list[int]) -> DataFrame:
+    """One y = Xᵀ(X·v) pass over an integer-quantized embedding frame —
+    the ONE step expression shared by the registered sim_power_iteration
+    query and the converging power_iteration driver
+    (operators/iterative.py). ``base`` is (vec_id, mv: array<long>);
+    the seed bakes as a literal array so the dot is scan-local; the only
+    exchange is the |dims|-group aggregate. Returns (pos, y) with pos
+    0-indexed."""
+    dot = F.aggregate(
+        F.zip_with(
+            "mv",
+            F.array(*[F.lit(v).cast("long") for v in seed]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        base.select(F.posexplode("mv").alias("pos", "x"), dot.alias("dot"))
+        .groupBy("pos")
+        .agg(F.sum(F.col("dot") * F.col("x")).alias("y"))
+    )

@@ -68,6 +68,25 @@ def bpe_tokens(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(BPE_RE), 0)
 
 
+def passage_chunks(words: Column, width: int) -> Column:
+    """Disjoint ``width``-word passage tiles of a token array — the ONE
+    tiling expression behind the duplicated-passage census (batch query,
+    streaming maintenance state, bench stress), shared so the consumers
+    cannot drift. Documents shorter than ``width`` words tile to ZERO
+    passages: the guard matters because Spark's sequence(0, -1) yields
+    the DESCENDING [0, -1] (two phantom tiles, one of them '' — and ''
+    tiles from unrelated short docs would count as cross-source
+    duplicates), while the DuckDB oracle's generate_series(0, -1) is
+    empty."""
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.floor(F.size(words) / width) - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * width + 1, width)),
+    )
+    return F.when(F.size(words) >= width, tiles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 BPE_MERGE_MIN = 2  # stop training when the best pair is this rare
 
 

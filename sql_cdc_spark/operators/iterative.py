@@ -26,6 +26,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sql_cdc_spark.functions import similarity as SIM
 from sql_cdc_spark.functions.dedup import release_local_checkpoint
 
 __all__ = ["pagerank", "kmeans_train", "power_iteration"]
@@ -122,40 +123,18 @@ def kmeans_train(
     Per round: one corpus scan + one k-group aggregate; the driver
     holds k centroid arrays (bounded). Empty clusters keep their
     previous centroid."""
+    assert k >= 2, "kmeans_train needs k >= 2"
+    assert n_iters >= 1, "kmeans_train needs at least one round"
     base = emb.select("vec_id", _micro(F.col("embedding")).alias("mv")).persist()
     seed_rows = base.filter(F.col("vec_id") < k).collect()
     cents = {int(r["vec_id"]): [int(v) for v in r["mv"]] for r in seed_rows}
     assert len(cents) == k, f"need vec_id 0..{k - 1} as seeds"
-    x2 = F.aggregate(
-        F.transform("mv", lambda v: v * v),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     inertia_by_round: list[int] = []
     assigned = None
     for _ in range(n_iters):
-        cands = []
-        for cid in sorted(cents):
-            cv = cents[cid]
-            c2 = sum(v * v for v in cv)
-            dot = F.aggregate(
-                F.zip_with(
-                    "mv",
-                    F.array(*[F.lit(v).cast("long") for v in cv]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            cands.append(
-                F.struct(
-                    (F.col("x2") - 2 * dot + F.lit(c2).cast("long")).alias("d"),
-                    F.lit(cid).cast("long").alias("c"),
-                )
-            )
-        assigned = base.withColumn("x2", x2).select(
-            "vec_id", "mv", F.least(*cands).alias("b")
-        )
+        # the E-step is the shared expression the registered
+        # sim_kmeans_step query also plans — drift-proof by reference
+        assigned = SIM.assign_to_centroids(base, cents)
         stats = (
             assigned.groupBy(F.col("b.c").alias("cluster_id"))
             .agg(
@@ -208,21 +187,9 @@ def power_iteration(
     dims = len(v)
     cosines: list[float] = []
     for _ in range(n_iters):
-        dot = F.aggregate(
-            F.zip_with(
-                "mv",
-                F.array(*[F.lit(x).cast("long") for x in v]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, val: acc + val,
-        )
-        rows = (
-            base.select(F.posexplode("mv").alias("pos", "x"), dot.alias("dot"))
-            .groupBy("pos")
-            .agg(F.sum(F.col("dot") * F.col("x")).alias("y"))
-            .collect()
-        )
+        # the step is the shared expression the registered
+        # sim_power_iteration query also plans — drift-proof by reference
+        rows = SIM.power_step(base, v).collect()
         y = [0] * dims
         for r in rows:
             y[int(r["pos"])] = int(r["y"])

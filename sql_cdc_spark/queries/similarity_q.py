@@ -1367,33 +1367,10 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select("vec_id", micro.alias("mv"))
     seed_rows = base.filter(F.col("vec_id") < KMEANS_K).collect()  # K rows
     seeds = {int(r["vec_id"]): [int(v) for v in r["mv"]] for r in seed_rows}
-    x2 = F.aggregate(
-        F.transform("mv", lambda v: v * v),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    cands = []
-    for cid in sorted(seeds):
-        cv = seeds[cid]
-        c2 = sum(v * v for v in cv)
-        dot = F.aggregate(
-            F.zip_with(
-                "mv",
-                F.array(*[F.lit(v).cast("long") for v in cv]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-        cands.append(
-            F.struct(
-                (F.col("x2") - 2 * dot + F.lit(c2).cast("long")).alias("d"),
-                F.lit(cid).cast("long").alias("c"),
-            )
-        )
-    assigned = base.withColumn("x2", x2).select(
-        "vec_id", "mv", F.least(*cands).alias("b")
-    )
+    # the E-step is the shared SIM.assign_to_centroids expression — also
+    # the loop body of operators/iterative.py::kmeans_train, so the
+    # registered step and the full trainer cannot drift by edit
+    assigned = SIM.assign_to_centroids(base, seeds)
     agg = assigned.groupBy(F.col("b.c").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("b.d").cast("long").alias("inertia"),
@@ -1506,19 +1483,12 @@ def sim_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_row = base.filter(F.col("vec_id") == POWER_SEED_ID).collect()  # 1 row
     assert len(seed_row) == 1, "power-iteration seed vector missing"
     seed = [int(v) for v in seed_row[0]["mv"]]
-    dot = F.aggregate(
-        F.zip_with(
-            "mv",
-            F.array(*[F.lit(v).cast("long") for v in seed]),
-            lambda a, b: a * b,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # the step is the shared SIM.power_step expression — also the loop
+    # body of operators/iterative.py::power_iteration, so the registered
+    # step and the converging driver cannot drift by edit
     return (
-        base.select(F.posexplode("mv").alias("pos", "x"), dot.alias("dot"))
-        .groupBy((F.col("pos") + 1).alias("dim_id"))
-        .agg(F.sum(F.col("dot") * F.col("x")).alias("y"))
+        SIM.power_step(base, seed)
+        .select((F.col("pos") + 1).alias("dim_id"), "y")
         .orderBy("dim_id")
     )
 

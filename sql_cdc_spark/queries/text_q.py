@@ -788,16 +788,14 @@ def txt_dup_passage_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 def passage_census(docs: DataFrame) -> DataFrame:
     """The census core over any (source, text) frame — shared by the
     registered query and the bench 10× stress block so the two measured
-    scenarios can never drift apart."""
+    scenarios can never drift apart. Tiling comes from the ONE shared
+    TX.passage_chunks expression (sub-width docs tile to zero passages —
+    the unguarded form emitted two phantom tiles via Spark's descending
+    sequence(0, -1), diverging from the oracle)."""
     w = TX.normalize_words(F.col("text"))
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.floor(F.size(w) / PASSAGE_WORDS) - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(w, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
-        ),
-    )
     inst = docs.select(
-        "source", F.explode(chunks).alias("passage")
+        "source",
+        F.explode(TX.passage_chunks(w, PASSAGE_WORDS)).alias("passage"),
     )
     counts = inst.groupBy("passage").agg(F.count(F.lit(1)).alias("n_occ"))
     return (

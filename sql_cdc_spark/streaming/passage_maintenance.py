@@ -60,17 +60,19 @@ _ckpt = FEED.ckpt
 
 def _doc_passages(docs: DataFrame) -> DataFrame:
     """Per-doc passage multiset: disjoint PASSAGE_WORDS-word tiles of
-    the normalized token stream — the SAME tiling expression as the
-    batch census, counted per (doc, source, passage)."""
+    the normalized token stream — literally the same TX.passage_chunks
+    expression the batch census explodes (shared by reference, not by
+    copy, so the stream-equals-batch guarantee is structural), counted
+    per (doc, source, passage). Sub-width upserts (e.g. a doc cleared
+    to '') tile to zero passages instead of injecting phantom ''
+    passages into the corpus-wide counts."""
     w = TX.normalize_words(F.col("text"))
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.floor(F.size(w) / PASSAGE_WORDS) - 1),
-        lambda i: F.concat_ws(
-            " ", F.slice(w, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
-        ),
-    )
     return (
-        docs.select("doc_id", "source", F.explode(chunks).alias("passage"))
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(TX.passage_chunks(w, PASSAGE_WORDS)).alias("passage"),
+        )
         .groupBy("doc_id", "source", "passage")
         .agg(F.count(F.lit(1)).alias("k"))
     )

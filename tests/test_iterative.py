@@ -170,8 +170,11 @@ def test_bpe_train_matches_python(spark):
     docs = tables.load(spark, SF_DIR_SMALL, "documents").select(
         "doc_id", "text"
     )
+    # re.ASCII: Java regex \s (the Spark side) is ASCII-only, Python's
+    # is Unicode-wide — without the flag a U+00A0 in the corpus splits
+    # the two tokenizations and the parity claim silently narrows
     corpus = {
-        int(r.doc_id): re.findall(BPE_RE, r.text.lower())
+        int(r.doc_id): re.findall(BPE_RE, r.text.lower(), flags=re.ASCII)
         for r in docs.collect()
     }
     n_merges = 5

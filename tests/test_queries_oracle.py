@@ -1032,3 +1032,29 @@ def test_power_iteration_matches_python_recompute(spark):
         for i in range(dims)
         for j in range(i + 1, dims)
     )
+
+
+def test_passage_census_short_docs_tile_to_zero(spark):
+    """Regression (review finding): documents under PASSAGE_WORDS words
+    must contribute ZERO passages — the unguarded tiling emitted two
+    phantom tiles via Spark's descending sequence(0, -1), one of them
+    '', which made unrelated short docs count as cross-source
+    duplicates and diverged from the DuckDB oracle."""
+    from sql_cdc_spark.queries.text_q import passage_census
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "one two three"),                      # 3 words
+            (2, "b", ""),                                   # empty
+            (3, "b", "   "),                                # whitespace
+            (4, "c", " ".join(["w"] * 8)),                  # exactly 8
+            (5, "d", " ".join(["w"] * 8)),                  # its twin
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in passage_census(docs).collect()}
+    assert set(rows) == {"c", "d"}  # short/empty sources absent entirely
+    for s in ("c", "d"):
+        assert rows[s].n_passages == 1
+        assert rows[s].n_dup_passages == 1  # the planted twin, not ''
+        assert rows[s].dup_ppm == 1_000_000
