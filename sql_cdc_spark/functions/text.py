@@ -78,11 +78,19 @@ def passage_chunks(words: Column, width: int) -> Column:
     tiles from unrelated short docs would count as cross-source
     duplicates), while the DuckDB oracle's generate_series(0, -1) is
     empty."""
+    # blank text: Spark's split('') yields [''] (one empty token) while
+    # DuckDB's string_split('') yields [] — treat the single-''-token
+    # array as zero words so width=1 cannot tile a phantom '' passage
+    # (found by the family-13 width fuzz, seed 1)
+    n = F.when(
+        (F.size(words) == 1) & (F.element_at(words, 1) == F.lit("")),
+        F.lit(0),
+    ).otherwise(F.size(words))
     tiles = F.transform(
-        F.sequence(F.lit(0), F.floor(F.size(words) / width) - 1),
+        F.sequence(F.lit(0), F.floor(n / width) - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i * width + 1, width)),
     )
-    return F.when(F.size(words) >= width, tiles).otherwise(
+    return F.when(n >= width, tiles).otherwise(
         F.array().cast("array<string>")
     )
 

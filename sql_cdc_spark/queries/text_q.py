@@ -785,17 +785,18 @@ def txt_dup_passage_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_census(tables.load(spark, sf_dir, "documents"))
 
 
-def passage_census(docs: DataFrame) -> DataFrame:
+def passage_census(docs: DataFrame, width: int = PASSAGE_WORDS) -> DataFrame:
     """The census core over any (source, text) frame — shared by the
-    registered query and the bench 10× stress block so the two measured
-    scenarios can never drift apart. Tiling comes from the ONE shared
-    TX.passage_chunks expression (sub-width docs tile to zero passages —
-    the unguarded form emitted two phantom tiles via Spark's descending
-    sequence(0, -1), diverging from the oracle)."""
+    registered query, the bench 10× stress block, and the width-fuzzed
+    family-13 tests so the measured scenarios can never drift apart.
+    Tiling comes from the ONE shared TX.passage_chunks expression
+    (sub-width docs tile to zero passages — the unguarded form emitted
+    two phantom tiles via Spark's descending sequence(0, -1), diverging
+    from the oracle)."""
     w = TX.normalize_words(F.col("text"))
     inst = docs.select(
         "source",
-        F.explode(TX.passage_chunks(w, PASSAGE_WORDS)).alias("passage"),
+        F.explode(TX.passage_chunks(w, width)).alias("passage"),
     )
     counts = inst.groupBy("passage").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
@@ -817,16 +818,19 @@ def passage_census(docs: DataFrame) -> DataFrame:
     )
 
 
-_DUP_PASSAGE_SQL = rf"""
+def _dup_passage_sql(width: int, docs_rel: str = "documents") -> str:
+    """Oracle twin generated from the SAME width constant as the Spark
+    core (also parameterized for the family-13 width fuzz)."""
+    return rf"""
 WITH d AS (
-  SELECT source, string_split({_NORM_SQL}, ' ') AS ws FROM documents
+  SELECT source, string_split({_NORM_SQL}, ' ') AS ws FROM {docs_rel}
 ),
 inst AS (
   SELECT source,
          array_to_string(
-           list_slice(ws, i * {PASSAGE_WORDS} + 1, (i + 1) * {PASSAGE_WORDS}),
+           list_slice(ws, i * {width} + 1, (i + 1) * {width}),
            ' ') AS passage
-  FROM d, UNNEST(generate_series(0, len(ws) // {PASSAGE_WORDS} - 1)) AS t(i)
+  FROM d, UNNEST(generate_series(0, len(ws) // {width} - 1)) AS t(i)
 ),
 counts AS (SELECT passage, COUNT(*) AS n_occ FROM inst GROUP BY 1)
 SELECT i.source,
@@ -839,6 +843,9 @@ FROM inst i JOIN counts c USING (passage)
 GROUP BY 1
 ORDER BY source
 """
+
+
+_DUP_PASSAGE_SQL = _dup_passage_sql(PASSAGE_WORDS)
 
 
 QUERIES: dict[str, QueryEntry] = {

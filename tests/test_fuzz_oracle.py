@@ -1409,3 +1409,54 @@ def test_random_query12_matches_duckdb(spark, oracle, seed):
     q = _gen12(rng)
     df = tables.load(spark, SF_DIR, q["table"])
     assert_matches_oracle(_fuzzy12(df, q), oracle, _fuzzy12_sql(q))
+
+
+# ---- family 13: the passage-census width space — random tile widths
+# 1..12 over a corpus with PLANTED sub-width documents (random docs
+# truncated to 0..width-1 words, including fully-emptied text) through
+# the SAME passage_census core / _dup_passage_sql twin pair as the
+# registered query. This is the regression class of the round-6 review
+# finding: Spark's sequence(0, -1) is the DESCENDING [0, -1] while
+# DuckDB's generate_series(0, -1) is empty, so any unguarded tiling
+# diverges exactly on the planted docs. ----
+
+
+def _gen13(rng: random.Random) -> dict:
+    return {
+        "width": rng.randint(1, 12),
+        "mod": rng.choice([3, 7, 10]),
+        "keep": rng.randint(0, 1),  # truncation keeps 0 or width-1 words
+    }
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_query13_matches_duckdb(spark, oracle, seed):
+    from sql_cdc_spark.queries.text_q import _dup_passage_sql, passage_census
+
+    rng = random.Random(37000 + seed)
+    q = _gen13(rng)
+    w, m = q["width"], q["mod"]
+    keep_n = 0 if q["keep"] == 0 else max(w - 1, 0)
+    norm_spark = (
+        "array_join(slice(split(trim(regexp_replace(lower(text), "
+        f"'\\\\s+', ' ')), ' '), 1, {keep_n}), ' ')"
+    )
+    docs = tables.load(spark, SF_DIR, "documents").selectExpr(
+        "doc_id",
+        "source",
+        f"CASE WHEN doc_id % {m} = 0 THEN {norm_spark} ELSE text END AS text",
+    )
+    norm_duck = (
+        r"array_to_string(list_slice(string_split("
+        rf"trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), "
+        rf"1, {keep_n}), ' ')"
+    )
+    rel = (
+        f"(SELECT doc_id, source, CASE WHEN doc_id % {m} = 0 "
+        f"THEN {norm_duck} ELSE text END AS text FROM documents)"
+    )
+    assert_matches_oracle(
+        passage_census(docs, width=w),
+        oracle,
+        _dup_passage_sql(w, docs_rel=rel),
+    )
