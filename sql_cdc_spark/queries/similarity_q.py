@@ -674,13 +674,15 @@ def knn_join(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:
     scale knob: per-bucket pair cost is quadratic in bucket width, so
     bits must grow ~log2 with the corpus to keep expected width (and
     per-vector cost) constant — measured in bench.py::knn_10x_stress."""
-    vb = emb.select(
-        "vec_id",
-        "embedding",
-        SIM.lsh_bucket(F.col("embedding"), n_bits=n_bits, dim=DIM).alias(
-            "bucket"
-        ),
-    )
+    return elect_nearest(bucket_vectors(emb, n_bits)).orderBy("vec_id")
+
+
+def elect_nearest(vb: DataFrame) -> DataFrame:
+    """The per-bucket top-1 election over a bucketed (vec_id, embedding,
+    bucket) frame — unordered. Like elect_dropped, a vector's row
+    depends ONLY on its own bucket's membership, which is what makes
+    per-bucket incremental recomputation exact
+    (streaming/knn_maintenance.py)."""
     joined = _salted_bucket_pairs(vb, "nn_id")
     ea = SIM.as_double_array(F.col("__ea"))
     ec = SIM.as_double_array(F.col("__ec"))
@@ -715,7 +717,6 @@ def knn_join(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:
                 (F.expr(f"k div {1 << 40}") - F.lit(1_000_000)) / F.lit(1e6)
             ).alias("cos_sim"),
         )
-        .orderBy("vec_id")
     )
     return best
 

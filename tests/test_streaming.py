@@ -3373,3 +3373,104 @@ def test_streaming_passage_maintenance_equals_full_recompute(spark, tmp_path):
     assert [
         tuple(r) for r in PM.dup_passage_census(replay).collect()
     ] == got
+
+
+def test_streaming_knn_maintenance_equals_full_recompute(spark, tmp_path):
+    """Stream-equals-batch for the k-NN graph: the state built from the
+    full embeddings table holds EXACTLY the registered sim_knn_join
+    rows; draining an embedding change feed ends at exactly the top-1
+    table a full rebuild of the final corpus produces. The fixture
+    engineers the two cases row-level patching misses: deleting a
+    vector that IS someone's nearest neighbor (the mate must re-elect
+    its second choice) and inserting an exact clone (which must displace
+    best rows throughout its bucket at cosine 1.0). The served mutual
+    edge set matches the fold over the rebuilt table; replaying the last
+    batch is a no-op."""
+    from sql_cdc_spark.queries.similarity_q import sim_knn_join
+    from sql_cdc_spark.streaming import knn_maintenance as KM
+
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    state0 = KM.build_knn_state(emb)
+    assert {
+        (r.vec_id, r.nn_id, r.cos_sim) for r in state0.best.collect()
+    } == {tuple(r) for r in sim_knn_join(spark, SF_DIR_SMALL).collect()}
+    state0.release()
+
+    base = emb.orderBy("vec_id").limit(80)
+    initial = KM.build_knn_state(base)
+    # a vector that is someone's nearest neighbor — deleting it forces
+    # a second-choice re-election for every mate that pointed at it
+    popular = initial.best.groupBy("nn_id").count().orderBy(
+        F.desc("count"), "nn_id"
+    ).first().nn_id
+
+    feed = str(tmp_path / "feed")
+    # batch 1: exact clones of two vectors (same bucket, cosine 1.0 —
+    # they must become their originals' nearest neighbors)
+    clones = base.filter(~F.col("vec_id").isin(int(popular))).orderBy(
+        "vec_id"
+    ).limit(2).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    clones.coalesce(1).write.mode("append").parquet(feed)
+
+    # batch 2: delete the popular neighbor + a same-batch double-update
+    # (v3 must win) that moves a vector onto a donor's embedding
+    rows = base.orderBy(F.desc("vec_id")).limit(3).collect()
+    mover_id, donor = rows[0].vec_id, rows[2]
+    b2 = spark.createDataFrame(
+        [
+            (int(popular), None, "D", 2),
+            (mover_id, rows[1].embedding, "U", 2),
+            (mover_id, donor.embedding, "U", 3),
+        ],
+        KM.CHANGE_SCHEMA,
+    )
+    b2.coalesce(1).write.mode("append").parquet(feed)
+
+    final, n_batches = KM.run_knn_maintenance(
+        spark, feed, str(tmp_path / "chk"), initial,
+    )
+    assert n_batches >= 1
+
+    final_corpus = (
+        base.filter(~F.col("vec_id").isin(int(popular), int(mover_id)))
+        .unionByName(
+            spark.createDataFrame(
+                [(mover_id, donor.embedding)],
+                "vec_id long, embedding array<float>",
+            )
+        )
+        .unionByName(clones.select("vec_id", "embedding"))
+    )
+    want = KM.build_knn_state(final_corpus, checkpoint=False)
+
+    def rows_of(st):
+        return {
+            (r.vec_id, r.nn_id, r.cos_sim, r.bucket)
+            for r in st.best.collect()
+        }
+
+    got, wnt = rows_of(final), rows_of(want)
+    assert got == wnt and got, "knn graph diverged from full rebuild"
+    # non-vacuity: the deleted popular vector appears in NO final row,
+    # its former mates re-elected (they still have a best row or their
+    # bucket emptied), and each clone pair fired at cosine 1.0
+    assert all(popular not in (v, n) for (v, n, _, _) in got)
+    for r in clones.collect():
+        orig = r.vec_id - 900_000
+        assert any(
+            {v, n} == {orig, r.vec_id} and c == 1.0
+            for (v, n, c, _) in got
+        ), "clone did not displace its original's best row"
+    mut_got = {tuple(r) for r in KM.mutual_edges_from_state(final).collect()}
+    mut_wnt = {tuple(r) for r in KM.mutual_edges_from_state(want).collect()}
+    assert mut_got == mut_wnt
+
+    # idempotent replay of batch 2
+    ups2, dels2 = KM.collapse_batch(b2)
+    replay = KM.apply_knn_changes(final, ups2, dels2, checkpoint=False)
+    assert rows_of(replay) == got
