@@ -700,7 +700,17 @@ def txt_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-dense broadcast-abort band at 100 TB); the support filter
     cuts the pair table before any join; top-k is TakeOrdered over the
     (lift desc, left, right) total order."""
-    docs = tables.load(spark, sf_dir, "documents")
+    return pmi_collocations(tables.load(spark, sf_dir, "documents"))
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_support: int = PMI_MIN_SUPPORT,
+    topk: int = PMI_TOPK,
+) -> DataFrame:
+    """The PMI core over any (text) frame — parameterized for the
+    family-14 fuzz so the registered constants and the fuzzed space run
+    the SAME expressions."""
     w = TX.normalize_words(F.col("text"))
     pairs = (
         docs.select(
@@ -720,7 +730,7 @@ def txt_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     rm = pairs.groupBy("right_w").agg(F.sum("n_xy").alias("n_y"))
     tot = pairs.agg(F.sum("n_xy").alias("n_bi"))
     return (
-        pairs.filter(F.col("n_xy") >= PMI_MIN_SUPPORT)
+        pairs.filter(F.col("n_xy") >= min_support)
         .join(lm.hint("shuffle_hash"), "left_w")
         .join(rm.hint("shuffle_hash"), "right_w")
         .crossJoin(F.broadcast(tot))
@@ -735,12 +745,17 @@ def txt_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("lift_ppm"), "left_w", "right_w")
-        .limit(PMI_TOPK)
+        .limit(topk)
     )
 
 
-_PMI_SQL = rf"""
-WITH d AS (SELECT string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+def _pmi_sql(
+    min_support: int = PMI_MIN_SUPPORT,
+    topk: int = PMI_TOPK,
+    docs_rel: str = "documents",
+) -> str:
+    return rf"""
+WITH d AS (SELECT string_split({_NORM_SQL}, ' ') AS ws FROM {docs_rel}),
 bg AS (
   SELECT ws[i] AS left_w, ws[i + 1] AS right_w
   FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
@@ -756,10 +771,13 @@ FROM pc p
 JOIN lm l USING (left_w)
 JOIN rm r USING (right_w)
 CROSS JOIN tot t
-WHERE p.n_xy >= {PMI_MIN_SUPPORT}
+WHERE p.n_xy >= {min_support}
 ORDER BY lift_ppm DESC, left_w, right_w
-LIMIT {PMI_TOPK}
+LIMIT {topk}
 """
+
+
+_PMI_SQL = _pmi_sql()
 
 
 # ---- duplicated-passage census (round 6) ------------------------------------

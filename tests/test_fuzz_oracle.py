@@ -1460,3 +1460,37 @@ def test_random_query13_matches_duckdb(spark, oracle, seed):
         oracle,
         _dup_passage_sql(w, docs_rel=rel),
     )
+
+
+# ---- family 14: the PMI parameter space — random support floors
+# (including 1, where every pair competes and the staged floor-division
+# ratio does the ranking alone), random top-k depths, and random corpus
+# subsets, through the SAME pmi_collocations core / _pmi_sql twin pair
+# as the registered query. Targets the staged-division compounding
+# (((n_xy·1e6) div n_x)·N div n_y must floor identically at every
+# magnitude) and the (lift, left, right) total-order cut. ----
+
+
+def _gen14(rng: random.Random) -> dict:
+    return {
+        "min_support": rng.choice([1, 2, 5, 20, 60]),
+        "topk": rng.randint(5, 40),
+        "mod": rng.choice([1, 2, 5]),  # 1 = whole corpus
+    }
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_query14_matches_duckdb(spark, oracle, seed):
+    from sql_cdc_spark.queries.text_q import _pmi_sql, pmi_collocations
+
+    rng = random.Random(41000 + seed)
+    q = _gen14(rng)
+    docs = tables.load(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % q["mod"] == 0
+    )
+    rel = f"(SELECT * FROM documents WHERE doc_id % {q['mod']} = 0)"
+    assert_matches_oracle(
+        pmi_collocations(docs, q["min_support"], q["topk"]),
+        oracle,
+        _pmi_sql(q["min_support"], q["topk"], docs_rel=rel),
+    )
