@@ -96,8 +96,8 @@ ROUND5 = [
     "sim_semantic_dedup",       # SemDeDup bucket election
 ]
 
-# round-6 registrations (the four implemented in r5 plus the six that
-# landed and registered in round 6 itself)
+# round-6 registrations (the four implemented in r5 plus the sixteen
+# that landed and registered in round 6 itself)
 ROUND6 = [
     "txt_bm25_search",      # integer-exact BM25 lexical search
     "txt_bpe_pair_census",  # BPE merge-candidate pair census

@@ -1199,21 +1199,32 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mutual_edges(emb: DataFrame) -> DataFrame:
-    """Undirected mutual-NN edge set (id_a < id_b, symmetric cos_sim) —
-    the shared core of sim_mutual_knn and sim_pagerank_step."""
-    best = knn_join(emb)
-    e = best.select(
-        F.least("vec_id", "nn_id").alias("id_a"),
-        F.greatest("vec_id", "nn_id").alias("id_b"),
-        "cos_sim",
-    )
+def undirected_edges(best: DataFrame) -> DataFrame:
+    """Fold directed top-1 rows (vec_id, nn_id, cos_sim, ...) to the
+    undirected (id_a < id_b) edge set, carrying the reciprocity count
+    __n and the symmetric cosine — the ONE derivation behind
+    sim_mutual_knn (count-2 filter on top), sim_pagerank_step's graph
+    (all folded edges), and the maintained-state serve in
+    streaming/knn_maintenance.py, shared by reference so the three
+    cannot drift."""
     return (
-        e.groupBy("id_a", "id_b")
+        best.select(
+            F.least("vec_id", "nn_id").alias("id_a"),
+            F.greatest("vec_id", "nn_id").alias("id_b"),
+            "cos_sim",
+        )
+        .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.min("cos_sim").alias("cos_sim"),
         )
+    )
+
+
+def _mutual_edges(emb: DataFrame) -> DataFrame:
+    """Undirected mutual-NN edge set (id_a < id_b, symmetric cos_sim)."""
+    return (
+        undirected_edges(knn_join(emb))
         .filter(F.col("__n") == 2)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -1270,15 +1281,9 @@ def sim_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject over (rank desc, vec_id) — a total order, so
     the limit is deterministic."""
     best = knn_join(tables.load(spark, sf_dir, "embeddings"))
-    edges = (
-        best.select(
-            F.least("vec_id", "nn_id").alias("id_a"),
-            F.greatest("vec_id", "nn_id").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .drop("__n")
-    )
+    # the same undirected fold sim_mutual_knn filters — here ALL folded
+    # edges form the graph (the mutual subset has degree 1 everywhere)
+    edges = undirected_edges(best).select("id_a", "id_b")
     directed = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

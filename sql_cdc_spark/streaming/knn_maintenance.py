@@ -113,15 +113,11 @@ def apply_knn_changes(
 
 def mutual_edges_from_state(state: KnnState) -> DataFrame:
     """The undirected mutual-NN edge set (sim_mutual_knn's core) served
-    from the maintained table — same fold, no knn recompute."""
-    e = state.best.select(
-        F.least("vec_id", "nn_id").alias("id_a"),
-        F.greatest("vec_id", "nn_id").alias("id_b"),
-        "cos_sim",
-    )
+    from the maintained table — the SAME shared fold, no knn recompute."""
+    from sql_cdc_spark.queries.similarity_q import undirected_edges
+
     return (
-        e.groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__n"), F.min("cos_sim").alias("cos_sim"))
+        undirected_edges(state.best)
         .filter(F.col("__n") == 2)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -354,3 +354,97 @@ def test_expectations_one_pass_and_null_as_violation(spark):
     Q.assert_expectations(df, {"id_present": F.col("id").isNotNull()})
     with _pytest.raises(ValueError, match="alphanumeric"):
         Q.expectations(df, {"bad'name": F.col("id").isNotNull()})
+
+
+# Every registry name that existed BEFORE round 6 — frozen so the
+# in-round-registration invariant is STRUCTURAL, not transcriptional:
+# any name in the live registry but not in this set was added this
+# round and MUST sit inside the 50-slot driver window. The round-6
+# review found the transcriptional guard's failure mode live
+# (sim_pagerank_step landed in the registry but missed the window and
+# the hand-maintained round6_new list until a later commit); this set
+# makes that class of gap a test failure the moment the operator is
+# registered. Next round: rename to the new round's frozen set by
+# folding the round-6 names in.
+REGISTRY_FROZEN_PRE_R6 = {
+    "cdc_bounded_batch", "cdc_changes_scan",
+    "cdc_flagship_changed_invoices", "cdc_flagship_documents",
+    "cdc_incremental_join_view", "cdc_keyset_resume",
+    "cdc_latest_event_per_user", "cdc_net_changes_enriched",
+    "cdc_replica_as_of", "cdc_replica_sync", "cdc_scd2_history",
+    "cdc_scd2_incremental", "cdc_scd2_temporal_join", "cdc_snapshot_diff",
+    "cdc_union_distinct_keys", "cdc_version_watermark",
+    "crp_chunk_documents", "crp_contamination", "crp_corpus_clean",
+    "crp_dsir_select", "crp_filter_funnel", "crp_fuzzy_contamination",
+    "crp_length_buckets", "crp_manifest", "crp_mixture_sample",
+    "crp_ngram_lm_score", "crp_pack_sequences", "crp_pps_sample",
+    "crp_repetition_filter", "crp_source_mixture", "crp_stratified_sample",
+    "crp_train_test_split", "dd_cluster_canonical", "dd_containment_pairs",
+    "dd_containment_sweep", "dd_dup_clusters", "dd_duplicate_spans",
+    "dd_embedding_dup_pairs", "dd_exact", "dd_incremental_containment",
+    "dd_incremental_near_dup", "dd_jaccard_pairs", "dd_lsh_candidate_pairs",
+    "dd_minhash_signatures", "dd_near_dup_pairs", "dd_simhash",
+    "dd_simhash_pairs", "dd_source_overlap", "evt_asof_last_purchase",
+    "evt_collapse_runs", "evt_daily_user_activity", "evt_funnel_conversion",
+    "evt_gap_fill_locf", "evt_heavy_hitters_cms", "evt_histogram",
+    "evt_interval_join_buckets", "evt_join_size_estimate",
+    "evt_late_data_filter", "evt_percentile_sketch", "evt_props_topk",
+    "evt_rate_anomaly", "evt_retention_cohorts", "evt_rolling_actives",
+    "evt_session_windows", "evt_sketch_setops", "evt_sliding_windows",
+    "evt_top_users_per_day", "evt_tumbling_hourly", "evt_type_transitions",
+    "evt_user_cardinality_sketch", "evt_value_percentiles",
+    "fn_bson_roundtrip", "fn_date_arithmetic", "fn_hash_bucket",
+    "fn_invoice_numbering", "fn_json_extract", "fn_string_ops",
+    "fn_timestamp_format", "mm_audio_features", "mm_decode_features",
+    "mm_frame_sample", "mm_media_catalog", "mm_resize_digest",
+    "rel_above_avg_orders", "rel_anti_join_no_orders",
+    "rel_cross_join_small", "rel_cube_status_flag",
+    "rel_customer_order_stats", "rel_derived_columns", "rel_distinct_flags",
+    "rel_dq_audit", "rel_except_lost_customers", "rel_filter_composite",
+    "rel_header_line_view", "rel_intersect_buyers",
+    "rel_invoice_view_rollup", "rel_multi_hop_dims", "rel_pivot_status",
+    "rel_pricing_summary", "rel_rollup_lineitem", "rel_sample_avg",
+    "rel_semi_join_big_spenders", "rel_top_revenue_orders",
+    "rel_topn_other_rollup", "rel_union_all_segments",
+    "rel_unpivot_measures", "scl_bloom_pruned_join", "scl_group_zscore",
+    "scl_salted_join_segments", "scl_salted_pricing", "scl_zorder_key",
+    "sim_bucketed_topk", "sim_centroid_assign", "sim_embedding_quantize",
+    "sim_ivf_topk", "sim_knn_join", "sim_label_centroids",
+    "sim_lsh_buckets", "sim_multiprobe_topk", "sim_norm_stats",
+    "sim_pq_topk", "sim_quantized_topk", "sim_random_projection",
+    "sim_semantic_dedup", "sim_topk_cosine", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_priority_by_status",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue", "tpch_q1_pricing_summary",
+    "tpch_q20_excess_suppliers", "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_late_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "txt_bigram_topk", "txt_bpe_tokens",
+    "txt_doc_frequency", "txt_language_id", "txt_pii_redact",
+    "txt_quality_gate", "txt_quality_score", "txt_rolling_fingerprint",
+    "txt_token_stats", "win_lag_delta", "win_latest_n_per_user",
+    "win_moving_avg", "win_ntile_quartiles", "win_order_ranks",
+    "win_percent_rank", "win_running_total", "win_time_range_sum",
+}
+
+
+def test_every_new_registration_sits_in_the_driver_window():
+    """STRUCTURAL in-round-check guard: any registry name not in the
+    frozen pre-round set was registered this round and must be inside
+    the 50-slot driver window — no hand-maintained list to forget."""
+    from sql_cdc_spark.queries import _registry
+
+    reg = list(_registry())
+    window = set(reg[:50])
+    new_this_round = [n for n in reg if n not in REGISTRY_FROZEN_PRE_R6]
+    outside = [n for n in new_this_round if n not in window]
+    assert not outside, (
+        f"registered this round but driver-unchecked: {outside}"
+    )
+    # and the frozen set never references a name the registry dropped
+    dropped = [n for n in REGISTRY_FROZEN_PRE_R6 if n not in reg]
+    assert not dropped, f"frozen names no longer registered: {dropped}"

@@ -631,11 +631,12 @@ def test_dedup_impact_invariants(spark, oracle):
 
 
 def test_compaction_plan_invariants(spark, oracle):
-    """scl_compaction_plan conservation and contiguity: per source the
-    plan's files and chars sum to the listing's, bins are contiguous
-    from 0, and no bin except possibly a one-file bin starts past the
-    target (offset-begin rule: a bin only exists if some file STARTS
-    inside it)."""
+    """scl_compaction_plan conservation and ordering: per source the
+    plan's files and chars sum to the listing's, bins start at 0 and
+    strictly increase (NOT necessarily contiguously — a file at least
+    2× the target legally skips the bins it spans, per the offset-begin
+    rule: a bin only exists if some file STARTS inside it), and bin
+    contents are doc-ordered."""
     from collections import defaultdict
 
     from sql_cdc_spark.queries.scale_q import (
@@ -655,7 +656,9 @@ def test_compaction_plan_invariants(spark, oracle):
     )
     assert set(per_src) == set(truth)
     for s, rs in per_src.items():
-        assert [r.bin for r in rs] == list(range(len(rs)))
+        bins = [r.bin for r in rs]
+        assert bins[0] == 0  # the first file starts at offset 0
+        assert all(a < b for a, b in zip(bins, bins[1:]))
         assert sum(r.n_files for r in rs) == truth[s][0]
         assert sum(r.bin_chars for r in rs) == truth[s][1]
         # every non-final bin must have been filled past its start
@@ -723,6 +726,7 @@ def test_domain_reweight_invariants(spark, oracle):
     with the shared per-doc LM scores (the _lm_doc_scores contract)."""
     from sql_cdc_spark.queries.corpus_q import (
         DOREMI_MAX_BITS,
+        DOREMI_MILLI_PER_BIT,
         crp_domain_reweight,
         crp_ngram_lm_score,
     )
@@ -734,7 +738,9 @@ def test_domain_reweight_invariants(spark, oracle):
     assert 1_000_000 - n_domains <= total_ppm <= 1_000_000
     for r in rows:
         assert 0 <= r.boost_bits <= DOREMI_MAX_BITS
-        assert r.boost_bits == min(r.excess_milli // 100, DOREMI_MAX_BITS)
+        assert r.boost_bits == min(
+            r.excess_milli // DOREMI_MILLI_PER_BIT, DOREMI_MAX_BITS
+        )
         assert r.weight_ppm > 0
     # harder domains (positive excess) must never weigh less than an
     # easier domain (zero excess)
