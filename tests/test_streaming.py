@@ -3474,3 +3474,56 @@ def test_streaming_knn_maintenance_equals_full_recompute(spark, tmp_path):
     ups2, dels2 = KM.collapse_batch(b2)
     replay = KM.apply_knn_changes(final, ups2, dels2, checkpoint=False)
     assert rows_of(replay) == got
+
+
+def test_incremental_graph_analytics_end_to_end(spark, tmp_path):
+    """Composed capstone for the graph family: an embedding change feed
+    drives the maintained k-NN state, and the FULL PageRank run over
+    mutual edges served from that state equals the batch path (knn_join
+    on the final corpus → the same fold → the same loop) node-for-node.
+    The RAG-index analog for graph analytics: no batch recompute of the
+    neighbor table anywhere on the streaming side."""
+    from sql_cdc_spark.operators.iterative import pagerank
+    from sql_cdc_spark.queries.similarity_q import knn_join, undirected_edges
+    from sql_cdc_spark.streaming import knn_maintenance as KM
+
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.orderBy("vec_id").limit(70)
+    initial = KM.build_knn_state(base)
+
+    feed = str(tmp_path / "feed")
+    b1 = base.orderBy("vec_id").limit(4).select(
+        (F.col("vec_id") + 950_000).alias("vec_id"), "embedding",
+        F.lit("I").alias("op"), F.lit(1).cast("long").alias("change_version"),
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    gone = base.orderBy(F.desc("vec_id")).limit(2).select(
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit("D").alias("op"), F.lit(2).cast("long").alias("change_version"),
+    )
+    gone.coalesce(1).write.mode("append").parquet(feed)
+
+    final, _ = KM.run_knn_maintenance(spark, feed, str(tmp_path / "chk"), initial)
+
+    final_corpus = (
+        base.join(gone.select("vec_id"), "vec_id", "left_anti")
+        .unionByName(b1.select("vec_id", "embedding"))
+    )
+    edges_stream = KM.mutual_edges_from_state(final).select("id_a", "id_b")
+    edges_batch = (
+        undirected_edges(knn_join(final_corpus))
+        .filter(F.col("__n") == 2)
+        .select("id_a", "id_b")
+    )
+    got = {
+        r.node: (r.degree, r.rank_ppm)
+        for r in pagerank(edges_stream, max_iters=5).collect()
+    }
+    want = {
+        r.node: (r.degree, r.rank_ppm)
+        for r in pagerank(edges_batch, max_iters=5).collect()
+    }
+    assert got == want and got
