@@ -96,7 +96,7 @@ ROUND5 = [
     "sim_semantic_dedup",       # SemDeDup bucket election
 ]
 
-# round-6 registrations (the four implemented in r5 plus the sixteen
+# round-6 registrations (the four implemented in r5 plus the fifteen
 # that landed and registered in round 6 itself)
 ROUND6 = [
     "txt_bm25_search",      # integer-exact BM25 lexical search
@@ -508,10 +508,10 @@ def retrieval_10x_stress(spark, sf_dir: str) -> dict:
 
 
 def round6_10x_stress(spark, sf_dir: str) -> dict:
-    """Measured 10× scale points for the round-6 families, single pass
-    with a probe per sub-block (the costs are linear-or-designed, so
-    one attributable sample suffices; contaminated probes mark the
-    surrounding number suspect):
+    """Measured 10× scale points for the round-6 families, one pass per
+    call with a probe per sub-block (main() interleaves two calls and
+    takes per-metric best-of, the same dirty-window discipline as the
+    other 10× blocks):
 
     - passage census: 10× documents corpus (synthetic per-doc-id
       sources) through the SAME passage_census core the registered
@@ -816,12 +816,39 @@ def main() -> None:
     # loaded session vs ~6-7 min standalone band)
     spark.catalog.clearCache()
     nd_passes, ct_passes, knn_passes, rt_passes = [], [], [], []
+    r6_passes = []
     for _ in range(2):
         nd_passes.append(dedup_10x_stress(spark, sf_dir))
         ct_passes.append(containment_10x_stress(spark, sf_dir))
         knn_passes.append(knn_10x_stress(spark, sf_dir))
         rt_passes.append(retrieval_10x_stress(spark, sf_dir))
-    r6_stress = round6_10x_stress(spark, sf_dir)
+        r6_passes.append(round6_10x_stress(spark, sf_dir))
+    # per-metric best-of for the round-6 block (same rationale as knn:
+    # one pass can be clean for one sub-block and contended for another)
+    r6_stress = {
+        **{
+            k: min(r6_passes, key=lambda r: r["passage_seconds"])[k]
+            for k in (
+                "passage_input_docs", "passage_sources", "passage_seconds",
+                "passage_docs_per_second",
+            )
+        },
+        **{
+            k: min(r6_passes, key=lambda r: r["fuzzy_seconds"])[k]
+            for k in ("fuzzy_input_rows", "fuzzy_pairs", "fuzzy_seconds")
+        },
+        **{
+            k: min(r6_passes, key=lambda r: r["power_seconds_3_iters"])[k]
+            for k in (
+                "power_input_vecs", "power_seconds_3_iters",
+                "power_last_cosine",
+            )
+        },
+        "probe_ms": [
+            [p["passage_probe_ms"], p["fuzzy_probe_ms"], p["power_probe_ms"]]
+            for p in r6_passes
+        ],
+    }
 
     total = round(sum(timings.values()), 3)
     detail = {

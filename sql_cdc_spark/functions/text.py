@@ -198,13 +198,14 @@ def bpe_encode(docs, merges: list[tuple[str, str, int]]):
     """Tokenizer INFERENCE: apply a learned merge table to fresh text —
     pre-tokenize, then chain every merge in learned order as nested
     scan-local folds. The whole encode is ONE shuffle-free projection
-    (|merges| nested aggregates in a single whole-stage-codegen'd
-    expression), so encoding throughput is pure scan speed at any
-    corpus size — the property that makes the trained tokenizer
-    deployable inside the ingest pipeline itself. By construction
-    bpe_encode(docs, merges) equals the training loop's final token
-    table when run on the training corpus (each fold IS the loop's
-    merge step, applied in the same order)."""
+    (|merges| nested aggregates in a single expression), so cost is
+    corpus-LINEAR with zero exchanges — deployable inside the ingest
+    pipeline. Per-document the fold is O(tokens²) per merge (each
+    append rebuilds the accumulated array), fine at ordinary document
+    lengths; book-length token sequences want a chunked pre-split
+    first. By construction bpe_encode(docs, merges) equals the training
+    loop's final token table when run on the training corpus (each fold
+    IS the loop's merge step, applied in the same order)."""
     t = bpe_tokens(F.col("text"))
     for left, right, _ in merges:
         t = merge_pair(t, left, right)

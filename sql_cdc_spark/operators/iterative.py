@@ -29,13 +29,21 @@ from pyspark.sql import functions as F
 from sql_cdc_spark.functions import similarity as SIM
 from sql_cdc_spark.functions.dedup import release_local_checkpoint
 
-__all__ = ["pagerank", "kmeans_train", "power_iteration"]
+# the loop bodies ARE the registered step queries, so the constants are
+# imported from them, never re-declared — retuning a step constant
+# retunes its driver with it
+from sql_cdc_spark.queries.similarity_q import (
+    POWER_SEED_ID,
+    POWER_UNIT,
+    PR_DAMPING_PCT,
+    PR_RANK_UNIT,
+)
 
-PR_RANK_UNIT = 1_000_000  # integer rank mass per node (ppm domain)
+__all__ = ["pagerank", "kmeans_train", "power_iteration"]
 
 
 def pagerank(
-    edges: DataFrame, max_iters: int = 20, damping_pct: int = 85
+    edges: DataFrame, max_iters: int = 20, damping_pct: int = PR_DAMPING_PCT
 ) -> DataFrame:
     """Full PageRank over an undirected edge list (id_a, id_b) →
     (node, degree, rank_ppm). Iteration 1 is exactly the registered
@@ -96,7 +104,9 @@ def pagerank(
         release_local_checkpoint(snap)
         snap = nxt
         ranks = nxt.drop("__prev")
-        if delta == 0:
+        # SUM over zero rows is None, not 0 — an empty/degenerate graph
+        # must stop after one round, not burn max_iters empty rounds
+        if not delta:
             break
     und.unpersist()
     deg.unpersist()
@@ -153,18 +163,18 @@ def kmeans_train(
             cents[int(r["cluster_id"])] = [
                 int(r[f"s{d}"]) // n for d in range(len(cents[0]))
             ]
+    # materialize the assignments BEFORE unpersisting base: the returned
+    # frame is a standalone localCheckpoint, so no caller ever recomputes
+    # the scan after the cache is gone
     out = assigned.select(
         "vec_id", F.col("b.c").alias("cluster_id")
-    )
-    # NOTE: `base` stays persisted while the returned frame is live;
-    # callers collect promptly (the frame is (vec_id, cluster_id) only)
-    out = out.localCheckpoint()
+    ).localCheckpoint()
     base.unpersist()
     return out, inertia_by_round
 
 
 def power_iteration(
-    emb: DataFrame, n_iters: int = 10, unit: int = 1_000
+    emb: DataFrame, n_iters: int = 10, unit: int = POWER_UNIT
 ) -> tuple[list[int], list[float]]:
     """Converging power iteration toward the corpus's dominant embedding
     direction → (final integer direction vector at scale ``unit``,
@@ -181,7 +191,7 @@ def power_iteration(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * unit).cast("long"),
     ).alias("mv")).persist()
-    first = base.filter(F.col("vec_id") == 0).first()
+    first = base.filter(F.col("vec_id") == POWER_SEED_ID).first()
     assert first is not None, "power-iteration seed vector (vec_id 0) missing"
     v = [int(x) for x in first["mv"]]
     dims = len(v)

@@ -835,34 +835,38 @@ def rel_fuzzy_match_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fuzzy_match(part: DataFrame) -> DataFrame:
-    """The blocked-match core over any (p_partkey, p_name, p_brand,
-    p_type) frame — shared by the registered query and the bench 10×
-    stress block so the two measured scenarios can never drift apart."""
+def fuzzy_match(
+    part: DataFrame,
+    key_col: str = "p_partkey",
+    name_col: str = "p_name",
+    block_cols: tuple[str, ...] = ("p_brand", "p_type"),
+    max_edit: int = FUZZY_MAX_EDIT,
+) -> DataFrame:
+    """The blocked-match core over any (key, name, *blocks) frame —
+    shared by the registered query, the bench 10× stress block, AND the
+    family-12 fuzz (random corpora/blocks/thresholds run this exact
+    plan), so the measured, fuzzed, and oracle-gated scenarios can
+    never drift apart."""
+    blocks = list(block_cols)
     a = part.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        "p_brand",
-        "p_type",
+        F.col(key_col).alias("key_a"),
+        F.col(name_col).alias("name_a"),
+        *blocks,
     )
     b = part.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        "p_brand",
-        "p_type",
+        F.col(key_col).alias("key_b"),
+        F.col(name_col).alias("name_b"),
+        *blocks,
     )
     return (
-        a.join(b.hint("shuffle_hash"), ["p_brand", "p_type"])
+        a.join(b.hint("shuffle_hash"), blocks)
         .filter(
             (F.col("key_a") < F.col("key_b"))
-            & (
-                F.abs(F.length("name_a") - F.length("name_b"))
-                <= FUZZY_MAX_EDIT
-            )
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= max_edit)
         )
         .withColumn(
             "edit_dist",
-            F.levenshtein("name_a", "name_b", FUZZY_MAX_EDIT),
+            F.levenshtein("name_a", "name_b", max_edit),
         )
         .filter(F.col("edit_dist") >= 0)
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")

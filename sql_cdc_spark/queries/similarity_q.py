@@ -1221,13 +1221,22 @@ def undirected_edges(best: DataFrame) -> DataFrame:
     )
 
 
-def _mutual_edges(emb: DataFrame) -> DataFrame:
-    """Undirected mutual-NN edge set (id_a < id_b, symmetric cos_sim)."""
+def mutual_edges(best: DataFrame) -> DataFrame:
+    """The reciprocity filter over the shared fold: an undirected edge is
+    MUTUAL iff both directions elected it (a vector emits ≤ 1 directed
+    edge, so fold count 2 ⟺ reciprocal). The ONE mutuality predicate —
+    sim_mutual_knn and the maintained-state serve
+    (streaming/knn_maintenance.py) both call it."""
     return (
-        undirected_edges(knn_join(emb))
+        undirected_edges(best)
         .filter(F.col("__n") == 2)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def _mutual_edges(emb: DataFrame) -> DataFrame:
+    """Undirected mutual-NN edge set (id_a < id_b, symmetric cos_sim)."""
+    return mutual_edges(knn_join(emb))
 
 
 def _mutual_knn_sql() -> str:
@@ -1247,6 +1256,7 @@ ORDER BY id_a, id_b
 
 # ---- one PageRank power iteration over the mutual-NN graph (round 6) ------
 PR_RANK_UNIT = 1_000_000  # integer rank mass per node (ppm domain)
+PR_DAMPING_PCT = 85  # integer damping (rank' = 15% base + 85% inflow)
 PR_TOPN = 50  # hub report depth
 
 
@@ -1302,9 +1312,10 @@ def sim_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id",
         "degree",
-        F.expr(f"{PR_RANK_UNIT * 15 // 100} + (85 * inflow) div 100").alias(
-            "rank_ppm"
-        ),
+        F.expr(
+            f"{PR_RANK_UNIT * (100 - PR_DAMPING_PCT) // 100} "
+            f"+ ({PR_DAMPING_PCT} * inflow) div 100"
+        ).alias("rank_ppm"),
     )
     return ranked.orderBy(F.desc("rank_ppm"), F.asc("vec_id")).limit(PR_TOPN)
 
@@ -1331,8 +1342,8 @@ inflow AS (
   GROUP BY 1
 )
 SELECT g.node AS vec_id, g.degree,
-       CAST({PR_RANK_UNIT * 15 // 100}
-            + (85 * i.inflow) // 100 AS BIGINT) AS rank_ppm
+       CAST({PR_RANK_UNIT * (100 - PR_DAMPING_PCT) // 100}
+            + ({PR_DAMPING_PCT} * i.inflow) // 100 AS BIGINT) AS rank_ppm
 FROM deg g JOIN inflow i ON i.node = g.node
 ORDER BY rank_ppm DESC, vec_id ASC
 LIMIT {PR_TOPN}

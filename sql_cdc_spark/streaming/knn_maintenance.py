@@ -113,14 +113,11 @@ def apply_knn_changes(
 
 def mutual_edges_from_state(state: KnnState) -> DataFrame:
     """The undirected mutual-NN edge set (sim_mutual_knn's core) served
-    from the maintained table — the SAME shared fold, no knn recompute."""
-    from sql_cdc_spark.queries.similarity_q import undirected_edges
+    from the maintained table — the SAME shared fold AND mutuality
+    predicate, no knn recompute."""
+    from sql_cdc_spark.queries.similarity_q import mutual_edges
 
-    return (
-        undirected_edges(state.best)
-        .filter(F.col("__n") == 2)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return mutual_edges(state.best)
 
 
 def run_knn_maintenance(

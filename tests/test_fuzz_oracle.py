@@ -1370,24 +1370,17 @@ def _gen12(rng: random.Random) -> dict:
 
 
 def _fuzzy12(df, q: dict):
-    key, name, blocks, d = q["key"], q["name"], q["blocks"], q["d"]
-    a = df.select(
-        F.col(key).alias("key_a"), F.col(name).alias("name_a"), *blocks
-    )
-    b = df.select(
-        F.col(key).alias("key_b"), F.col(name).alias("name_b"), *blocks
-    )
-    return (
-        a.join(b.hint("shuffle_hash"), blocks)
-        .filter(
-            (F.col("key_a") < F.col("key_b"))
-            & (F.abs(F.length("name_a") - F.length("name_b")) <= d)
-        )
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", d))
-        .filter(F.col("edit_dist") >= 0)
-        .select("key_a", "key_b", "edit_dist")
-        .orderBy("key_a", "key_b")
-    )
+    # the REAL registered core, parameterized — the fuzz exercises
+    # production code, not a transcription of it
+    from sql_cdc_spark.queries.relational_q import fuzzy_match
+
+    return fuzzy_match(
+        df,
+        key_col=q["key"],
+        name_col=q["name"],
+        block_cols=tuple(q["blocks"]),
+        max_edit=q["d"],
+    ).select("key_a", "key_b", "edit_dist")
 
 
 def _fuzzy12_sql(q: dict) -> str:
