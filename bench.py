@@ -120,6 +120,10 @@ ROUND6 = [
     "sim_power_iteration",      # one PCA power-iteration step
 ]
 
+# round-7 registrations (filled as operators land this round)
+ROUND7 = [
+]
+
 
 REFERENCE_INVOICES = 25_000  # the reference generator's own scale
 
@@ -269,14 +273,16 @@ def stress_100x(spark, sf_dir: str) -> dict:
     t0 = perf_counter()
     shingled = DD.doc_shingles(hx).persist()
     sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
-    cands = DD.lsh_candidate_pairs(sigs.drop("n_sh"), max_bucket_size=50)
-    pairs = DD.jaccard_pairs(
-        shingled, cands, threshold=0.5, sizes=sigs.select("doc_id", "n_sh")
-    )
-    out["near_dup_pairs"] = pairs.count()
-    dt = perf_counter() - t0
-    shingled.unpersist()
-    sigs.unpersist()
+    try:
+        cands = DD.lsh_candidate_pairs(sigs.drop("n_sh"), max_bucket_size=50)
+        pairs = DD.jaccard_pairs(
+            shingled, cands, threshold=0.5, sizes=sigs.select("doc_id", "n_sh")
+        )
+        out["near_dup_pairs"] = pairs.count()
+        dt = perf_counter() - t0
+    finally:
+        shingled.unpersist()
+        sigs.unpersist()
     out["near_dup_seconds"] = round(dt, 3)
     out["near_dup_docs_per_second"] = round(n_docs / dt, 1)
     out["near_dup_probe_ms"] = probe
@@ -318,16 +324,20 @@ def stress_100x(spark, sf_dir: str) -> dict:
     )
     deletes = docs.orderBy("doc_id").limit(10).select("doc_id")
     state = DD.build_near_dup_state(hx, max_bucket_size=50)
-    probe = _cpu_probe_ms()
-    t0 = perf_counter()
-    new_state = DD.apply_near_dup_changes(
-        state, batch, deletes, max_bucket_size=50
-    )
-    out["apply_100x_pairs"] = new_state.pairs.count()
-    out["apply_100x_seconds"] = round(perf_counter() - t0, 3)
-    out["apply_100x_probe_ms"] = probe
-    new_state.release()
-    state.release()
+    new_state = None
+    try:
+        probe = _cpu_probe_ms()
+        t0 = perf_counter()
+        new_state = DD.apply_near_dup_changes(
+            state, batch, deletes, max_bucket_size=50
+        )
+        out["apply_100x_pairs"] = new_state.pairs.count()
+        out["apply_100x_seconds"] = round(perf_counter() - t0, 3)
+        out["apply_100x_probe_ms"] = probe
+    finally:
+        if new_state is not None:
+            new_state.release()
+        state.release()
 
     # vectors side: the bucketed k-NN self-join and the SemDeDup election
     # at 100× vectors, bits scaled with the corpus (≈ log2(N / target
@@ -345,28 +355,30 @@ def stress_100x(spark, sf_dir: str) -> dict:
     # sides, and recomputing the 100-branch generation per side is
     # generator cost, not operator cost — a real corpus is a parquet scan
     hemb = _hundredx_embeddings(emb).persist()
-    n_vecs = hemb.count()
-    bits = 14
-    probe = _cpu_probe_ms()
-    t0 = perf_counter()
-    out["knn_matched_vecs"] = knn_join(hemb, n_bits=bits).count()
-    dt = perf_counter() - t0
-    out["n_vecs"] = n_vecs
-    out["knn_bits"] = bits
-    out["knn_seconds"] = round(dt, 3)
-    out["knn_vecs_per_second"] = round(n_vecs / dt, 1)
-    out["knn_probe_ms"] = probe
+    try:
+        n_vecs = hemb.count()
+        bits = 14
+        probe = _cpu_probe_ms()
+        t0 = perf_counter()
+        out["knn_matched_vecs"] = knn_join(hemb, n_bits=bits).count()
+        dt = perf_counter() - t0
+        out["n_vecs"] = n_vecs
+        out["knn_bits"] = bits
+        out["knn_seconds"] = round(dt, 3)
+        out["knn_vecs_per_second"] = round(n_vecs / dt, 1)
+        out["knn_probe_ms"] = probe
 
-    probe = _cpu_probe_ms()
-    t0 = perf_counter()
-    out["semdedup_dropped"] = elect_dropped(
-        bucket_vectors(hemb, n_bits=bits)
-    ).count()
-    dt = perf_counter() - t0
-    out["semdedup_seconds"] = round(dt, 3)
-    out["semdedup_vecs_per_second"] = round(n_vecs / dt, 1)
-    out["semdedup_probe_ms"] = probe
-    hemb.unpersist()
+        probe = _cpu_probe_ms()
+        t0 = perf_counter()
+        out["semdedup_dropped"] = elect_dropped(
+            bucket_vectors(hemb, n_bits=bits)
+        ).count()
+        dt = perf_counter() - t0
+        out["semdedup_seconds"] = round(dt, 3)
+        out["semdedup_vecs_per_second"] = round(n_vecs / dt, 1)
+        out["semdedup_probe_ms"] = probe
+    finally:
+        hemb.unpersist()
     return out
 
 
@@ -437,18 +449,20 @@ def knn_10x_stress(spark, sf_dir: str) -> dict:
         "vec_id", "embedding"
     )
     tenx = _tenx_embeddings(emb).persist()
-    n = tenx.count()
-    probe = _cpu_probe_ms()
-    out = {"input_vecs": n, "probe_ms": probe}
-    for label, bits in (("fixed", LSH_BITS), ("scaled", LSH_BITS + 3)):
-        t0 = perf_counter()
-        rows = knn_join(tenx, n_bits=bits).count()
-        dt = perf_counter() - t0
-        out[f"{label}_bits"] = bits
-        out[f"{label}_seconds"] = round(dt, 3)
-        out[f"{label}_matched_vecs"] = rows
-        out[f"{label}_vecs_per_second"] = round(n / dt, 1)
-    tenx.unpersist()
+    try:
+        n = tenx.count()
+        probe = _cpu_probe_ms()
+        out = {"input_vecs": n, "probe_ms": probe}
+        for label, bits in (("fixed", LSH_BITS), ("scaled", LSH_BITS + 3)):
+            t0 = perf_counter()
+            rows = knn_join(tenx, n_bits=bits).count()
+            dt = perf_counter() - t0
+            out[f"{label}_bits"] = bits
+            out[f"{label}_seconds"] = round(dt, 3)
+            out[f"{label}_matched_vecs"] = rows
+            out[f"{label}_vecs_per_second"] = round(n / dt, 1)
+    finally:
+        tenx.unpersist()
     return out
 
 
@@ -475,35 +489,40 @@ def retrieval_10x_stress(spark, sf_dir: str) -> dict:
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
     tenx = _tenx_corpus(docs).persist()
-    n = tenx.count()
-    out = {"input_docs": n, "probe_ms": _cpu_probe_ms()}
+    state = state2 = None
+    try:
+        n = tenx.count()
+        out = {"input_docs": n, "probe_ms": _cpu_probe_ms()}
 
-    t0 = perf_counter()
-    out["bm25_rows"] = bm25_search(tenx, BM25_QUERY, k=10).count()
-    dt = perf_counter() - t0
-    out["bm25_seconds"] = round(dt, 3)
-    out["bm25_docs_per_second"] = round(n / dt, 1)
+        t0 = perf_counter()
+        out["bm25_rows"] = bm25_search(tenx, BM25_QUERY, k=10).count()
+        dt = perf_counter() - t0
+        out["bm25_seconds"] = round(dt, 3)
+        out["bm25_docs_per_second"] = round(n / dt, 1)
 
-    t0 = perf_counter()
-    state = build_search_state(tenx)
-    out["index_postings"] = state.postings.count()
-    out["index_build_seconds"] = round(perf_counter() - t0, 3)
+        t0 = perf_counter()
+        state = build_search_state(tenx)
+        out["index_postings"] = state.postings.count()
+        out["index_build_seconds"] = round(perf_counter() - t0, 3)
 
-    batch = docs.orderBy("doc_id").limit(50).select(
-        (F.col("doc_id") + 77_000_000).alias("doc_id"), "text"
-    )
-    deletes = tenx.orderBy("doc_id").limit(10).select("doc_id")
-    t0 = perf_counter()
-    state2 = apply_search_changes(state, batch, deletes)
-    out["apply_postings"] = state2.postings.count()
-    out["apply_seconds"] = round(perf_counter() - t0, 3)
+        batch = docs.orderBy("doc_id").limit(50).select(
+            (F.col("doc_id") + 77_000_000).alias("doc_id"), "text"
+        )
+        deletes = tenx.orderBy("doc_id").limit(10).select("doc_id")
+        t0 = perf_counter()
+        state2 = apply_search_changes(state, batch, deletes)
+        out["apply_postings"] = state2.postings.count()
+        out["apply_seconds"] = round(perf_counter() - t0, 3)
 
-    t0 = perf_counter()
-    out["query_rows"] = score_query(state2, BM25_QUERY, k=10).count()
-    out["query_seconds"] = round(perf_counter() - t0, 3)
-    state2.release()
-    state.release()
-    tenx.unpersist()
+        t0 = perf_counter()
+        out["query_rows"] = score_query(state2, BM25_QUERY, k=10).count()
+        out["query_seconds"] = round(perf_counter() - t0, 3)
+    finally:
+        if state2 is not None:
+            state2.release()
+        if state is not None:
+            state.release()
+        tenx.unpersist()
     return out
 
 
@@ -522,7 +541,11 @@ def round6_10x_stress(spark, sf_dir: str) -> dict:
       wall-clock sub-quadratic, and THIS is the documented quadratic
       hazard of equality blocking, measured rather than asserted;
     - power iteration: 3 rounds over 10× vectors — per-round cost is
-      one scan + one 64-group aggregate, linear in the corpus."""
+      one scan + one 64-group aggregate, linear in the corpus.
+
+    Every persist/measure/unpersist sub-block is try/finally (ADVICE
+    r6): an exception mid-block must not leak the cached 10× frame into
+    the second interleaved pass and contaminate the best-of timings."""
     from time import perf_counter
 
     from pyspark.sql import functions as F
@@ -542,14 +565,18 @@ def round6_10x_stress(spark, sf_dir: str) -> dict:
         ),
         "text",
     ).persist()
-    out["passage_input_docs"] = tenx_docs.count()
-    out["passage_probe_ms"] = _cpu_probe_ms()
-    t0 = perf_counter()
-    out["passage_sources"] = passage_census(tenx_docs).count()
-    dt = perf_counter() - t0
-    out["passage_seconds"] = round(dt, 3)
-    out["passage_docs_per_second"] = round(out["passage_input_docs"] / dt, 1)
-    tenx_docs.unpersist()
+    try:
+        out["passage_input_docs"] = tenx_docs.count()
+        out["passage_probe_ms"] = _cpu_probe_ms()
+        t0 = perf_counter()
+        out["passage_sources"] = passage_census(tenx_docs).count()
+        dt = perf_counter() - t0
+        out["passage_seconds"] = round(dt, 3)
+        out["passage_docs_per_second"] = round(
+            out["passage_input_docs"] / dt, 1
+        )
+    finally:
+        tenx_docs.unpersist()
 
     part = tables.load(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", "p_type"
@@ -570,24 +597,28 @@ def round6_10x_stress(spark, sf_dir: str) -> dict:
         )
         tenx_part = vdf if tenx_part is None else tenx_part.unionByName(vdf)
     tenx_part = tenx_part.persist()
-    out["fuzzy_input_rows"] = tenx_part.count()
-    out["fuzzy_probe_ms"] = _cpu_probe_ms()
-    t0 = perf_counter()
-    out["fuzzy_pairs"] = fuzzy_match(tenx_part).count()
-    out["fuzzy_seconds"] = round(perf_counter() - t0, 3)
-    tenx_part.unpersist()
+    try:
+        out["fuzzy_input_rows"] = tenx_part.count()
+        out["fuzzy_probe_ms"] = _cpu_probe_ms()
+        t0 = perf_counter()
+        out["fuzzy_pairs"] = fuzzy_match(tenx_part).count()
+        out["fuzzy_seconds"] = round(perf_counter() - t0, 3)
+    finally:
+        tenx_part.unpersist()
 
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     tenx_emb = _tenx_embeddings(emb).persist()
-    out["power_input_vecs"] = tenx_emb.count()
-    out["power_probe_ms"] = _cpu_probe_ms()
-    t0 = perf_counter()
-    _, cosines = power_iteration(tenx_emb, n_iters=3)
-    out["power_seconds_3_iters"] = round(perf_counter() - t0, 3)
-    out["power_last_cosine"] = round(cosines[-1], 6)
-    tenx_emb.unpersist()
+    try:
+        out["power_input_vecs"] = tenx_emb.count()
+        out["power_probe_ms"] = _cpu_probe_ms()
+        t0 = perf_counter()
+        _, cosines = power_iteration(tenx_emb, n_iters=3)
+        out["power_seconds_3_iters"] = round(perf_counter() - t0, 3)
+        out["power_last_cosine"] = round(cosines[-1], 6)
+    finally:
+        tenx_emb.unpersist()
     return out
 
 
@@ -614,14 +645,16 @@ def dedup_10x_stress(spark, sf_dir: str) -> dict:
     t0 = perf_counter()
     shingled = DD.doc_shingles(tenx).persist()
     sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
-    cands = DD.lsh_candidate_pairs(sigs.drop("n_sh"), max_bucket_size=50)
-    pairs = DD.jaccard_pairs(
-        shingled, cands, threshold=0.5, sizes=sigs.select("doc_id", "n_sh")
-    )
-    n_pairs = pairs.count()
-    dt = perf_counter() - t0
-    shingled.unpersist()
-    sigs.unpersist()
+    try:
+        cands = DD.lsh_candidate_pairs(sigs.drop("n_sh"), max_bucket_size=50)
+        pairs = DD.jaccard_pairs(
+            shingled, cands, threshold=0.5, sizes=sigs.select("doc_id", "n_sh")
+        )
+        n_pairs = pairs.count()
+        dt = perf_counter() - t0
+    finally:
+        shingled.unpersist()
+        sigs.unpersist()
     return {
         "input_docs": n_docs,
         "near_dup_pairs": n_pairs,
@@ -776,7 +809,7 @@ def main() -> None:
     # comes in multi-second windows — consecutive repeats of one query
     # would all land inside one window, so each pass runs the whole list
     # before repeating, spreading every query's samples minutes apart
-    all_names = HEADLINE + EXTENDED + ROUND5 + ROUND6
+    all_names = HEADLINE + EXTENDED + ROUND5 + ROUND6 + ROUND7
     dfs = {name: qs[name](spark, sf_dir) for name in all_names}
     timings: dict[str, float] = {name: float("inf") for name in all_names}
     # probe-gated retry (VERDICT r5 #4): r5's official recording opened
@@ -797,9 +830,12 @@ def main() -> None:
         if probes[-2] <= 2 * PROBE_BASELINE_MS and probes[-1] <= 2 * PROBE_BASELINE_MS:
             break
     timings = {name: round(t, 3) for name, t in timings.items()}
-    ext_timings = {name: timings.pop(name) for name in EXTENDED}
-    r5_timings = {name: timings.pop(name) for name in ROUND5}
-    r6_timings = {name: timings.pop(name) for name in ROUND6}
+    group_timings = {
+        "extended": {name: timings.pop(name) for name in EXTENDED},
+        "round5": {name: timings.pop(name) for name in ROUND5},
+        "round6": {name: timings.pop(name) for name in ROUND6},
+        "round7": {name: timings.pop(name) for name in ROUND7},
+    }
 
     # pipeline throughput: best of 2 (same contention rationale; each run
     # writes 25k files so the pair is spread ~10s apart naturally)
@@ -852,9 +888,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     detail = {
-        "extended_queries": ext_timings,
-        "round5_queries": r5_timings,
-        "round6_queries": r6_timings,
+        # per-query timings for every non-headline group; stdout carries
+        # only the folded groups_total (VERDICT r6 #7 — the per-round
+        # totals were growing the driver line toward its 1900-char cap)
+        "group_queries": group_timings,
+        "group_totals": {
+            g: round(sum(t.values()), 3) for g, t in group_timings.items()
+        },
         "cdc_pipeline": cdc,
         # best-of-2 for the one-shot scale blocks: a single pass landing
         # in a host-contention window (probe 2×+ baseline) would record a
@@ -925,9 +965,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "extended_total": round(sum(ext_timings.values()), 3),
-        "round5_total": round(sum(r5_timings.values()), 3),
-        "round6_total": round(sum(r6_timings.values()), 3),
+        # ONE folded total for all non-headline groups (extended + each
+        # round's registrations); the per-group breakdown lives in
+        # BENCH_DETAIL group_totals/group_queries (VERDICT r6 #7)
+        "groups_total": round(
+            sum(sum(t.values()) for t in group_timings.values()), 3
+        ),
         "cdc_invoices_per_second": cdc["invoices_per_second"],
         "cdc_partitioned_per_second": cdc[
             "partitioned_sink_invoices_per_second"

@@ -56,7 +56,14 @@ def pagerank(
 
     Per round: one shuffle-hash join (ranks are one-row-per-node and
     corpus-scale — the documented broadcast-abort band) + one inflow
-    aggregate. The driver reads one scalar per round."""
+    aggregate. The driver reads one scalar per round.
+
+    The rank update is a LEFT join with coalesce(inflow, 0): on the
+    internally-symmetrized graph every node with an edge always
+    receives inflow, but the function is public and accepts any
+    (id_a, id_b) frame — a caller-supplied shape where a node can
+    receive zero inflow rows must decay that node to base rank, not
+    silently drop it from the result (ADVICE r6)."""
     und = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -87,12 +94,12 @@ def pagerank(
             .agg(F.sum("contrib").alias("inflow"))
         )
         nxt = (
-            ranks.join(inflow.hint("shuffle_hash"), "node")
+            ranks.join(inflow.hint("shuffle_hash"), "node", "left")
             .select(
                 "node",
                 "degree",
                 F.expr(
-                    f"{base_ppm} + ({damping_pct} * inflow) div 100"
+                    f"{base_ppm} + ({damping_pct} * coalesce(inflow, 0)) div 100"
                 ).alias("rank_ppm"),
                 F.col("rank_ppm").alias("__prev"),
             )

@@ -145,23 +145,46 @@ def dd_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSH_SQL = f"WITH {_SHINGLES_CTE}, {_SIGS_CTE}, {_BANDED_CTE}, {_CANDIDATES_CTE} SELECT id_a, id_b FROM cands"
 
 
+def _shingle_base(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Session-cached (shingled, sigs) pair — the shared materialization
+    behind the whole MinHash family (dd_near_dup_pairs, dd_dup_clusters,
+    dd_cluster_canonical, dd_lsh_recall_eval). The shingle explode feeds
+    three subtrees per query (signatures + both Jaccard sides) and the
+    SAME frames feed four registry queries, so a session running the
+    family (the bench and the oracle suite do, every round) pays the
+    explode and the signature aggregate once. Kept persisted after an r4
+    A/B at sf0.1 (persist 1.67 s vs lazy 2.13 s best-of-3: the re-read
+    work past the shuffle is heavy enough to win). Lifecycle — one entry
+    per session+sf_dir, re-persist after an external clearCache,
+    dead-session eviction — is the _cache.session_cached contract
+    (moved from per-query bare persists, VERDICT r6 #6: uniform
+    lifecycle, clearCache-proof).
+
+    ``sigs`` carries n_sh: one aggregate produces signatures AND set
+    sizes, so the Jaccard stage reuses n_sh instead of a second groupBy
+    over the shingle table (callers that band drop it)."""
+    from sql_cdc_spark.queries._cache import session_cached
+
+    shingled = session_cached(
+        spark,
+        ("shingle_base", sf_dir),
+        lambda: DD.doc_shingles(tables.load(spark, sf_dir, "documents")),
+    )
+    sigs = session_cached(
+        spark,
+        ("shingle_sigs", sf_dir),
+        lambda: DD.minhash_signatures(shingled, with_sizes=True),
+    )
+    return shingled, sigs
+
+
 def dd_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: LSH candidates verified by
     exact shingle Jaccard ≥ 0.5 — sketch for recall, exact check for
     precision."""
-    docs = tables.load(spark, sf_dir, "documents")
-    # the shingle explode feeds three subtrees (signatures + both Jaccard
-    # sides): persist so it is computed once per execution — the local
-    # analog of materializing the shingle table at corpus scale. Kept
-    # after an r4 A/B at sf0.1 (persist 1.67 s vs lazy 2.13 s best-of-3:
-    # here the re-read work past the shuffle is heavy enough to win,
-    # unlike evt_sketch_setops where lazy won). The cache residue is
-    # bounded — CacheManager keys by plan, so repeated invocations reuse
-    # ONE entry pair — and the budget gate measures on a cleared cache.
-    shingled = DD.doc_shingles(docs).persist()
-    # one aggregate produces signatures AND set sizes: the Jaccard stage
-    # reuses n_sh instead of a second groupBy over the shingle table
-    sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
+    shingled, sigs = _shingle_base(spark, sf_dir)
     cands = DD.lsh_candidate_pairs(
         sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
     )
@@ -188,9 +211,7 @@ def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle walks the same graph with a recursive CTE, proving the
     fixpoint matches exactly. cluster_id = min doc_id per component; the
     keep-set of a dedup run is ``doc_id == cluster_id``."""
-    docs = tables.load(spark, sf_dir, "documents")
-    shingled = DD.doc_shingles(docs).persist()
-    sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
+    shingled, sigs = _shingle_base(spark, sf_dir)
     cands = DD.lsh_candidate_pairs(
         sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
     )
@@ -247,8 +268,7 @@ def dd_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the |members| table (tiny relative to the corpus: only docs in
     some cluster), both map-side combined; no window over the corpus."""
     docs = tables.load(spark, sf_dir, "documents")
-    shingled = DD.doc_shingles(docs).persist()
-    sigs = DD.minhash_signatures(shingled, with_sizes=True).persist()
+    shingled, sigs = _shingle_base(spark, sf_dir)
     cands = DD.lsh_candidate_pairs(
         sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
     )
@@ -330,17 +350,15 @@ def dd_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero overlap never generated); candidates = the capped band
     join; the two pair tables meet on (id_a, id_b) with a pinned
     shuffle-hash (both sides scale with the corpus — the documented
-    pair-table broadcast ban). The shingle table is persisted once and
-    feeds both sides, the same materialization dd_near_dup_pairs uses —
-    and like there, the cache residue is BOUNDED: CacheManager keys by
-    canonicalized plan, so repeated invocations reuse ONE entry
-    (verified: 3 calls → 1 cached RDD), and the budget gate measures on
-    a cleared cache."""
-    docs = tables.load(spark, sf_dir, "documents")
-    shingled = DD.doc_shingles(docs).persist()
+    pair-table broadcast ban). The shingle table is the session-cached
+    _shingle_base materialization dd_near_dup_pairs shares — one
+    persisted entry per session+sf_dir under the _cache.session_cached
+    lifecycle (VERDICT r6 #6), feeding both the truth and candidate
+    sides."""
+    shingled, sigs = _shingle_base(spark, sf_dir)
     exact = DD.jaccard_pairs(shingled, threshold=JACCARD_THRESHOLD)
     cands = DD.lsh_candidate_pairs(
-        DD.minhash_signatures(shingled), max_bucket_size=LSH_MAX_BUCKET
+        sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
     ).select("id_a", "id_b", F.lit(1).alias("caught"))
     joined = exact.join(cands.hint("shuffle_hash"), ["id_a", "id_b"], "left")
     banded = joined.select(

@@ -685,11 +685,21 @@ def txt_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic behind multi-word-expression discovery and tokenizer
     merge pre-scoring (Church & Hanks 1990). Lift = P(x,y) /
     (P(x·)·P(·y)) over bigram-slot marginals, kept integer-exact as a
-    staged ppm floor ratio: ((n_xy·1e6) div n_x)·N div n_y — n_xy ≤
-    min(n_x, n_y) bounds the first stage to ≤ 1e6, so the product is
-    overflow-safe while Σ bigrams < 2^63/1e6 ≈ 9.2e12 (≈ a 10 PB text
-    corpus at this doc shape; past that the unit drops to per-mille,
-    same plan). Both engines evaluate the SAME staged expression, so
+    staged floor ratio with ADAPTIVE resolution (ADVICE r6): the common
+    case stages at ppm — ((n_xy·1e6) div n_x)·N div n_y — but when
+    n_x > n_xy·1e3 (a very frequent left word over a rare pair, where
+    the ppm stage would keep < 3 significant digits and floor to 0 past
+    n_x > n_xy·1e6) the first stage runs at ppb and the trailing
+    div 1000 restores the ppm unit. Overflow budget, both branches: the
+    first stage is ≤ 1e6 (low branch: n_xy ≤ n_x; high branch:
+    n_x > n_xy·1e3 caps n_xy·1e9 div n_x below 1e6), so stage·N is safe
+    while Σ bigrams < 2^63/1e6 ≈ 9.2e12 (≈ a 10 PB text corpus at this
+    doc shape); n_xy·1e9 itself is safe because the high branch implies
+    n_xy < n_x/1e3 ≤ N/1e3 < 9.2e9. Residual resolution floor: a pair
+    collapses to lift 0 only when n_x > n_xy·1e9 — 1000× beyond the old
+    ppm-stage floor, and at that frequency ratio the true lift is below
+    N/(n_y·1e3) ppm, sub-top-k whenever the right word carries ≥ 1e-3
+    of bigram mass. Both engines evaluate the SAME staged CASE, so
     floor compounding cannot diverge.
 
     Scale shape: ONE corpus explode → (left, right) pair groupBy
@@ -740,9 +750,11 @@ def pmi_collocations(
             "n_xy",
             "n_x",
             "n_y",
-            F.expr("((n_xy * 1000000) div n_x) * n_bi div n_y").alias(
-                "lift_ppm"
-            ),
+            F.expr(
+                "CASE WHEN n_x > n_xy * 1000"
+                " THEN ((n_xy * 1000000000) div n_x) * n_bi div n_y div 1000"
+                " ELSE ((n_xy * 1000000) div n_x) * n_bi div n_y END"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), "left_w", "right_w")
         .limit(topk)
@@ -765,8 +777,10 @@ lm AS (SELECT left_w, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM pc GROUP BY 1),
 rm AS (SELECT right_w, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM pc GROUP BY 1),
 tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_bi FROM pc)
 SELECT p.left_w, p.right_w, p.n_xy, l.n_x, r.n_y,
-       CAST(((p.n_xy * 1000000) // l.n_x) * t.n_bi // r.n_y AS BIGINT)
-         AS lift_ppm
+       CAST(CASE WHEN l.n_x > p.n_xy * 1000
+            THEN ((p.n_xy * 1000000000) // l.n_x) * t.n_bi // r.n_y // 1000
+            ELSE ((p.n_xy * 1000000) // l.n_x) * t.n_bi // r.n_y
+            END AS BIGINT) AS lift_ppm
 FROM pc p
 JOIN lm l USING (left_w)
 JOIN rm r USING (right_w)

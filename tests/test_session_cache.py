@@ -68,3 +68,44 @@ def test_dead_session_entries_are_evicted(spark):
         live = _cache._FRAMES.pop((app, "_test_evict"), None)
         if live is not None:
             live.unpersist()
+
+
+def test_shingle_base_is_shared_and_repersists(spark):
+    """The MinHash family's (shingled, sigs) pair lives on the
+    session_cached contract (VERDICT r6 #6): four registry queries share
+    TWO pinned frames per sf_dir however many times they run, and an
+    external clearCache re-marks both for persistence on next access."""
+    from sql_cdc_spark.queries.dedup_q import _shingle_base
+
+    shingled, sigs = _shingle_base(spark, SF_DIR)
+    sh2, sg2 = _shingle_base(spark, SF_DIR)
+    assert sh2 is shingled and sg2 is sigs, "cache hit must reuse frames"
+    sigs.count()
+    assert _is_persisted(shingled) and _is_persisted(sigs)
+    spark.catalog.clearCache()
+    assert not _is_persisted(shingled)
+    sh3, sg3 = _shingle_base(spark, SF_DIR)
+    assert sh3 is shingled and sg3 is sigs
+    assert _is_persisted(sh3), "frame must be re-marked for persistence"
+    assert _is_persisted(sg3), "frame must be re-marked for persistence"
+
+
+def test_no_bare_persist_in_query_modules():
+    """Every persisted intermediate in the query layer must go through
+    the _cache.session_cached lifecycle — a bare .persist() is invisible
+    to the re-persist-after-clearCache and dead-session-eviction
+    guarantees the contract documents (VERDICT r6 #6). Enforced on
+    source text so a new query module cannot regress silently."""
+    import pathlib
+
+    import sql_cdc_spark.queries as q
+
+    qdir = pathlib.Path(q.__file__).parent
+    offenders = [
+        f"{p.name}:{i + 1}"
+        for p in sorted(qdir.glob("*.py"))
+        if p.name != "_cache.py"
+        for i, ln in enumerate(p.read_text().splitlines())
+        if ".persist()" in ln and not ln.lstrip().startswith("#")
+    ]
+    assert not offenders, f"bare persist outside _cache.py: {offenders}"
