@@ -37,6 +37,7 @@ from sql_cdc_spark.queries.similarity_q import (
     POWER_UNIT,
     PR_DAMPING_PCT,
     PR_RANK_UNIT,
+    pagerank_round,
 )
 
 __all__ = ["pagerank", "kmeans_train", "power_iteration"]
@@ -76,7 +77,6 @@ def pagerank(
         .agg(F.count(F.lit(1)).alias("degree"))
         .persist()
     )
-    base_ppm = PR_RANK_UNIT * (100 - damping_pct) // 100
     snap = deg.select(
         F.col("src").alias("node"),
         "degree",
@@ -84,27 +84,14 @@ def pagerank(
     ).localCheckpoint()
     ranks = snap
     for _ in range(max_iters):
-        contrib = ranks.select(
-            F.col("node").alias("src"),
-            F.expr("rank_ppm div degree").alias("contrib"),
-        )
-        inflow = (
-            und.join(contrib.hint("shuffle_hash"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("contrib").alias("inflow"))
-        )
-        nxt = (
-            ranks.join(inflow.hint("shuffle_hash"), "node", "left")
-            .select(
-                "node",
-                "degree",
-                F.expr(
-                    f"{base_ppm} + ({damping_pct} * coalesce(inflow, 0)) div 100"
-                ).alias("rank_ppm"),
-                F.col("rank_ppm").alias("__prev"),
-            )
-            .localCheckpoint()
-        )
+        # the round body is the shared queries/similarity_q.pagerank_round
+        # expression — also the unroll body of the registered
+        # sim_pagerank_fixed3, so the driver-checked chain and this
+        # fixpoint loop cannot drift by edit
+        nxt = pagerank_round(
+            und, ranks, damping_pct,
+            extra=(F.col("rank_ppm").alias("__prev"),),
+        ).localCheckpoint()
         delta = nxt.agg(
             F.sum(F.abs(F.col("rank_ppm") - F.col("__prev")))
         ).first()[0]

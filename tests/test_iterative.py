@@ -76,6 +76,31 @@ def test_pagerank_trajectory_matches_python(spark):
     assert got == {n: (deg[n], want[n]) for n in deg}
 
 
+def test_pagerank_fixed3_equals_driver_at_depth3(spark):
+    """The registered fixed-depth unroll (sim_pagerank_fixed3) and the
+    fixpoint driver must agree at depth 3 — both compose the SAME
+    pagerank_round body, and this pins that the unrolled declarative
+    chain and the localCheckpoint loop produce identical integer state
+    (integer dynamics cannot stop early in 3 rounds unless the delta is
+    genuinely zero, in which case the states agree too)."""
+    from sql_cdc_spark.queries.similarity_q import (
+        PR_TOPN,
+        sim_pagerank_fixed3,
+    )
+
+    fixed = [
+        (r.vec_id, r.degree, r.rank_ppm)
+        for r in sim_pagerank_fixed3(spark, SF_DIR_SMALL).collect()
+    ]
+    loop = (
+        IT.pagerank(_nn_edges(spark), max_iters=3)
+        .orderBy(F.desc("rank_ppm"), F.asc("node"))
+        .limit(PR_TOPN)
+        .collect()
+    )
+    assert fixed == [(r.node, r.degree, r.rank_ppm) for r in loop]
+
+
 def test_kmeans_train_matches_python(spark):
     emb = tables.load(spark, SF_DIR_SMALL, "embeddings")
     rows = emb.select("vec_id", "embedding").collect()

@@ -414,6 +414,14 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "rel_fuzzy_match_block": 3,
     # scan-local dot (literal seed) + ONE |dims|-row per-dim aggregate
     "sim_power_iteration": 2,
+    # round-7 registrations (measured at sf0.01 on landing day):
+    # EXECUTED shape: the knn pass materializes ONCE into the
+    # session-cached ("knn_best", sf_dir) frame; the three unrolled
+    # rounds are each one pinned shuffle-hash contribution join + one
+    # inflow agg over the edge list. PRINTED count re-renders the
+    # cached knn subtree once per reference (edge fold + 3 rounds × 2
+    # sides) — the same counting artifact as scl_skew_census
+    "sim_pagerank_fixed3": 66,
 }
 
 
