@@ -37,6 +37,9 @@ from sql_cdc_spark.queries.similarity_q import (
     POWER_UNIT,
     PR_DAMPING_PCT,
     PR_RANK_UNIT,
+    _emb_micro,
+    kmeans_stats,
+    kmeans_update,
     pagerank_round,
 )
 
@@ -107,60 +110,41 @@ def pagerank(
     return ranks
 
 
-def _micro(col):
-    return F.transform(
-        col, lambda x: F.round(x.cast("double") * 1e6).cast("long")
-    )
-
-
 def kmeans_train(
     emb: DataFrame, k: int = 8, n_iters: int = 5
 ) -> tuple[DataFrame, list[int]]:
     """Full Lloyd's k-means in the integer-micro domain → (assignments
     (vec_id, cluster_id), per-round inertia list). Each round is the
-    registered sim_kmeans_step body: centroids baked as literals so
-    assignment is scan-local least(struct(dist², cluster)); the M-step
-    centroid is the element-wise floor(Σx / n) — an exact integer
-    division, so the whole trajectory is engine-independent. Seeds are
-    the vectors with vec_id < k (the step operator's convention).
+    SHARED kmeans_stats / kmeans_update bodies (queries/similarity_q)
+    that also compose the registered sim_kmeans_step report and the
+    fixed-depth sim_kmeans_fixed chain — drift-proof by reference:
+    centroids baked as literals so assignment is scan-local
+    least(struct(dist², cluster)); the M-step centroid is the
+    element-wise floor(Σx / n) — an exact integer division, so the
+    whole trajectory is engine-independent. Seeds are the vectors with
+    vec_id < k (the step operator's convention).
 
     Per round: one corpus scan + one k-group aggregate; the driver
     holds k centroid arrays (bounded). Empty clusters keep their
     previous centroid."""
     assert k >= 2, "kmeans_train needs k >= 2"
     assert n_iters >= 1, "kmeans_train needs at least one round"
-    base = emb.select("vec_id", _micro(F.col("embedding")).alias("mv")).persist()
+    base = _emb_micro(emb).persist()
     seed_rows = base.filter(F.col("vec_id") < k).collect()
     cents = {int(r["vec_id"]): [int(v) for v in r["mv"]] for r in seed_rows}
     assert len(cents) == k, f"need vec_id 0..{k - 1} as seeds"
     inertia_by_round: list[int] = []
-    assigned = None
+    last_cents = cents
     for _ in range(n_iters):
-        # the E-step is the shared expression the registered
-        # sim_kmeans_step query also plans — drift-proof by reference
-        assigned = SIM.assign_to_centroids(base, cents)
-        stats = (
-            assigned.groupBy(F.col("b.c").alias("cluster_id"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("b.d").alias("inertia"),
-                *[
-                    F.sum(F.element_at("mv", d + 1)).alias(f"s{d}")
-                    for d in range(len(next(iter(cents.values()))))
-                ],
-            )
-            .collect()
-        )
+        last_cents = cents
+        stats = kmeans_stats(base, cents).collect()
         inertia_by_round.append(sum(int(r["inertia"]) for r in stats))
-        for r in stats:  # empty clusters keep their previous centroid
-            n = int(r["n"])
-            cents[int(r["cluster_id"])] = [
-                int(r[f"s{d}"]) // n for d in range(len(cents[0]))
-            ]
-    # materialize the assignments BEFORE unpersisting base: the returned
-    # frame is a standalone localCheckpoint, so no caller ever recomputes
-    # the scan after the cache is gone
-    out = assigned.select(
+        cents = kmeans_update(cents, stats)
+    # assignments under the final round's ENTERING centroids (the ones
+    # that produced the last inertia reading); materialized BEFORE
+    # unpersisting base so no caller ever recomputes the scan after the
+    # cache is gone
+    out = SIM.assign_to_centroids(base, last_cents).select(
         "vec_id", F.col("b.c").alias("cluster_id")
     ).localCheckpoint()
     base.unpersist()

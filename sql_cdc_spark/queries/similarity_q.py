@@ -1508,38 +1508,88 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro, so dist² ≤ 64·(4e6)² ≈ 1e15 and inertia stays under 2^63
     through ~9000× this corpus; a 100 TB run re-scales to milli-units,
     same plan."""
-    emb = tables.load(spark, sf_dir, "embeddings")
+    base = _emb_micro(tables.load(spark, sf_dir, "embeddings"))
+    return _kmeans_round_report(base, _kmeans_seeds(base))
+
+
+def _emb_micro(emb: DataFrame) -> DataFrame:
+    """(vec_id, mv): the integer-micro quantized embedding table the
+    k-means family operates on."""
     micro = F.transform(
         F.col("embedding"), lambda x: F.round(x.cast("double") * 1e6).cast("long")
     )
-    base = emb.select("vec_id", micro.alias("mv"))
-    seed_rows = base.filter(F.col("vec_id") < KMEANS_K).collect()  # K rows
-    seeds = {int(r["vec_id"]): [int(v) for v in r["mv"]] for r in seed_rows}
-    # the E-step is the shared SIM.assign_to_centroids expression — also
-    # the loop body of operators/iterative.py::kmeans_train, so the
-    # registered step and the full trainer cannot drift by edit
-    assigned = SIM.assign_to_centroids(base, seeds)
-    agg = assigned.groupBy(F.col("b.c").alias("cluster_id")).agg(
+    return emb.select("vec_id", micro.alias("mv"))
+
+
+def _kmeans_seeds(base: DataFrame) -> dict[int, list[int]]:
+    """The deterministic seeds: the micro vectors with vec_id < KMEANS_K
+    — a K-row bounded collect baked into the plan as literals (the IVF
+    sample pattern)."""
+    rows = base.filter(F.col("vec_id") < KMEANS_K).collect()  # K rows
+    return {int(r["vec_id"]): [int(v) for v in r["mv"]] for r in rows}
+
+
+def kmeans_stats(base: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Per-cluster (cluster_id, n, inertia, s0..s{dims-1}) aggregate
+    under literal centroids ``cents`` — the SHARED Lloyd-round
+    measurement behind the registered step report, the fixed-depth
+    chain (sim_kmeans_fixed) and the fixpoint trainer
+    (operators/iterative.py::kmeans_train), by reference so none can
+    drift by edit. The E-step is the shared SIM.assign_to_centroids
+    expression (scan-local argmin over K literal centroids); the ONLY
+    shuffle is this K-group aggregate."""
+    dims = len(next(iter(cents.values())))
+    assigned = SIM.assign_to_centroids(base, cents)
+    return assigned.groupBy(F.col("b.c").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("b.d").cast("long").alias("inertia"),
         *[
             F.sum(F.element_at("mv", d + 1)).cast("long").alias(f"s{d}")
-            for d in range(DIM)
+            for d in range(dims)
         ],
     )
-    seed_arr = F.map_from_arrays(
-        F.array(*[F.lit(cid).cast("long") for cid in sorted(seeds)]),
+
+
+def kmeans_update(
+    cents: dict[int, list[int]], stats_rows
+) -> dict[int, list[int]]:
+    """The Lloyd M-step on collected per-cluster stats: element-wise
+    FLOOR(Σx / n) (Python // — exact integer floor division; the oracle
+    replays it with the (s − posmod(s, n)) // n identity because DuckDB
+    // truncates toward zero while Python floors). Empty clusters keep
+    their previous centroid."""
+    nxt = dict(cents)
+    dims = len(next(iter(cents.values())))
+    for r in stats_rows:
+        n = int(r["n"])
+        nxt[int(r["cluster_id"])] = [int(r[f"s{d}"]) // n for d in range(dims)]
+    return nxt
+
+
+def _kmeans_round_report(
+    base: DataFrame, cents: dict[int, list[int]]
+) -> DataFrame:
+    """The per-cluster round report (cluster_id, n, inertia, drift)
+    under literal centroids — the projection both sim_kmeans_step
+    (seeds) and sim_kmeans_fixed (round-R centroids) return. drift_num
+    = Σ_d |n·c_d − Σ_assigned x_d| = n·Σ_d |c_d − mean_d| exactly,
+    division-free (the M-step's movement, scaled by n to stay
+    integral)."""
+    dims = len(next(iter(cents.values())))
+    agg = kmeans_stats(base, cents)
+    cent_arr = F.map_from_arrays(
+        F.array(*[F.lit(cid).cast("long") for cid in sorted(cents)]),
         F.array(
             *[
-                F.array(*[F.lit(v).cast("long") for v in seeds[cid]])
-                for cid in sorted(seeds)
+                F.array(*[F.lit(v).cast("long") for v in cents[cid]])
+                for cid in sorted(cents)
             ]
         ),
     )
     drift = F.aggregate(
         F.zip_with(
-            F.array(*[F.col(f"s{d}") for d in range(DIM)]),
-            F.element_at(seed_arr, F.col("cluster_id")),
+            F.array(*[F.col(f"s{d}") for d in range(dims)]),
+            F.element_at(cent_arr, F.col("cluster_id")),
             lambda s, c: F.abs(F.col("n") * c - s),
         ),
         F.lit(0).cast("long"),
@@ -1588,6 +1638,112 @@ drift AS (
          CAST(SUM(abs(a.n * sd.cv[su.d] - su.s)) AS BIGINT) AS drift
   FROM sums su
   JOIN seeds sd ON sd.cluster_id = su.cluster_id
+  JOIN agg a ON a.cluster_id = su.cluster_id
+  GROUP BY 1
+)
+SELECT a.cluster_id, a.n, a.inertia, d.drift
+FROM agg a JOIN drift d ON d.cluster_id = a.cluster_id
+ORDER BY a.cluster_id
+"""
+
+
+# ---- fixed-depth Lloyd chain (round 7) -------------------------------------
+KMEANS_FIXED_ROUNDS = 3  # two M-step updates, then the round-3 report
+
+
+def sim_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_FIXED_ROUNDS chained exact Lloyd rounds — driver-visible
+    evidence for the k-means LOOP, not just its step (the pagerank
+    twin of sim_pagerank_fixed3): sim_kmeans_step pins one iteration
+    from the deterministic seeds; this query runs two full M-step
+    centroid updates (floor-division means, empty clusters keep their
+    previous centroid) and returns the round-3 report through the SAME
+    kmeans_stats / kmeans_update / _kmeans_round_report bodies the
+    fixpoint trainer (operators/iterative.py::kmeans_train) loops. The
+    oracle replays the chain as staged CTEs (assign → per-dim sums →
+    floor-div centroids → reassign), using the (s − posmod(s, n)) // n
+    identity so DuckDB's truncating // reproduces Python's floor
+    division exactly on negative coordinate sums.
+
+    Scale shape: per round ONE corpus scan with a scan-local argmin
+    over K literal centroids + ONE K-group aggregate (map-side
+    combined); between rounds the driver holds K centroid arrays — a
+    bounded collect, the IVF sample pattern. Nothing corpus×corpus,
+    no window over the corpus; R rounds cost R scans."""
+    base = _emb_micro(tables.load(spark, sf_dir, "embeddings"))
+    cents = _kmeans_seeds(base)
+    for _ in range(KMEANS_FIXED_ROUNDS - 1):
+        cents = kmeans_update(cents, kmeans_stats(base, cents).collect())
+    return _kmeans_round_report(base, cents)
+
+
+def _kmeans_fixed_sql(n_rounds: int = KMEANS_FIXED_ROUNDS) -> str:
+    dist2 = (
+        "CAST(list_dot_product(m.mv, m.mv)"
+        " - 2 * list_dot_product(m.mv, c.cv)"
+        " + list_dot_product(c.cv, c.cv) AS BIGINT)"
+    )
+    upds = "".join(
+        f""",
+a{k} AS (
+  SELECT vec_id, mv, cluster_id FROM (
+    SELECT m.vec_id, m.mv, c.cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY m.vec_id
+               ORDER BY {dist2}, c.cluster_id) AS rn
+    FROM m CROSS JOIN c{k - 1} c
+  ) WHERE rn = 1
+),
+s{k} AS (
+  SELECT cluster_id, u.d AS d, CAST(SUM(mv[u.d]) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM a{k}, UNNEST(range(1, {DIM} + 1)) AS u(d)
+  GROUP BY 1, 2
+),
+nc{k} AS (
+  SELECT cluster_id,
+         list((s - ((s % n) + n) % n) // n ORDER BY d) AS cv
+  FROM s{k} GROUP BY cluster_id
+),
+c{k} AS (
+  SELECT c.cluster_id, COALESCE(n.cv, c.cv) AS cv
+  FROM c{k - 1} c LEFT JOIN nc{k} n USING (cluster_id)
+)"""
+        for k in range(1, n_rounds)
+    )
+    fin = n_rounds - 1
+    return f"""
+WITH m AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS mv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cluster_id, mv AS cv FROM m WHERE vec_id < {KMEANS_K}){upds},
+p AS (
+  SELECT m.vec_id, m.mv, c.cluster_id, {dist2} AS dist2
+  FROM m CROSS JOIN c{fin} c
+),
+best AS (
+  SELECT vec_id, mv, cluster_id, dist2 FROM (
+    SELECT p.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY dist2, cluster_id) AS rn
+    FROM p
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT cluster_id, COUNT(*) AS n, CAST(SUM(dist2) AS BIGINT) AS inertia
+  FROM best GROUP BY cluster_id
+),
+sums AS (
+  SELECT b.cluster_id, u.d, CAST(SUM(b.mv[u.d]) AS BIGINT) AS s
+  FROM best b, UNNEST(range(1, {DIM} + 1)) AS u(d)
+  GROUP BY 1, 2
+),
+drift AS (
+  SELECT su.cluster_id,
+         CAST(SUM(abs(a.n * sd.cv[su.d] - su.s)) AS BIGINT) AS drift
+  FROM sums su
+  JOIN c{fin} sd ON sd.cluster_id = su.cluster_id
   JOIN agg a ON a.cluster_id = su.cluster_id
   GROUP BY 1
 )
@@ -1682,6 +1838,7 @@ QUERIES: dict[str, QueryEntry] = {
         sim_power_iteration, _power_iteration_sql()
     ),
     "sim_kmeans_step": QueryEntry(sim_kmeans_step, _kmeans_step_sql()),
+    "sim_kmeans_fixed": QueryEntry(sim_kmeans_fixed, _kmeans_fixed_sql()),
     "sim_ann_recall_eval": QueryEntry(sim_ann_recall_eval, _ann_recall_sql()),
     "sim_topk_cosine": QueryEntry(sim_topk_cosine, _TOPK_SQL),
     "sim_pq_topk": QueryEntry(sim_pq_topk, _PQ_SQL),

@@ -101,6 +101,20 @@ def test_pagerank_fixed3_equals_driver_at_depth3(spark):
     assert fixed == [(r.node, r.degree, r.rank_ppm) for r in loop]
 
 
+def test_kmeans_fixed_report_matches_trainer_round3(spark):
+    """The registered fixed-depth chain (sim_kmeans_fixed) and the
+    fixpoint trainer share kmeans_stats/kmeans_update by reference;
+    pin the composition: the chain's round-3 inertia total must equal
+    kmeans_train's third per-round inertia reading (both are the
+    E-step measurement under the same twice-updated centroids)."""
+    from sql_cdc_spark.queries.similarity_q import sim_kmeans_fixed
+
+    report = sim_kmeans_fixed(spark, SF_DIR_SMALL).collect()
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings")
+    _, inertia = IT.kmeans_train(emb, k=8, n_iters=3)
+    assert sum(int(r.inertia) for r in report) == inertia[2]
+
+
 def test_kmeans_train_matches_python(spark):
     emb = tables.load(spark, SF_DIR_SMALL, "embeddings")
     rows = emb.select("vec_id", "embedding").collect()

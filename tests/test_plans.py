@@ -422,6 +422,10 @@ HEADLINE_EXCHANGE_BUDGETS = {
     # cached knn subtree once per reference (edge fold + 3 rounds × 2
     # sides) — the same counting artifact as scl_skew_census
     "sim_pagerank_fixed3": 66,
+    # the returned round-3 report: scan-local assignment under literal
+    # round-2 centroids + ONE K-group agg + sort (the two update rounds
+    # execute eagerly as bounded K-row collects at plan-build time)
+    "sim_kmeans_fixed": 2,
 }
 
 
