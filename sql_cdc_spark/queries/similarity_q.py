@@ -872,6 +872,95 @@ def elect_dropped(vb: DataFrame) -> DataFrame:
     )
 
 
+# the SemDeDup tuning sweep's thresholds, micro-cosine units; the middle
+# point IS the registered election's SEMDEDUP_T so the sweep and the
+# decision query stay tied (guarded by an invariant test)
+SEMDEDUP_SWEEP_TS = (250_000, 350_000, 450_000)
+
+
+def sim_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold sweep — how much of the corpus each candidate
+    cosine threshold would drop (the tuning measurement you run BEFORE
+    committing to SEMDEDUP_T, the embedding twin of
+    dd_containment_sweep): per threshold, the dropped-vector count and
+    integer drop ppm.
+
+    Scale shape: ONE salted bucketed pair pass (the sim_semantic_dedup
+    join, shared plan rules) folds to a per-vector MAX smaller-id-mate
+    cosine — a hash aggregate over a plain bigint, never a struct — and
+    every threshold then reads that |V|-row table with a conditional
+    sum; adding thresholds is free. A vector's drop decision at ANY
+    threshold is a pure function of its max mate cosine, so the sweep
+    is exact, not sampled. The census is a 1-row aggregate stacked to
+    |thresholds| rows against the broadcast 1-row corpus count."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    joined = _salted_bucket_pairs(bucket_vectors(emb), "__mate")
+    ea = SIM.as_double_array(F.col("__ea"))
+    ec = SIM.as_double_array(F.col("__ec"))
+    cm = F.round(SIM.cosine(ea, ec) * 1_000_000).cast("long")
+    per_vec = (
+        joined.filter(F.col("__mate") < F.col("vec_id"))
+        .select("vec_id", cm.alias("cm"))
+        .groupBy("vec_id")
+        .agg(F.max("cm").alias("max_cm"))
+    )
+    counts = per_vec.agg(
+        *[
+            F.sum((F.col("max_cm") >= t).cast("long")).alias(f"d{t}")
+            for t in SEMDEDUP_SWEEP_TS
+        ]
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    stacked = counts.crossJoin(F.broadcast(total)).selectExpr(
+        "n_total",
+        f"stack({len(SEMDEDUP_SWEEP_TS)}, "
+        + ", ".join(f"{t}L, d{t}" for t in SEMDEDUP_SWEEP_TS)
+        + ") as (threshold_micro, n_dropped)",
+    )
+    return (
+        stacked.select(
+            "threshold_micro",
+            # the conditional sums are null over an empty per-vec table
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            "n_total",
+            F.expr(
+                "1000000 * coalesce(n_dropped, 0) div n_total"
+            ).alias("drop_ppm"),
+        )
+        .orderBy("threshold_micro")
+    )
+
+
+def _semdedup_sweep_sql() -> str:
+    lsh = _lsh_sql().strip()
+    ts = ", ".join(str(t) for t in SEMDEDUP_SWEEP_TS)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS ({lsh.replace('WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)', '')} ),
+vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
+pv AS (
+  SELECT a.vec_id,
+         MAX(CAST(round(ROUND(list_dot_product(a.e, c.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 6) * 1000000)
+             AS BIGINT)) AS max_cm
+  FROM vb a JOIN vb c ON a.bucket = c.bucket AND c.vec_id < a.vec_id
+  GROUP BY a.vec_id
+),
+tot AS (SELECT COUNT(*) AS n_total FROM embeddings),
+th AS (SELECT UNNEST([{ts}]) AS threshold_micro)
+SELECT th.threshold_micro,
+       (SELECT COUNT(*) FROM pv WHERE pv.max_cm >= th.threshold_micro)
+         AS n_dropped,
+       t.n_total,
+       1000000 * (SELECT COUNT(*) FROM pv
+                  WHERE pv.max_cm >= th.threshold_micro) // t.n_total
+         AS drop_ppm
+FROM th CROSS JOIN tot t
+ORDER BY threshold_micro
+"""
+
+
 def _semantic_dedup_sql() -> str:
     lsh = _lsh_sql().strip()
     return f"""
@@ -1853,5 +1942,8 @@ QUERIES: dict[str, QueryEntry] = {
     "sim_quantized_topk": QueryEntry(sim_quantized_topk, _QTOPK_SQL),
     "sim_knn_join": QueryEntry(sim_knn_join, _knn_join_sql()),
     "sim_semantic_dedup": QueryEntry(sim_semantic_dedup, _semantic_dedup_sql()),
+    "sim_semdedup_sweep": QueryEntry(
+        sim_semdedup_sweep, _semdedup_sweep_sql()
+    ),
     "sim_hybrid_search": QueryEntry(sim_hybrid_search, _hybrid_sql()),
 }

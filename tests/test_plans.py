@@ -426,6 +426,9 @@ HEADLINE_EXCHANGE_BUDGETS = {
     # round-2 centroids + ONE K-group agg + sort (the two update rounds
     # execute eagerly as bounded K-row collects at plan-build time)
     "sim_kmeans_fixed": 2,
+    # ONE salted bucket pair pass → per-vector max agg → 1-row census
+    # (+ broadcast corpus count + stack + presentation sort)
+    "sim_semdedup_sweep": 5,
 }
 
 

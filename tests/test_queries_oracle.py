@@ -549,6 +549,31 @@ def test_semantic_dedup_matches_oracle(spark, oracle):
     assert keepers - dropped, "every keeper was itself dropped"
 
 
+def test_semdedup_sweep_ties_to_election(spark):
+    """The sweep's row at the registered SEMDEDUP_T must count exactly
+    the vectors the registered election drops (the sweep is the tuning
+    measurement FOR that constant — if they disagree, the sweep is
+    measuring a different decision than the one shipped), sweep counts
+    must be monotone non-increasing in the threshold, and drop_ppm must
+    be the integer ppm of n_dropped over the corpus count."""
+    from sql_cdc_spark.queries.similarity_q import (
+        SEMDEDUP_T,
+        sim_semantic_dedup,
+        sim_semdedup_sweep,
+    )
+
+    rows = sim_semdedup_sweep(spark, SF_DIR).collect()
+    assert [r.threshold_micro for r in rows] == sorted(
+        r.threshold_micro for r in rows
+    )
+    drops = [r.n_dropped for r in rows]
+    assert drops == sorted(drops, reverse=True), "sweep not monotone"
+    mid = {r.threshold_micro: r for r in rows}[round(SEMDEDUP_T * 1e6)]
+    assert mid.n_dropped == sim_semantic_dedup(spark, SF_DIR).count()
+    for r in rows:
+        assert r.drop_ppm == 1_000_000 * r.n_dropped // r.n_total
+
+
 def test_tfidf_topterms_invariants(spark, oracle):
     """Shape invariants for txt_tfidf_topterms beyond the parametrized
     parity row: per-doc rank contiguity, the score ordering the rank
