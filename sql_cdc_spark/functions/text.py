@@ -226,6 +226,58 @@ def rolling_hash(col: Column) -> Column:
     )
 
 
+WINNOW_K = 4  # words per k-gram (the fingerprint granularity)
+WINNOW_W = 3  # winnowing window: one fingerprint per W consecutive grams
+
+
+def winnow_fingerprints(
+    words: Column, k: int = WINNOW_K, w: int = WINNOW_W
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-word gram with the
+    shared Rabin–Karp recurrence, then keep the MINIMUM hash of each
+    window of w consecutive gram hashes. Guarantees: any shared run of
+    ≥ k+w−1 words between two documents shares at least one selected
+    fingerprint, while only ~1/w of the gram hashes are kept — the
+    sub-sampling that makes partial-overlap detection affordable where
+    full k-gram posting would not be. Returns the DISTINCT selected
+    fingerprint array per document.
+
+    Pure scan-local array algebra (nested higher-order functions, no
+    UDF, no shuffle): all-integer polynomial hashing, so fingerprints
+    are bit-identical on any engine. Tie handling: the fingerprint is
+    the hash VALUE, so equal-hash ties inside a window select the same
+    value regardless of position — position choice (rightmost in the
+    paper) only matters when fingerprints carry positions, and the
+    distinct fold erases it. Guards (the documented cross-engine blank
+    hazards): blank text's [''] token array counts as zero words, and
+    both the gram and window sequences are gated with when() so a
+    sub-width document yields ZERO fingerprints rather than Spark's
+    descending phantom sequence(0, -1)."""
+    n = F.when(
+        (F.size(words) == 1) & (F.element_at(words, 1) == F.lit("")),
+        F.lit(0),
+    ).otherwise(F.size(words))
+    m = n - k + 1  # gram count
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(grams, rolling_hash)
+    nw = F.size(hashes) - w + 1
+    fps = F.when(
+        nw >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda j: F.array_min(F.slice(hashes, j, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(fps)
+
+
 def occurrence_count(col: Column, needle: str) -> Column:
     """Count non-overlapping occurrences of a literal via the
     length-difference trick — identical semantics in Spark and DuckDB

@@ -151,6 +151,70 @@ SELECT doc_id,
 FROM documents
 """
 
+WINNOW_TOPK = 25
+
+
+def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus census of shared winnowing fingerprints — the
+    partial-overlap dedup signal the whole-doc fingerprint
+    (txt_rolling_fingerprint) and the disjoint-tile census
+    (txt_dup_passage_census) both miss: winnowing (Schleimer et al.,
+    SIGMOD 2003) guarantees any shared run of ≥ WINNOW_K+WINNOW_W−1
+    words surfaces a shared fingerprint while keeping only ~1/W of the
+    gram hashes, so overlapping (not merely identical or tile-aligned)
+    passages between documents are visible at a fraction of the posting
+    volume. Emits the top shared fingerprints (appearing in ≥ 2 docs)
+    by document frequency.
+
+    Scale shape: fingerprint selection is entirely SCAN-LOCAL (nested
+    array HOFs over the per-doc token array — zero joins, zero UDFs);
+    the only corpus-wide exchange is the fingerprint groupBy (map-side
+    combined, post-distinct so a doc contributes each fingerprint
+    once), and the top-k compiles to TakeOrderedAndProject over the
+    (n_docs desc, fp asc) total order. The ~1/W sub-sampling is the
+    100 TB lever: posting volume tracks selected fingerprints, not
+    grams."""
+    docs = tables.load(spark, sf_dir, "documents")
+    fps = TX.winnow_fingerprints(TX.normalize_words(F.col("text")))
+    per_doc = docs.select("doc_id", F.explode(fps).alias("fp"))
+    return (
+        per_doc.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("fp"))
+        .limit(WINNOW_TOPK)
+    )
+
+
+# fixed K=4 grams / W=3 windows rendered ELEMENTWISE (ws[i] || ' ' || …,
+# LEAST(hl[j], hl[j+1], hl[j+2])) so the oracle never leans on DuckDB
+# list-slicing semantics; generate_series(1, n<1) is empty on DuckDB,
+# matching the Spark when()-guards (the documented sequence hazard)
+_WINNOW_SQL = f"""
+WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, t.i,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(
+             ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2]
+                      || ' ' || ws[t.i + 3], ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * {TX.ROLLING_BASE} + b) % {TX.ROLLING_MOD}) AS h
+  FROM w, UNNEST(generate_series(1, len(ws) - {TX.WINNOW_K - 1})) AS t(i)
+  WHERE NOT (len(ws) = 1 AND ws[1] = '')
+),
+hs AS (SELECT doc_id, list(h ORDER BY i) AS hl FROM g GROUP BY doc_id),
+f AS (
+  SELECT DISTINCT doc_id, LEAST(hl[t.j], hl[t.j + 1], hl[t.j + 2]) AS fp
+  FROM hs, UNNEST(generate_series(1, len(hl) - {TX.WINNOW_W - 1})) AS t(j)
+)
+SELECT fp, COUNT(*) AS n_docs
+FROM f GROUP BY fp HAVING COUNT(*) >= 2
+ORDER BY n_docs DESC, fp ASC
+LIMIT {WINNOW_TOPK}
+"""
+
+
 TOP_BIGRAMS = 20
 
 
@@ -886,6 +950,9 @@ QUERIES: dict[str, QueryEntry] = {
     "txt_ngram_novelty": QueryEntry(txt_ngram_novelty, _NOVELTY_SQL),
     "txt_bpe_tokens": QueryEntry(txt_bpe_tokens, _BPE_SQL),
     "txt_rolling_fingerprint": QueryEntry(txt_rolling_fingerprint, _ROLLING_SQL),
+    "txt_winnow_fingerprints": QueryEntry(
+        txt_winnow_fingerprints, _WINNOW_SQL
+    ),
     "txt_quality_score": QueryEntry(txt_quality_score, _QUALITY_SQL),
     "txt_language_id": QueryEntry(txt_language_id, _language_sql()),
     "txt_bigram_topk": QueryEntry(txt_bigram_topk, _BIGRAM_SQL),

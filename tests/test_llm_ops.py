@@ -736,6 +736,40 @@ def test_duplicate_spans_finds_planted_shared_passage(spark):
         assert 0 < got[d].dup_fraction < 1
 
 
+def test_winnow_guarantee_on_planted_overlap(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a run of ≥ K+W−1 words MUST share at least one selected
+    fingerprint; a doc with no shared passage shares none; sub-width
+    docs yield zero fingerprints (the sequence/blank guards)."""
+    from sql_cdc_spark.functions import text as TX
+
+    k, w = TX.WINNOW_K, TX.WINNOW_W
+    boiler = " ".join(f"tok{i}" for i in range(k + w - 1))  # minimal run
+    rows = [
+        (1, "alpha beta gamma delta " + boiler + " epsilon zeta"),
+        (2, boiler + " eta theta iota kappa lam mu nu xi"),
+        (3, "completely different words without any shared passage here"),
+        (4, "too short"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.f)
+        for r in docs.select(
+            "doc_id",
+            TX.winnow_fingerprints(TX.normalize_words(F.col("text"))).alias(
+                "f"
+            ),
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared >= K+W-1 run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert fps[4] == set() and fps[5] == set()
+    # selection really sub-samples: a doc with m grams keeps < m hashes
+    n_grams = len(rows[0][1].split()) - k + 1
+    assert 0 < len(fps[1]) < n_grams
+
+
 def test_duplicate_spans_ignores_intra_doc_repeats(spark):
     """A phrase repeated within ONE doc is not a cross-doc duplicate:
     windows are deduped per doc before the ≥2-docs test."""

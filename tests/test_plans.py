@@ -429,6 +429,8 @@ HEADLINE_EXCHANGE_BUDGETS = {
     # ONE salted bucket pair pass → per-vector max agg → 1-row census
     # (+ broadcast corpus count + stack + presentation sort)
     "sim_semdedup_sweep": 5,
+    # scan-local fingerprint selection; ONE census groupBy + TakeOrdered
+    "txt_winnow_fingerprints": 2,
 }
 
 
