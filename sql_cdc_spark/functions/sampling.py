@@ -24,13 +24,23 @@ from pyspark.sql import functions as F
 _HASH_SPAN = float(2**60)
 
 
+def hash60(col: Column, salt: str = "") -> Column:
+    """The 60-bit key hash every deterministic sampling/shuffling
+    primitive here derives from: the first 15 hex chars of
+    md5(salt || key) as an exact bigint in [0, 2^60) — the same
+    arithmetic runs verbatim in the DuckDB oracles. Changing ``salt``
+    draws an independent assignment."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
 def hash_unit(col: Column, salt: str = "") -> Column:
-    """Deterministic uniform [0,1) from a key column: the first 15 hex
-    chars of md5(salt || key) as a 60-bit integer, divided by 2^60.
-    Changing ``salt`` draws an independent assignment (e.g. one salt for
-    the split, another for subsampling)."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15), 16, 10).cast("long")
-    return h / F.lit(_HASH_SPAN)
+    """Deterministic uniform [0,1) from a key column: hash60 divided by
+    2^60 (the same IEEE754 division on both engines)."""
+    return hash60(col, salt) / F.lit(_HASH_SPAN)
 
 
 def with_split(

@@ -57,6 +57,61 @@ GROUP BY split ORDER BY split
 """
 
 
+N_SHUFFLE_SHARDS = 16
+SHUFFLE_SALT = "shuffle"
+
+
+def crp_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle → training-shard census — the
+    serving-order pass every epoch of LLM training needs: each document
+    lands in shard hash60(doc_id) mod N, and its serving position
+    within the shard is the (hash, doc_id) order, so the 'random' epoch
+    order is a pure function of (salt, doc_id) — reproducible across
+    runs, engines, and cluster sizes, and a different salt draws an
+    independent permutation (the rand()-free property
+    functions/sampling.py documents). Emits per shard the document
+    count, character mass, and the hash range actually observed —
+    the balance/determinism evidence a shard writer validates before
+    the expensive write.
+
+    Scale shape: shard assignment is SCAN-LOCAL (one md5 per row); the
+    census is ONE map-side-combined groupBy into N_SHUFFLE_SHARDS rows.
+    The production write this census plans is repartition(N) on
+    shard_id + sortWithinPartitions(h, doc_id) — exactly one exchange
+    for the whole epoch order; nothing here ever global-sorts the
+    corpus."""
+    docs = tables.load(spark, sf_dir, "documents")
+    h = SP.hash60(F.col("doc_id"), SHUFFLE_SALT)
+    sharded = docs.select(
+        (h % N_SHUFFLE_SHARDS).alias("shard_id"), h.alias("h"), "n_chars"
+    )
+    return (
+        sharded.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _global_shuffle_sql() -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substring(md5('{SHUFFLE_SALT}'
+              || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT h % {N_SHUFFLE_SHARDS} AS shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(h) AS min_h, MAX(h) AS max_h
+FROM h GROUP BY 1 ORDER BY shard_id
+"""
+
+
 def crp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic subsample (down-weight the dominant
     language, keep the tail): the exact same rows survive in Spark and
@@ -1267,6 +1322,7 @@ LIMIT {DSIR_K}
 
 QUERIES: dict[str, QueryEntry] = {
     "crp_train_test_split": QueryEntry(crp_train_test_split, _split_census_sql()),
+    "crp_global_shuffle": QueryEntry(crp_global_shuffle, _global_shuffle_sql()),
     "crp_stratified_sample": QueryEntry(crp_stratified_sample, _stratified_sql()),
     "crp_corpus_clean": QueryEntry(crp_corpus_clean, _corpus_clean_sql()),
     "crp_repetition_filter": QueryEntry(crp_repetition_filter, _repetition_sql()),

@@ -431,6 +431,8 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "sim_semdedup_sweep": 5,
     # scan-local fingerprint selection; ONE census groupBy + TakeOrdered
     "txt_winnow_fingerprints": 2,
+    # scan-local md5 shard assignment; ONE 16-row census groupBy + sort
+    "crp_global_shuffle": 4,
 }
 
 
