@@ -389,8 +389,128 @@ ORDER BY source, bin
 """
 
 
+# ---- range-partition planner (round 7) -------------------------------------
+RANGE_BUCKETS = 8       # planned output partitions
+RANGE_SAMPLE_PCT = 5    # deterministic sample rate, percent
+RANGE_SALT = "rpp"      # hash salt for the sample draw
+
+
+def scl_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planner + balance audit — the algorithm
+    behind repartitionByRange / sorted-table writes, made a first-class
+    query: draw a DETERMINISTIC hash sample of the key column, place
+    RANGE_BUCKETS−1 split points at the sample's equal-rank quantiles,
+    then census the FULL table against those boundaries and report how
+    balanced the planned partitions actually come out (fill_permille =
+    1000·n_rows·B / total — 1000 is a perfectly balanced bucket).
+    Spark's own RangePartitioner does exactly this with a random
+    reservoir sample; the hash draw makes the plan reproducible across
+    runs and engines, so the oracle re-derives identical boundaries.
+
+    Scale shape: the sample is a scan-local hash filter (rate is the
+    knob — production planners cap it near 1e5 rows); ranking the
+    sample is the ONLY sort, bounded by the sample size. Boundaries
+    come back as a ≤ B−1-row bounded collect baked into the census plan
+    as LITERALS, so bucket assignment over the full table is scan-local
+    (a sum of key>bound comparisons) and the census is one B-group
+    map-side-combined aggregate. Nothing global-sorts the table —
+    that's the point of planning the ranges first."""
+    from pyspark.sql import Window
+
+    orders = tables.load(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(RANGE_SALT), F.col("o_orderkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sample = orders.filter(h % 100 < RANGE_SAMPLE_PCT).select(
+        F.col("o_totalprice").alias("key"), F.col("o_orderkey").alias("id")
+    )
+    n_s = sample.count()
+    ranks = sorted(
+        (n_s * b + RANGE_BUCKETS - 1) // RANGE_BUCKETS
+        for b in range(1, RANGE_BUCKETS)
+    )
+    ranked = sample.withColumn(
+        "rn", F.row_number().over(Window.orderBy("key", "id"))
+    )
+    rank_to_key = {
+        int(r["rn"]): float(r["key"])
+        for r in ranked.filter(F.col("rn").isin(ranks)).collect()
+    }
+    # duplicate target ranks (tiny samples) keep their multiplicity —
+    # the oracle's rank-join derives the same multiset
+    bounds = [rank_to_key[rk] for rk in ranks]
+    bucket = sum(
+        (F.col("o_totalprice") > F.lit(bd)).cast("int") for bd in bounds
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("total_rows"))
+    return (
+        orders.select(bucket.cast("long").alias("bucket_id"), "o_totalprice")
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("min_key"),
+            F.round(F.max("o_totalprice"), 2).alias("max_key"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket_id",
+            "n_rows",
+            "min_key",
+            "max_key",
+            F.expr(
+                f"1000 * n_rows * {RANGE_BUCKETS} div total_rows"
+            ).alias("fill_permille"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+_RANGE_PLAN_SQL = f"""
+WITH s AS (
+  SELECT o_totalprice AS key, o_orderkey AS id
+  FROM orders
+  WHERE CAST(('0x' || substring(md5('{RANGE_SALT}'
+        || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        % 100 < {RANGE_SAMPLE_PCT}
+),
+r AS (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key, id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM s
+),
+bs AS (SELECT UNNEST(generate_series(1, {RANGE_BUCKETS - 1})) AS b),
+bnd AS (
+  SELECT r.key AS bound
+  FROM r JOIN bs ON r.rn = (r.n * bs.b + {RANGE_BUCKETS} - 1) // {RANGE_BUCKETS}
+),
+tot AS (SELECT COUNT(*) AS total_rows FROM orders),
+asg AS (
+  SELECT o.o_totalprice AS key,
+         (SELECT COUNT(*) FROM bnd WHERE bnd.bound < o.o_totalprice)
+           AS bucket_id
+  FROM orders o
+)
+SELECT a.bucket_id, COUNT(*) AS n_rows,
+       ROUND(MIN(a.key), 2) AS min_key, ROUND(MAX(a.key), 2) AS max_key,
+       1000 * COUNT(*) * {RANGE_BUCKETS} // ANY_VALUE(t.total_rows)
+         AS fill_permille
+FROM asg a CROSS JOIN tot t
+GROUP BY a.bucket_id
+ORDER BY bucket_id
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "scl_salted_pricing": QueryEntry(scl_salted_pricing, _SALTED_PRICING_SQL),
+    "scl_range_partition_plan": QueryEntry(
+        scl_range_partition_plan, _RANGE_PLAN_SQL
+    ),
     "scl_salted_join_segments": QueryEntry(scl_salted_join_segments, _SALTED_JOIN_SQL),
     "scl_group_zscore": QueryEntry(scl_group_zscore, _ZSCORE_SQL),
     "scl_zorder_key": QueryEntry(scl_zorder_key, _zorder_sql()),

@@ -433,6 +433,10 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "txt_winnow_fingerprints": 2,
     # scan-local md5 shard assignment; ONE 16-row census groupBy + sort
     "crp_global_shuffle": 4,
+    # boundaries baked as literals at plan-build (bounded sample sort);
+    # the returned census is scan-local assignment + ONE B-group agg +
+    # broadcast 1-row total + sort
+    "scl_range_partition_plan": 4,
 }
 
 
