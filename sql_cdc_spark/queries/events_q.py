@@ -1275,6 +1275,112 @@ ORDER BY event_type, rnk
 """
 
 
+# ---- out-of-orderness census (round 7) --------------------------------------
+# (band_ord, label, upper-bound in MICROSECONDS inclusive; None = +inf);
+# the ONE constant table both the Spark CASE and the oracle CASE render
+# from, so the band edges cannot drift cross-engine
+OOO_BANDS = (
+    (0, "in_order", 0),
+    (1, "lt_1m", 60_000_000),
+    (2, "lt_1h", 3_600_000_000),
+    (3, "lt_1d", 86_400_000_000),
+    (4, "ge_1d", None),
+)
+
+
+def evt_out_of_order_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time out-of-orderness census — the measurement that PICKS a
+    watermark: evt_late_data_filter applies a 7-day watermark, this
+    query says what delay the stream actually needs. Arrival order is
+    the generator's insertion sequence (event_id); per user, an event's
+    lateness is how far its event time sits behind the running maximum
+    of everything that arrived before it (0 = in order). The census
+    bands lateness on the OOO_BANDS edges and reports counts + integer
+    ppm share — read it as 'a watermark of 1h admits all but
+    (lt_1d + ge_1d) ppm of events'.
+
+    Integer-exact: lateness is unix_micros arithmetic (the documented
+    timestamp discipline), bands are microsecond literals from the ONE
+    shared constant table, shares are bigint floor ppm.
+
+    Scale shape: ONE shuffle (the per-user window partition — arrival
+    order never needs a global sort), then a 5-group map-side-combined
+    census against the broadcast 1-row total. The first event per user
+    has no predecessor: coalesce(…, 0) reads it as in-order on both
+    engines (no reliance on either engine's greatest() null rule).
+
+    The driver corpus arrives fully in-order (the generator emits
+    event_id in timestamp order), so the registered census is a single
+    in_order row; the banding logic is exercised across ALL bands by
+    the planted-lateness invariant test over the same core."""
+    return out_of_order_census(tables.load(spark, sf_dir, "events"))
+
+
+def out_of_order_census(ev: DataFrame) -> DataFrame:
+    """The census core over any (user_id, event_id, ts) frame — see
+    evt_out_of_order_census."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros("ts")
+    late = F.greatest(
+        F.lit(0).cast("long"),
+        F.coalesce(F.max(ts_us).over(w) - ts_us, F.lit(0).cast("long")),
+    )
+    band_ord = F.lit(OOO_BANDS[-1][0])
+    band = F.lit(OOO_BANDS[-1][1])
+    for ordv, label, hi in reversed(OOO_BANDS[:-1]):
+        band_ord = F.when(F.col("late_us") <= hi, ordv).otherwise(band_ord)
+        band = F.when(F.col("late_us") <= hi, label).otherwise(band)
+    total = ev.agg(F.count(F.lit(1)).alias("total_events"))
+    return (
+        ev.select(late.alias("late_us"))
+        .select(band_ord.alias("band_ord"), band.alias("band"))
+        .groupBy("band_ord", "band")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "band_ord",
+            "band",
+            "n_events",
+            F.expr("1000000 * n_events div total_events").alias("share_ppm"),
+        )
+        .orderBy("band_ord")
+    )
+
+
+def _ooo_census_sql() -> str:
+    whens = " ".join(
+        f"WHEN late_us <= {hi} THEN {ordv}"
+        for ordv, _, hi in OOO_BANDS[:-1]
+    )
+    labels = " ".join(
+        f"WHEN late_us <= {hi} THEN '{label}'"
+        for _, label, hi in OOO_BANDS[:-1]
+    )
+    return f"""
+WITH l AS (
+  SELECT greatest(0, coalesce(
+           MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - epoch_us(ts), 0)) AS late_us
+  FROM events
+),
+b AS (
+  SELECT CASE {whens} ELSE {OOO_BANDS[-1][0]} END AS band_ord,
+         CASE {labels} ELSE '{OOO_BANDS[-1][1]}' END AS band
+  FROM l
+),
+tot AS (SELECT COUNT(*) AS total_events FROM events)
+SELECT b.band_ord, b.band, COUNT(*) AS n_events,
+       1000000 * COUNT(*) // ANY_VALUE(t.total_events) AS share_ppm
+FROM b CROSS JOIN tot t
+GROUP BY 1, 2 ORDER BY band_ord
+"""
+
+
 QUERIES: dict[str, QueryEntry] = {
     "evt_rate_anomaly": QueryEntry(evt_rate_anomaly, _ANOMALY_SQL),
     "evt_histogram": QueryEntry(evt_histogram, _HISTOGRAM_SQL),
@@ -1291,6 +1397,9 @@ QUERIES: dict[str, QueryEntry] = {
     "evt_session_windows": QueryEntry(evt_session_windows, _SESSION_SQL),
     "evt_daily_user_activity": QueryEntry(evt_daily_user_activity, _DAILY_SQL),
     "evt_late_data_filter": QueryEntry(evt_late_data_filter, _LATE_FILTER_SQL),
+    "evt_out_of_order_census": QueryEntry(
+        evt_out_of_order_census, _ooo_census_sql()
+    ),
     "evt_top_users_per_day": QueryEntry(evt_top_users_per_day, _TOP_USERS_SQL),
     "evt_asof_last_purchase": QueryEntry(evt_asof_last_purchase, _ASOF_SQL),
     "evt_percentile_sketch": QueryEntry(evt_percentile_sketch, _PCT_SKETCH_SQL),

@@ -437,6 +437,8 @@ HEADLINE_EXCHANGE_BUDGETS = {
     # the returned census is scan-local assignment + ONE B-group agg +
     # broadcast 1-row total + sort
     "scl_range_partition_plan": 4,
+    # ONE per-user window shuffle + 5-group census + broadcast total
+    "evt_out_of_order_census": 9,
 }
 
 

@@ -549,6 +549,46 @@ def test_semantic_dedup_matches_oracle(spark, oracle):
     assert keepers - dropped, "every keeper was itself dropped"
 
 
+def test_out_of_order_census_planted_lateness(spark):
+    """The driver corpus is fully in-order, so the registered census is
+    one row; plant a stream with known per-band lateness and pin every
+    band edge (inclusive upper bounds), the per-user scoping (one
+    user's late event does not contaminate another's), and the
+    first-event-per-user in-order rule."""
+    import datetime as dt
+
+    from sql_cdc_spark.queries.events_q import out_of_order_census
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: in order, then exactly-60s late (lt_1m edge), then
+        # 61s late (lt_1h), then 1-day late (lt_1d edge), then beyond
+        (1, 1, t0),
+        (1, 2, t0 + 1000 * s),
+        (1, 3, t0 + 1000 * s - 60 * s),
+        (1, 4, t0 + 1000 * s - 61 * s),
+        (1, 5, t0 + 1000 * s - 86400 * s),
+        (1, 6, t0 + 1000 * s - 86401 * s),
+        # user 2: its first event is older than user 1's history but
+        # must read in-order (per-user scoping + no-predecessor rule)
+        (2, 7, t0 - 999999 * s),
+        (2, 8, t0 - 999998 * s),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+    got = {r.band: (r.band_ord, r.n_events, r.share_ppm)
+           for r in out_of_order_census(ev).collect()}
+    assert got == {
+        "in_order": (0, 4, 500000),
+        "lt_1m": (1, 1, 125000),
+        "lt_1h": (2, 1, 125000),
+        "lt_1d": (3, 1, 125000),
+        "ge_1d": (4, 1, 125000),
+    }
+
+
 def test_semdedup_sweep_ties_to_election(spark):
     """The sweep's row at the registered SEMDEDUP_T must count exactly
     the vectors the registered election drops (the sweep is the tuning
