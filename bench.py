@@ -120,8 +120,15 @@ ROUND6 = [
     "sim_power_iteration",      # one PCA power-iteration step
 ]
 
-# round-7 registrations (filled as operators land this round)
+# round-7 registrations
 ROUND7 = [
+    "sim_pagerank_fixed3",       # 3-round PageRank unroll
+    "sim_kmeans_fixed",          # 3-round Lloyd chain
+    "sim_semdedup_sweep",        # SemDeDup threshold sweep
+    "txt_winnow_fingerprints",   # MOSS winnowing census
+    "crp_global_shuffle",        # seeded epoch-shuffle shard census
+    "scl_range_partition_plan",  # range-boundary planner + balance
+    "evt_out_of_order_census",   # lateness bands for watermark choice
 ]
 
 

@@ -50,49 +50,44 @@ def _registry() -> dict[str, QueryEntry]:
     # — the families whose last driver check is oldest; (3) demoted
     # long-greens stay covered every round by the local pytest oracle
     # suite, which runs ALL queries vs DuckDB at sf0.01.
-    # Round-6 rotation (executes the plan published in r5; see git
-    # history for the r1-r5 narratives): the window below is explicit.
-    # (1) The four operators implemented in round 5 with registration
-    # deferred enter FIRST — txt_bm25_search, txt_bpe_pair_census,
-    # sim_hybrid_search, scl_skew_census — they are ADDED this round
-    # and the invariant "every query added or changed in round N is
-    # driver-checked in round N" pins them in-window. (2) The
-    # containment twins re-enter as CHANGED: their shared rare-domain
-    # base moved to the documented _cache.session_cached lifecycle
-    # (re-persist after external clearCache, dead-session eviction —
-    # ADVICE r5), and scl_skew_census's count-of-counts joins the same
-    # contract (VERDICT r5 #5). txt_bm25_search also absorbed the
-    # single-evaluation normalize_words fix (VERDICT r5 #6), which
-    # sim_hybrid_search inherits through its lexical branch — both are
-    # already in-window as additions. (3) Operators LANDED in round 6
-    # register in the round they land (VERDICT r5 #3 — no more deferred
-    # batches). (4) The remaining slots pay rotation debt oldest-first:
-    # the ten published r2-green heads, the eight other r2 greens (all
-    # eighteen r2 rows now re-check), then the head of the r3-green
-    # stale list.
-    # Round-7 plan (published now, same discipline): the window opens
-    # with anything added or changed in round 7, then the eleven r3
-    # greens that ceded slots to this round's landings
-    # (tpch_q6_forecast_revenue, fn_bson_roundtrip, win_ntile_quartiles,
-    # rel_above_avg_orders, win_percent_rank, rel_anti_join_no_orders,
-    # tpch_q14_promo_revenue, tpch_q19_discounted_revenue,
-    # tpch_q4_late_order_priority, txt_doc_frequency, fn_string_ops,
-    # plus the five r3 greens that ceded r6 slots to late round-6
-    # landings: txt_bigram_topk, evt_tumbling_hourly,
-    # evt_asof_last_purchase, crp_train_test_split,
-    # crp_stratified_sample),
-    # then the twenty-one r3 greens left unpaid below
-    # (evt_daily_user_activity,
-    # evt_funnel_conversion, evt_interval_join_buckets,
-    # evt_percentile_sketch, evt_retention_cohorts,
-    # evt_type_transitions, evt_user_cardinality_sketch,
-    # mm_audio_features, rel_invoice_view_rollup, sim_label_centroids,
-    # sim_norm_stats, sim_quantized_topk, crp_contamination,
-    # crp_corpus_clean, crp_manifest, crp_mixture_sample,
-    # crp_pack_sequences, crp_repetition_filter, crp_source_mixture,
-    # txt_pii_redact, win_time_range_sum) plus any round-6 tail bumps,
-    # then the then-stale r4 greens (the tpch completions and the
-    # SCD2/sketch/scale families).
+    # Round-7 rotation (executes the plan published in r6 EXACTLY; see
+    # git history for the r1-r6 narratives): the window below is
+    # explicit. (1) The seven operators landed AND registered in round
+    # 7 enter first (sim_pagerank_fixed3, sim_kmeans_fixed,
+    # sim_semdedup_sweep, txt_winnow_fingerprints, crp_global_shuffle,
+    # scl_range_partition_plan, evt_out_of_order_census) — added this
+    # round, pinned in-window by the "added or changed in round N ⇒
+    # driver-checked in round N" invariant. (2) Six queries re-enter as
+    # CHANGED: the MinHash family's shingle/signature pair moved onto
+    # the _cache.session_cached lifecycle (VERDICT r6 #6 —
+    # dd_near_dup_pairs, dd_dup_clusters, dd_cluster_canonical,
+    # dd_lsh_recall_eval), txt_pmi_collocations got the adaptive
+    # ppb-staged lift (ADVICE r6), and sim_kmeans_step's report now
+    # composes the shared kmeans_stats/_kmeans_round_report bodies the
+    # fixed-depth chain and trainer reuse. (3) The remaining 37 slots
+    # pay the ENTIRE published r3 rotation debt: the 16 named r3 greens
+    # that ceded slots in r6, then the 21 unpaid r3 greens — after this
+    # round no registry query's latest driver check is older than round
+    # 4 (max staleness 3 rounds, the VERDICT r6 #2 target).
+    # Round-8 plan (published now, same discipline): the window opens
+    # with anything added or changed in round 8, then pays the 49
+    # then-stale r4 greens oldest-first — the SCD2/snapshot family
+    # (cdc_scd2_history, cdc_scd2_incremental, cdc_scd2_temporal_join,
+    # cdc_snapshot_diff, cdc_replica_as_of, cdc_incremental_join_view),
+    # the incremental-dedup pair (dd_incremental_near_dup,
+    # dd_incremental_containment) + dd_duplicate_spans +
+    # dd_lsh_candidate_pairs, the sketch/scale families
+    # (evt_gap_fill_locf, evt_heavy_hitters_cms, evt_histogram,
+    # evt_join_size_estimate, evt_rate_anomaly, evt_sketch_setops,
+    # scl_bloom_pruned_join, scl_zorder_key, sim_pq_topk,
+    # sim_random_projection), the corpus trio (crp_chunk_documents,
+    # crp_length_buckets, crp_pps_sample), fn_invoice_numbering,
+    # fn_json_extract, rel_customer_order_stats, rel_dq_audit,
+    # rel_header_line_view, rel_pricing_summary, rel_unpivot_measures,
+    # win_order_ranks, and the 17 tpch completions (q1-q3, q5, q7-q13,
+    # q15-q18, q20-q22). 49 r4 names + landings exceed one 50-slot
+    # window, so round 8 must land AT MOST ~6-8 new/changed queries and
+    # push any r4 remainder to the front of round 9.
     for mod in (
         relational_q,
         functions_q,
@@ -111,71 +106,68 @@ def _registry() -> dict[str, QueryEntry]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         reg.update(mod.QUERIES)
-    # The round-6 driver window, explicit and order-significant: the
+    # The round-7 driver window, explicit and order-significant: the
     # driver hash-checks exactly these 50, top to bottom. Guarded by
-    # tests/test_operator_guards.py::test_registry_window_holds_all_round6_queries.
+    # tests/test_operator_guards.py::test_registry_window_holds_all_round7_queries.
     window = [
-        # -- added this round (the 4 late-r5 operators) ---------------
-        "txt_bm25_search",           # integer-exact BM25 lexical search
-        "txt_bpe_pair_census",       # BPE merge-candidate pair census
-        "sim_hybrid_search",         # BM25+cosine RRF hybrid retrieval
-        "scl_skew_census",           # join-key hotness percentiles
-        # -- changed this round (session-cache lifecycle, ADVICE r5) --
-        "dd_containment_pairs",
-        "dd_containment_sweep",
-        # -- rotation debt: the 10 published r2-green heads -----------
-        "sim_multiprobe_topk",
-        "txt_bpe_tokens",
-        "txt_rolling_fingerprint",
-        "txt_quality_score",
-        "txt_language_id",
-        "mm_decode_features",
-        "mm_resize_digest",
-        "mm_frame_sample",
-        "scl_salted_join_segments",
-        "scl_group_zscore",
-        # -- the 8 remaining r2 greens (equally stale) ----------------
-        "cdc_changes_scan",
-        "dd_exact",
-        "dd_minhash_signatures",
-        "evt_late_data_filter",
-        "evt_sliding_windows",
-        "evt_top_users_per_day",
-        "evt_value_percentiles",
-        "sim_topk_cosine",
-        # -- head of the r3-green stale list --------------------------
-        "cdc_flagship_documents",
-        "cdc_net_changes_enriched",
-        "cdc_replica_sync",
+        # -- landed AND registered this round -------------------------
+        "sim_pagerank_fixed3",       # 3-round PageRank unroll (LOOP evidence)
+        "sim_kmeans_fixed",          # 3-round Lloyd chain (LOOP evidence)
+        "sim_semdedup_sweep",        # SemDeDup threshold tuning sweep
+        "txt_winnow_fingerprints",   # MOSS winnowing shared-fp census
+        "crp_global_shuffle",        # seeded epoch-shuffle shard census
+        "scl_range_partition_plan",  # range-boundary planner + balance
+        "evt_out_of_order_census",   # lateness bands for watermark choice
+        # -- changed this round ---------------------------------------
+        # the MinHash family's shingle/sig pair moved onto the
+        # session_cached lifecycle (VERDICT r6 #6):
         "dd_near_dup_pairs",
         "dd_dup_clusters",
         "dd_cluster_canonical",
-        "sim_ivf_topk",
-        "sim_centroid_assign",
-        "sim_embedding_quantize",
-        "evt_session_windows",
-        # -- changed this round: crp_ngram_lm_score's per-doc derivation
-        #    is now the _lm_doc_scores core crp_domain_reweight shares
-        "crp_ngram_lm_score",
-        # -- landed this round, registered this round (VERDICT r5 #3:
-        #    no deferred batch; these eight replaced the provisional
-        #    stale tail and the three late r3 tpch re-entries, all of
-        #    which head the round-7 list instead)
-        "txt_tfidf_topterms",        # per-doc TF-IDF keyword extraction
-        "txt_ngram_novelty",         # trigram decontamination census
-        "dd_dedup_impact",           # per-source exact-dedup impact
-        "scl_compaction_plan",       # small-file compaction binning
-        "sim_mutual_knn",            # reciprocal nearest-neighbor edges
-        "sim_kmeans_step",           # one exact Lloyd iteration
-        "crp_domain_reweight",       # DoReMi-style mixture step
-        "sim_ann_recall_eval",       # recall@k panel vs brute force
-        "dd_lsh_recall_eval",        # banded LSH recall vs exact truth
-        "rel_grouping_sets",         # explicit GROUPING SETS + gid
-        "sim_pagerank_step",         # one integer PageRank iteration
-        "txt_pmi_collocations",      # PMI collocation mining
-        "txt_dup_passage_census",    # chunked exact-substr dup census
-        "rel_fuzzy_match_block",     # blocked Levenshtein entity match
-        "sim_power_iteration",       # one PCA power-iteration step
+        "dd_lsh_recall_eval",
+        # adaptive ppb-staged lift resolution (ADVICE r6):
+        "txt_pmi_collocations",
+        # report now composes the shared kmeans round bodies:
+        "sim_kmeans_step",
+        # -- rotation debt: the 16 named r3 greens that ceded r6 slots -
+        "tpch_q6_forecast_revenue",
+        "fn_bson_roundtrip",
+        "win_ntile_quartiles",
+        "rel_above_avg_orders",
+        "win_percent_rank",
+        "rel_anti_join_no_orders",
+        "tpch_q14_promo_revenue",
+        "tpch_q19_discounted_revenue",
+        "tpch_q4_late_order_priority",
+        "txt_doc_frequency",
+        "fn_string_ops",
+        "txt_bigram_topk",
+        "evt_tumbling_hourly",
+        "evt_asof_last_purchase",
+        "crp_train_test_split",
+        "crp_stratified_sample",
+        # -- rotation debt: the 21 r3 greens left unpaid in r6 ---------
+        "evt_daily_user_activity",
+        "evt_funnel_conversion",
+        "evt_interval_join_buckets",
+        "evt_percentile_sketch",
+        "evt_retention_cohorts",
+        "evt_type_transitions",
+        "evt_user_cardinality_sketch",
+        "mm_audio_features",
+        "rel_invoice_view_rollup",
+        "sim_label_centroids",
+        "sim_norm_stats",
+        "sim_quantized_topk",
+        "crp_contamination",
+        "crp_corpus_clean",
+        "crp_manifest",
+        "crp_mixture_sample",
+        "crp_pack_sequences",
+        "crp_repetition_filter",
+        "crp_source_mixture",
+        "txt_pii_redact",
+        "win_time_range_sum",
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

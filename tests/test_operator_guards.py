@@ -26,7 +26,7 @@ def test_salted_join_matches_unsalted_inner_and_left(spark):
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_registry_window_holds_all_round6_queries():
+def test_registry_window_holds_all_round7_queries():
     """Driver contract: only the first 50 registry entries are
     hash-checked per round, so every query added or changed this round
     must sit inside that window — silently rotating one out would skip
@@ -34,66 +34,54 @@ def test_registry_window_holds_all_round6_queries():
     from sql_cdc_spark.queries import _registry
 
     window = list(_registry())[:50]
-    round6_new = [
-        # the 4 late-r5 operators whose registry entries were deferred
-        # to round 6 so "added in round N => driver-checked in round N"
-        # stayed true (VERDICT r5 #1)
-        "txt_bm25_search",     # integer-exact BM25 lexical search (also
-                               #   changed r6: single-eval normalize_words)
-        "txt_bpe_pair_census",  # BPE merge-candidate pair census
-        "sim_hybrid_search",   # BM25+cosine RRF fusion (inherits the
-                               #   bm25 single-eval change)
-        "scl_skew_census",     # join-key hotness percentiles (changed
-                               #   r6: count-of-counts on session_cached)
-        # changed r6: the shared rare-domain base moved to the
-        # _cache.session_cached lifecycle (ADVICE r5 — re-persist after
-        # external clearCache, dead-session eviction)
-        "dd_containment_pairs",
-        "dd_containment_sweep",
-        # landed AND registered in round 6 (VERDICT r5 #3 — operators
-        # register in the round they land)
-        "txt_tfidf_topterms",   # per-doc TF-IDF keyword extraction
-        "txt_ngram_novelty",    # trigram decontamination census
-        "dd_dedup_impact",      # per-source exact-dedup impact
-        "scl_compaction_plan",  # small-file compaction binning
-        "sim_mutual_knn",       # reciprocal nearest-neighbor edges
-        "sim_kmeans_step",      # one exact Lloyd iteration
-        "crp_domain_reweight",  # DoReMi-style mixture step
-        "sim_ann_recall_eval",  # recall@k panel vs brute force
-        "dd_lsh_recall_eval",   # banded LSH recall vs exact truth
-        "rel_grouping_sets",    # explicit GROUPING SETS + gid
-        "sim_pagerank_step",    # one integer PageRank iteration
-        "txt_pmi_collocations",     # PMI collocation mining
-        "txt_dup_passage_census",   # chunked exact-substr dup census
-        "rel_fuzzy_match_block",    # blocked Levenshtein entity match
-        "sim_power_iteration",      # one PCA power-iteration step
-        # changed r6: per-doc LM derivation extracted to _lm_doc_scores,
-        # now shared with crp_domain_reweight
-        "crp_ngram_lm_score",
+    round7_new = [
+        # landed AND registered in round 7
+        "sim_pagerank_fixed3",       # 3-round PageRank unroll
+        "sim_kmeans_fixed",          # 3-round Lloyd chain
+        "sim_semdedup_sweep",        # SemDeDup threshold sweep
+        "txt_winnow_fingerprints",   # MOSS winnowing census
+        "crp_global_shuffle",        # seeded epoch-shuffle shard census
+        "scl_range_partition_plan",  # range-boundary planner
+        "evt_out_of_order_census",   # lateness bands
+        # changed r7: the MinHash family's shingle/sig pair moved onto
+        # the _cache.session_cached lifecycle (VERDICT r6 #6)
+        "dd_near_dup_pairs",
+        "dd_dup_clusters",
+        "dd_cluster_canonical",
+        "dd_lsh_recall_eval",
+        # changed r7: adaptive ppb-staged lift resolution (ADVICE r6)
+        "txt_pmi_collocations",
+        # changed r7: composes the shared kmeans round bodies
+        "sim_kmeans_step",
     ]
-    missing = [n for n in round6_new if n not in window]
+    missing = [n for n in round7_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
-    # rotation-debt payoff, exactly as published in the r5 registry
-    # comment: all eighteen r2 greens (the ten published heads plus the
-    # eight equally-stale rest), then the head of the r3-green stale
-    # list; the tail cedes slots to round-6-landed operators.
-    stale_r6 = [
-        "sim_multiprobe_topk", "txt_bpe_tokens", "txt_rolling_fingerprint",
-        "txt_quality_score", "txt_language_id", "mm_decode_features",
-        "mm_resize_digest", "mm_frame_sample", "scl_salted_join_segments",
-        "scl_group_zscore", "cdc_changes_scan", "dd_exact",
-        "dd_minhash_signatures", "evt_late_data_filter",
-        "evt_sliding_windows", "evt_top_users_per_day",
-        "evt_value_percentiles", "sim_topk_cosine",
-        "cdc_flagship_documents", "cdc_net_changes_enriched",
-        "cdc_replica_sync", "dd_near_dup_pairs", "dd_dup_clusters",
-        "dd_cluster_canonical", "sim_ivf_topk", "sim_centroid_assign",
-        "sim_embedding_quantize", "evt_session_windows",
+    # rotation-debt payoff, exactly as published in the r6 registry
+    # comment: the 16 named r3 greens that ceded r6 slots, then the 21
+    # r3 greens left unpaid — the ENTIRE remaining r3 debt, bringing
+    # post-r7 max staleness to 3 rounds (VERDICT r6 #1/#2).
+    stale_r7 = [
+        "tpch_q6_forecast_revenue", "fn_bson_roundtrip",
+        "win_ntile_quartiles", "rel_above_avg_orders", "win_percent_rank",
+        "rel_anti_join_no_orders", "tpch_q14_promo_revenue",
+        "tpch_q19_discounted_revenue", "tpch_q4_late_order_priority",
+        "txt_doc_frequency", "fn_string_ops", "txt_bigram_topk",
+        "evt_tumbling_hourly", "evt_asof_last_purchase",
+        "crp_train_test_split", "crp_stratified_sample",
+        "evt_daily_user_activity", "evt_funnel_conversion",
+        "evt_interval_join_buckets", "evt_percentile_sketch",
+        "evt_retention_cohorts", "evt_type_transitions",
+        "evt_user_cardinality_sketch", "mm_audio_features",
+        "rel_invoice_view_rollup", "sim_label_centroids", "sim_norm_stats",
+        "sim_quantized_topk", "crp_contamination", "crp_corpus_clean",
+        "crp_manifest", "crp_mixture_sample", "crp_pack_sequences",
+        "crp_repetition_filter", "crp_source_mixture", "txt_pii_redact",
+        "win_time_range_sum",
     ]
-    stale_missing = [n for n in stale_r6 if n not in window]
+    stale_missing = [n for n in stale_r7 if n not in window]
     assert not stale_missing, f"rotation debt unpaid: {stale_missing}"
     # no wasted slots: the pinned sets fill the window exactly
-    assert len(set(round6_new) | set(stale_r6)) == 50 == len(window)
+    assert len(set(round7_new) | set(stale_r7)) == 50 == len(window)
 
 
 def test_refresh_aggregate_groups_matches_full_recompute(spark):
@@ -356,7 +344,7 @@ def test_expectations_one_pass_and_null_as_violation(spark):
         Q.expectations(df, {"bad'name": F.col("id").isNotNull()})
 
 
-# Every registry name that existed BEFORE round 6 — frozen so the
+# Every registry name that existed BEFORE round 7 — frozen so the
 # in-round-registration invariant is STRUCTURAL, not transcriptional:
 # any name in the live registry but not in this set was added this
 # round and MUST sit inside the 50-slot driver window. The round-6
@@ -365,8 +353,16 @@ def test_expectations_one_pass_and_null_as_violation(spark):
 # the hand-maintained round6_new list until a later commit); this set
 # makes that class of gap a test failure the moment the operator is
 # registered. Next round: rename to the new round's frozen set by
-# folding the round-6 names in.
-REGISTRY_FROZEN_PRE_R6 = {
+# folding the round-7 names in.
+REGISTRY_FROZEN_PRE_R7 = {
+    # round-6 registrations (folded in at the r7 roll-over)
+    "txt_bm25_search", "txt_bpe_pair_census", "sim_hybrid_search",
+    "scl_skew_census", "txt_tfidf_topterms", "txt_ngram_novelty",
+    "dd_dedup_impact", "scl_compaction_plan", "sim_mutual_knn",
+    "sim_kmeans_step", "crp_domain_reweight", "sim_ann_recall_eval",
+    "dd_lsh_recall_eval", "rel_grouping_sets", "sim_pagerank_step",
+    "txt_pmi_collocations", "txt_dup_passage_census",
+    "rel_fuzzy_match_block", "sim_power_iteration",
     "cdc_bounded_batch", "cdc_changes_scan",
     "cdc_flagship_changed_invoices", "cdc_flagship_documents",
     "cdc_incremental_join_view", "cdc_keyset_resume",
@@ -440,11 +436,11 @@ def test_every_new_registration_sits_in_the_driver_window():
 
     reg = list(_registry())
     window = set(reg[:50])
-    new_this_round = [n for n in reg if n not in REGISTRY_FROZEN_PRE_R6]
+    new_this_round = [n for n in reg if n not in REGISTRY_FROZEN_PRE_R7]
     outside = [n for n in new_this_round if n not in window]
     assert not outside, (
         f"registered this round but driver-unchecked: {outside}"
     )
     # and the frozen set never references a name the registry dropped
-    dropped = [n for n in REGISTRY_FROZEN_PRE_R6 if n not in reg]
+    dropped = [n for n in REGISTRY_FROZEN_PRE_R7 if n not in reg]
     assert not dropped, f"frozen names no longer registered: {dropped}"
