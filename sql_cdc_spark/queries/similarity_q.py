@@ -54,10 +54,12 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_sql() -> str:
-    # same Knuth-multiplicative hyperplane weights as functions/similarity.py
+def _lsh_sql(n_bits: int = LSH_BITS, emb_rel: str = "embeddings") -> str:
+    # same Knuth-multiplicative hyperplane weights as functions/similarity.py;
+    # parameterized (n_bits, source relation) for the family-15 fuzz — the
+    # defaults render the registered queries' exact text
     bit_terms = []
-    for i in range(LSH_BITS):
+    for i in range(n_bits):
         weights = (
             f"list_transform(range(0, {DIM}), "
             f"d -> (((1 + {i * DIM} + d) * 2654435761) % 2147483648) / 2147483648.0 - 0.5)"
@@ -67,7 +69,7 @@ def _lsh_sql() -> str:
         )
     expr = " + ".join(bit_terms)
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM {emb_rel})
 SELECT vec_id, CAST({expr} AS INTEGER) AS bucket FROM v
 """
 
@@ -721,11 +723,14 @@ def elect_nearest(vb: DataFrame) -> DataFrame:
     return best
 
 
-def _knn_join_sql() -> str:
-    lsh = _lsh_sql().strip()
+def _knn_join_sql(
+    n_bits: int = LSH_BITS, emb_rel: str = "embeddings"
+) -> str:
+    lsh = _lsh_sql(n_bits, emb_rel).strip()
+    v_cte = f"WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM {emb_rel})"
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-b AS ({lsh.replace('WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)', '')} ),
+{v_cte},
+b AS ({lsh.replace(v_cte, '')} ),
 vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
 p AS (
   SELECT a.vec_id, c.vec_id AS nn_id,

@@ -1487,3 +1487,68 @@ def test_random_query14_matches_duckdb(spark, oracle, seed):
         oracle,
         _pmi_sql(q["min_support"], q["topk"], docs_rel=rel),
     )
+
+
+# ---- family 15: the knn/bucket parameter space — random SRP bit widths,
+# corpus subsets, and PLANTED twin/clone structure through the SAME
+# knn_join / elect_nearest core and the parameterized _knn_join_sql twin
+# the registered queries use (they pin only the 8-bit whole-corpus
+# tuple; knn_join is the heaviest shared dependency — four registered
+# consumers plus the maintained graph state). Targets the bucket-width
+# knob (the documented 100 TB scale lever), the (cos desc, nn_id asc)
+# bigint argmax encoding under EXACT ties (planted twins: cosine is
+# exactly 1.0 in both engines), and the alone-in-bucket emit-no-row
+# rule that finer bucketings exercise. ----
+
+
+def _gen15(rng: random.Random) -> dict:
+    return {
+        "n_bits": rng.choice([4, 5, 6, 8, 10]),
+        "mod": rng.choice([1, 2, 5]),      # corpus subset
+        "plant": rng.choice(["none", "twins", "clones"]),
+        "pmod": rng.choice([3, 7]),        # which vectors get copies
+        "factor": rng.choice([1.01, 0.97]),  # clone perturbation
+    }
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_query15_matches_duckdb(spark, oracle, seed):
+    from sql_cdc_spark.queries.similarity_q import _knn_join_sql, knn_join
+
+    rng = random.Random(43000 + seed)
+    q = _gen15(rng)
+    emb = (
+        tables.load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % q["mod"] == 0)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    rel = (
+        "(SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings "
+        f"WHERE vec_id % {q['mod']} = 0)"
+    )
+    if q["plant"] != "none":
+        # twins are EXACT copies (factor 1.0 — the tie case); clones are
+        # the same elementwise IEEE754 double multiplication both engines
+        # evaluate from the same literal
+        f = 1.0 if q["plant"] == "twins" else q["factor"]
+        planted = emb.filter(F.col("vec_id") % q["pmod"] == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(f)
+            ).alias("embedding"),
+        )
+        emb = emb.unionByName(planted)
+        rel = (
+            f"(SELECT * FROM {rel} base UNION ALL "
+            f"SELECT vec_id + 1000000 AS vec_id, "
+            f"list_transform(embedding, x -> x * {f}) AS embedding "
+            f"FROM {rel} src WHERE vec_id % {q['pmod']} = 0)"
+        )
+    assert_matches_oracle(
+        knn_join(emb, n_bits=q["n_bits"]),
+        oracle,
+        _knn_join_sql(q["n_bits"], emb_rel=rel),
+    )
