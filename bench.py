@@ -389,6 +389,61 @@ def stress_100x(spark, sf_dir: str) -> dict:
     return out
 
 
+def graph_100x(spark, sf_dir: str) -> dict:
+    """Opt-in (SPARK_GRAFT_STRESS_100X=1) 100× scale point for the graph
+    family (VERDICT r6 #3): build the knn edge set over the 200k-vector
+    synthetic corpus at the 14-bit scaled bucketing, then run the FULL
+    PageRank loop (operators/iterative.py::pagerank) to its integer
+    fixpoint — pinning the per-round join+aggregate cost AND the
+    localCheckpoint state-rewrite at the third decade, the way
+    incremental-apply already is. Reports edge-build seconds, executed
+    rounds, whole-loop and per-round seconds, with a probe per block."""
+    from time import perf_counter
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.operators.iterative import pagerank
+    from sql_cdc_spark.queries.similarity_q import (
+        knn_join,
+        undirected_edges,
+    )
+
+    from sql_cdc_spark.functions.dedup import release_local_checkpoint
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    hemb = _hundredx_embeddings(emb).persist()
+    out, edges = {}, None
+    try:
+        out["n_vecs"] = hemb.count()
+        out["edge_bits"] = 14
+        out["edge_probe_ms"] = _cpu_probe_ms()
+        t0 = perf_counter()
+        edges = (
+            undirected_edges(knn_join(hemb, n_bits=14))
+            .select("id_a", "id_b")
+            .localCheckpoint()  # eager: edge build fully materializes here
+        )
+        out["n_edges"] = edges.count()
+        out["edge_build_seconds"] = round(perf_counter() - t0, 3)
+
+        out["pagerank_probe_ms"] = _cpu_probe_ms()
+        stats = {}
+        t0 = perf_counter()
+        ranks = pagerank(edges, max_iters=20, stats=stats)
+        out["pagerank_nodes"] = ranks.count()
+        dt = perf_counter() - t0
+        out["pagerank_rounds"] = stats["rounds"]
+        out["pagerank_last_delta"] = stats["last_delta"]
+        out["pagerank_seconds"] = round(dt, 3)
+        out["pagerank_seconds_per_round"] = round(dt / stats["rounds"], 3)
+    finally:
+        if edges is not None:
+            release_local_checkpoint(edges)
+        hemb.unpersist()
+    return out
+
+
 def _hundredx_embeddings(emb):
     """100× in-memory embeddings: the 10× perturbation corpus crossed
     with a second, independent coordinate-stride perturbation — 100
@@ -963,6 +1018,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_STRESS_100X") == "1":
         spark.catalog.clearCache()
         detail["dedup_100x"] = stress_100x(spark, sf_dir)
+        spark.catalog.clearCache()
+        detail["graph_100x"] = graph_100x(spark, sf_dir)
 
     # the driver-facing line: headline per-query + group TOTALS only,
     # kept well under the 2000-char stdout tail the driver records

@@ -47,7 +47,10 @@ __all__ = ["pagerank", "kmeans_train", "power_iteration"]
 
 
 def pagerank(
-    edges: DataFrame, max_iters: int = 20, damping_pct: int = PR_DAMPING_PCT
+    edges: DataFrame,
+    max_iters: int = 20,
+    damping_pct: int = PR_DAMPING_PCT,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Full PageRank over an undirected edge list (id_a, id_b) →
     (node, degree, rank_ppm). Iteration 1 is exactly the registered
@@ -67,7 +70,12 @@ def pagerank(
     receives inflow, but the function is public and accepts any
     (id_a, id_b) frame — a caller-supplied shape where a node can
     receive zero inflow rows must decay that node to base rank, not
-    silently drop it from the result (ADVICE r6)."""
+    silently drop it from the result (ADVICE r6).
+
+    ``stats``, if a dict, receives {'rounds': executed round count,
+    'last_delta': the final L1 delta} — the fixpoint telemetry the
+    bench's graph_100x block records."""
+    rounds, delta = 0, 0
     und = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -101,12 +109,16 @@ def pagerank(
         release_local_checkpoint(snap)
         snap = nxt
         ranks = nxt.drop("__prev")
+        rounds += 1
         # SUM over zero rows is None, not 0 — an empty/degenerate graph
         # must stop after one round, not burn max_iters empty rounds
         if not delta:
             break
     und.unpersist()
     deg.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["last_delta"] = int(delta or 0)
     return ranks
 
 
