@@ -9,7 +9,7 @@ DuckDB-SQL twin (same operations, same constants) used by the oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\s+"
@@ -230,43 +230,41 @@ WINNOW_K = 4  # words per k-gram (the fingerprint granularity)
 WINNOW_W = 3  # winnowing window: one fingerprint per W consecutive grams
 
 
-def winnow_fingerprints(
-    words: Column, k: int = WINNOW_K, w: int = WINNOW_W
-) -> Column:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    SIGMOD 2003 — the MOSS algorithm): hash every k-word gram with the
-    shared Rabin–Karp recurrence, then keep the MINIMUM hash of each
-    window of w consecutive gram hashes. Guarantees: any shared run of
-    ≥ k+w−1 words between two documents shares at least one selected
-    fingerprint, while only ~1/w of the gram hashes are kept — the
-    sub-sampling that makes partial-overlap detection affordable where
-    full k-gram posting would not be. Returns the DISTINCT selected
-    fingerprint array per document.
-
-    Pure scan-local array algebra (nested higher-order functions, no
-    UDF, no shuffle): all-integer polynomial hashing, so fingerprints
-    are bit-identical on any engine. Tie handling: the fingerprint is
-    the hash VALUE, so equal-hash ties inside a window select the same
-    value regardless of position — position choice (rightmost in the
-    paper) only matters when fingerprints carry positions, and the
-    distinct fold erases it. Guards (the documented cross-engine blank
-    hazards): blank text's [''] token array counts as zero words, and
-    both the gram and window sequences are gated with when() so a
-    sub-width document yields ZERO fingerprints rather than Spark's
-    descending phantom sequence(0, -1)."""
+def gram_hashes(words: Column, k: int = WINNOW_K) -> Column:
+    """Rabin–Karp hash of every k-word gram of a token array →
+    array<long> (one hash per position). ``words`` MUST be a bound
+    column attribute, not an inline expression: the gram transform
+    references it once per position, and an inline subtree would
+    re-evaluate per reference. Guards (the documented cross-engine
+    blank hazards): blank text's [''] token array counts as zero
+    words, and the position sequence is when()-gated so a sub-width
+    document yields ZERO grams rather than Spark's descending phantom
+    sequence(0, -1)."""
     n = F.when(
         (F.size(words) == 1) & (F.element_at(words, 1) == F.lit("")),
         F.lit(0),
     ).otherwise(F.size(words))
     m = n - k + 1  # gram count
-    grams = F.when(
+    return F.when(
         m >= 1,
         F.transform(
             F.sequence(F.lit(1), m),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            lambda i: rolling_hash(F.concat_ws(" ", F.slice(words, i, k))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashes = F.transform(grams, rolling_hash)
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def window_mins(hashes: Column, w: int = WINNOW_W) -> Column:
+    """The winnowing selection over a gram-hash array: the DISTINCT
+    minimum of each window of w consecutive hashes. ``hashes`` MUST be
+    a bound column attribute — round 7 measured the inline form at
+    350 s vs 3.4 s staged at sf0.1, because each of the m−w+1 window
+    slices re-evaluated the whole O(m·len) gram-hash subtree
+    (O(m²·len) per document). Tie handling: the fingerprint is the
+    hash VALUE, so equal-hash ties inside a window select the same
+    value regardless of position — position choice (rightmost in the
+    paper) only matters when fingerprints carry positions, and the
+    distinct fold erases it."""
     nw = F.size(hashes) - w + 1
     fps = F.when(
         nw >= 1,
@@ -276,6 +274,35 @@ def winnow_fingerprints(
         ),
     ).otherwise(F.array().cast("array<long>"))
     return F.array_distinct(fps)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm) → one (id, fp) row per DISTINCT
+    selected fingerprint per document: hash every k-word gram with the
+    shared Rabin–Karp recurrence, then keep the MINIMUM hash of each
+    window of w consecutive gram hashes. Guarantees: any shared run of
+    ≥ k+w−1 words between two documents shares at least one selected
+    fingerprint, while only ~1/w of the gram hashes are kept — the
+    sub-sampling that makes partial-overlap detection affordable where
+    full k-gram posting would not be.
+
+    Pure scan-local array algebra (no UDF, no shuffle), all-integer
+    polynomial hashing — bit-identical on any engine. STAGED as three
+    projections so each array binds as a column attribute between
+    stages (words → gram hashes → window mins); see window_mins for
+    the measured quadratic hazard of the single-expression form."""
+    ws = docs.select(F.col(id_col), normalize_words(F.col(text_col)).alias("__ws"))
+    hs = ws.select(id_col, gram_hashes(F.col("__ws"), k).alias("__hs"))
+    return hs.select(
+        F.col(id_col), F.explode(window_mins(F.col("__hs"), w)).alias("fp")
+    )
 
 
 def occurrence_count(col: Column, needle: str) -> Column:

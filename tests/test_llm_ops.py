@@ -753,15 +753,9 @@ def test_winnow_guarantee_on_planted_overlap(spark):
         (5, ""),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    fps = {
-        r.doc_id: set(r.f)
-        for r in docs.select(
-            "doc_id",
-            TX.winnow_fingerprints(TX.normalize_words(F.col("text"))).alias(
-                "f"
-            ),
-        ).collect()
-    }
+    fps = {d: set() for d, _ in [(r[0], r) for r in rows]}
+    for r in TX.winnow_fingerprints(docs).collect():
+        fps[r.doc_id].add(r.fp)
     assert fps[1] & fps[2], "shared >= K+W-1 run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
     assert fps[4] == set() and fps[5] == set()

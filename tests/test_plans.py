@@ -429,8 +429,10 @@ HEADLINE_EXCHANGE_BUDGETS = {
     # ONE salted bucket pair pass → per-vector max agg → 1-row census
     # (+ broadcast corpus count + stack + presentation sort)
     "sim_semdedup_sweep": 5,
-    # scan-local fingerprint selection; ONE census groupBy + TakeOrdered
-    "txt_winnow_fingerprints": 2,
+    # staged scan-local fingerprint selection (bound-attribute
+    # projections — the inline form was the measured 350s quadratic);
+    # ONE census groupBy + TakeOrdered
+    "txt_winnow_fingerprints": 1,
     # scan-local md5 shard assignment; ONE 16-row census groupBy + sort
     "crp_global_shuffle": 4,
     # boundaries baked as literals at plan-build (bounded sample sort);
