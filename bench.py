@@ -129,6 +129,7 @@ ROUND7 = [
     "crp_global_shuffle",        # seeded epoch-shuffle shard census
     "scl_range_partition_plan",  # range-boundary planner + balance
     "evt_out_of_order_census",   # lateness bands for watermark choice
+    "sim_knn_join_arrow",        # bit-identical Arrow/BLAS knn election
 ]
 
 
@@ -353,6 +354,7 @@ def stress_100x(spark, sf_dir: str) -> dict:
         bucket_vectors,
         elect_dropped,
         knn_join,
+        knn_join_arrow,
     )
 
     emb = tables.load(spark, sf_dir, "embeddings").select(
@@ -367,13 +369,31 @@ def stress_100x(spark, sf_dir: str) -> dict:
         bits = 14
         probe = _cpu_probe_ms()
         t0 = perf_counter()
-        out["knn_matched_vecs"] = knn_join(hemb, n_bits=bits).count()
+        # count + checksum: a bare .count() prunes the election's max(k)
+        # so the per-pair cosine never runs (r7 finding) — r6's recorded
+        # 4.26 s / 46,900 vecs/s here was the cosine-free plan
+        out["knn_matched_vecs"] = knn_join(hemb, n_bits=bits).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("nn_id").alias("chk")
+        ).first()["n"]
         dt = perf_counter() - t0
         out["n_vecs"] = n_vecs
         out["knn_bits"] = bits
         out["knn_seconds"] = round(dt, 3)
         out["knn_vecs_per_second"] = round(n_vecs / dt, 1)
         out["knn_probe_ms"] = probe
+
+        # the bit-identical Arrow/BLAS strategy on the same corpus/bits
+        probe = _cpu_probe_ms()
+        t0 = perf_counter()
+        out["knn_arrow_matched_vecs"] = knn_join_arrow(
+            hemb, n_bits=bits
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("nn_id").alias("chk")
+        ).first()["n"]
+        dt = perf_counter() - t0
+        out["knn_arrow_seconds"] = round(dt, 3)
+        out["knn_arrow_vecs_per_second"] = round(n_vecs / dt, 1)
+        out["knn_arrow_probe_ms"] = probe
 
         probe = _cpu_probe_ms()
         t0 = perf_counter()
@@ -403,7 +423,7 @@ def graph_100x(spark, sf_dir: str) -> dict:
     from sql_cdc_spark import tables
     from sql_cdc_spark.operators.iterative import pagerank
     from sql_cdc_spark.queries.similarity_q import (
-        knn_join,
+        knn_join_arrow,
         undirected_edges,
     )
 
@@ -419,8 +439,12 @@ def graph_100x(spark, sf_dir: str) -> dict:
         out["edge_bits"] = 14
         out["edge_probe_ms"] = _cpu_probe_ms()
         t0 = perf_counter()
+        # the bit-identical Arrow election (tested ==
+        # knn_join everywhere) — the strategy a 100 TB graph build
+        # would use; the exact-JVM path read 269.9 s for this same
+        # edge set, the kernel ~25 s
         edges = (
-            undirected_edges(knn_join(hemb, n_bits=14))
+            undirected_edges(knn_join_arrow(hemb, n_bits=14))
             .select("id_a", "id_b")
             .localCheckpoint()  # eager: edge build fully materializes here
         )
@@ -505,23 +529,41 @@ def knn_10x_stress(spark, sf_dir: str) -> dict:
     from time import perf_counter
 
     from sql_cdc_spark import tables
-    from sql_cdc_spark.queries.similarity_q import LSH_BITS, knn_join
+    from sql_cdc_spark.queries.similarity_q import (
+        LSH_BITS,
+        knn_join,
+        knn_join_arrow,
+    )
 
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    from pyspark.sql import functions as F
+
     tenx = _tenx_embeddings(emb).persist()
     try:
         n = tenx.count()
         probe = _cpu_probe_ms()
         out = {"input_vecs": n, "probe_ms": probe}
-        for label, bits in (("fixed", LSH_BITS), ("scaled", LSH_BITS + 3)):
+        for label, op, bits in (
+            ("fixed", knn_join, LSH_BITS),
+            ("scaled", knn_join, LSH_BITS + 3),
+            # the bit-identical Arrow/BLAS strategy at the same bits
+            ("arrow", knn_join_arrow, LSH_BITS),
+        ):
             t0 = perf_counter()
-            rows = knn_join(tenx, n_bits=bits).count()
+            # count + nn_id checksum in ONE pass: a bare .count() lets
+            # Catalyst PRUNE the max(k) election aggregate, so the
+            # per-pair cosine never executes — r1-r6 recorded that
+            # cosine-free number as the knn cost (r7 finding); summing
+            # nn_id forces the full election
+            r = op(tenx, n_bits=bits).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("nn_id").alias("chk")
+            ).first()
             dt = perf_counter() - t0
             out[f"{label}_bits"] = bits
             out[f"{label}_seconds"] = round(dt, 3)
-            out[f"{label}_matched_vecs"] = rows
+            out[f"{label}_matched_vecs"] = r["n"]
             out[f"{label}_vecs_per_second"] = round(n / dt, 1)
     finally:
         tenx.unpersist()
@@ -984,6 +1026,13 @@ def main() -> None:
                 for k in (
                     "scaled_bits", "scaled_seconds",
                     "scaled_matched_vecs", "scaled_vecs_per_second",
+                )
+            },
+            **{
+                k: min(knn_passes, key=lambda r: r["arrow_seconds"])[k]
+                for k in (
+                    "arrow_bits", "arrow_seconds",
+                    "arrow_matched_vecs", "arrow_vecs_per_second",
                 )
             },
             "probe_ms": [p["probe_ms"] for p in knn_passes],

@@ -50,31 +50,40 @@ def _registry() -> dict[str, QueryEntry]:
     # — the families whose last driver check is oldest; (3) demoted
     # long-greens stay covered every round by the local pytest oracle
     # suite, which runs ALL queries vs DuckDB at sf0.01.
-    # Round-7 rotation (executes the plan published in r6 EXACTLY; see
-    # git history for the r1-r6 narratives): the window below is
-    # explicit. (1) The seven operators landed AND registered in round
-    # 7 enter first (sim_pagerank_fixed3, sim_kmeans_fixed,
-    # sim_semdedup_sweep, txt_winnow_fingerprints, crp_global_shuffle,
-    # scl_range_partition_plan, evt_out_of_order_census) — added this
-    # round, pinned in-window by the "added or changed in round N ⇒
-    # driver-checked in round N" invariant. (2) Six queries re-enter as
-    # CHANGED: the MinHash family's shingle/signature pair moved onto
-    # the _cache.session_cached lifecycle (VERDICT r6 #6 —
+    # Round-7 rotation (executes the plan published in r6; see git
+    # history for the r1-r6 narratives): the window below is explicit.
+    # (1) The eight operators landed AND registered in round 7 enter
+    # first (sim_pagerank_fixed3, sim_kmeans_fixed, sim_semdedup_sweep,
+    # txt_winnow_fingerprints, crp_global_shuffle,
+    # scl_range_partition_plan, evt_out_of_order_census,
+    # sim_knn_join_arrow) — added this round, pinned in-window by the
+    # "added or changed in round N ⇒ driver-checked in round N"
+    # invariant. (2) Ten queries re-enter as CHANGED: the MinHash
+    # family's shingle/signature pair moved onto the
+    # _cache.session_cached lifecycle (VERDICT r6 #6 —
     # dd_near_dup_pairs, dd_dup_clusters, dd_cluster_canonical,
-    # dd_lsh_recall_eval), txt_pmi_collocations got the adaptive
-    # ppb-staged lift (ADVICE r6), and sim_kmeans_step's report now
-    # composes the shared kmeans_stats/_kmeans_round_report bodies the
-    # fixed-depth chain and trainer reuse. (3) The remaining 37 slots
-    # pay the ENTIRE published r3 rotation debt: the 16 named r3 greens
-    # that ceded slots in r6, then the 21 unpaid r3 greens — after this
-    # round no registry query's latest driver check is older than round
-    # 4 (max staleness 3 rounds, the VERDICT r6 #2 target).
+    # dd_lsh_recall_eval); txt_pmi_collocations got the adaptive
+    # ppb-staged lift (ADVICE r6); sim_kmeans_step's report now
+    # composes the shared kmeans_stats/_kmeans_round_report bodies; and
+    # the bucketed pair family (sim_knn_join, sim_mutual_knn,
+    # sim_pagerank_step, sim_semantic_dedup) re-enters after the
+    # per-vector norm precompute in _salted_bucket_pairs (bit-identical
+    # values — verified exact-tuple-equal vs the unchanged oracles —
+    # but a changed plan is a changed query). (3) The remaining 32
+    # slots pay the r3 rotation debt oldest-first: the 16 named r3
+    # greens that ceded slots in r6, then 16 of the 21 unpaid r3 greens
+    # — ≥30 rotation rows, the VERDICT r6 #1 done-criterion; after this
+    # round max staleness is 3 rounds (VERDICT r6 #2 target), with the
+    # 5 bumped r3 names heading the r8 list below.
     # Round-8 plan (published now, same discipline): the window opens
-    # with anything added or changed in round 8, then pays the 49
-    # then-stale r4 greens oldest-first — the SCD2/snapshot family
-    # (cdc_scd2_history, cdc_scd2_incremental, cdc_scd2_temporal_join,
-    # cdc_snapshot_diff, cdc_replica_as_of, cdc_incremental_join_view),
-    # the incremental-dedup pair (dd_incremental_near_dup,
+    # with anything added or changed in round 8, then the five r3
+    # greens bumped by this round's perf landings (crp_pack_sequences,
+    # crp_repetition_filter, crp_source_mixture, txt_pii_redact,
+    # win_time_range_sum), then the 49 then-stale r4 greens
+    # oldest-first — the SCD2/snapshot family (cdc_scd2_history,
+    # cdc_scd2_incremental, cdc_scd2_temporal_join, cdc_snapshot_diff,
+    # cdc_replica_as_of, cdc_incremental_join_view), the
+    # incremental-dedup pair (dd_incremental_near_dup,
     # dd_incremental_containment) + dd_duplicate_spans +
     # dd_lsh_candidate_pairs, the sketch/scale families
     # (evt_gap_fill_locf, evt_heavy_hitters_cms, evt_histogram,
@@ -85,8 +94,8 @@ def _registry() -> dict[str, QueryEntry]:
     # fn_json_extract, rel_customer_order_stats, rel_dq_audit,
     # rel_header_line_view, rel_pricing_summary, rel_unpivot_measures,
     # win_order_ranks, and the 17 tpch completions (q1-q3, q5, q7-q13,
-    # q15-q18, q20-q22). 49 r4 names + landings exceed one 50-slot
-    # window, so round 8 must land AT MOST ~6-8 new/changed queries and
+    # q15-q18, q20-q22). 5 + 49 names + landings exceed one 50-slot
+    # window, so round 8 must land AT MOST ~4-6 new/changed queries and
     # push any r4 remainder to the front of round 9.
     for mod in (
         relational_q,
@@ -118,6 +127,7 @@ def _registry() -> dict[str, QueryEntry]:
         "crp_global_shuffle",        # seeded epoch-shuffle shard census
         "scl_range_partition_plan",  # range-boundary planner + balance
         "evt_out_of_order_census",   # lateness bands for watermark choice
+        "sim_knn_join_arrow",        # bit-identical Arrow/BLAS election
         # -- changed this round ---------------------------------------
         # the MinHash family's shingle/sig pair moved onto the
         # session_cached lifecycle (VERDICT r6 #6):
@@ -129,6 +139,12 @@ def _registry() -> dict[str, QueryEntry]:
         "txt_pmi_collocations",
         # report now composes the shared kmeans round bodies:
         "sim_kmeans_step",
+        # per-vector norm precompute in the salted pair join (plans
+        # changed; values verified exact-tuple-equal vs the oracles):
+        "sim_knn_join",
+        "sim_mutual_knn",
+        "sim_pagerank_step",
+        "sim_semantic_dedup",
         # -- rotation debt: the 16 named r3 greens that ceded r6 slots -
         "tpch_q6_forecast_revenue",
         "fn_bson_roundtrip",
@@ -163,11 +179,9 @@ def _registry() -> dict[str, QueryEntry]:
         "crp_corpus_clean",
         "crp_manifest",
         "crp_mixture_sample",
-        "crp_pack_sequences",
-        "crp_repetition_filter",
-        "crp_source_mixture",
-        "txt_pii_redact",
-        "win_time_range_sum",
+        # (crp_pack_sequences, crp_repetition_filter, crp_source_mixture,
+        #  txt_pii_redact, win_time_range_sum ceded their slots to the
+        #  five perf re-entries above; they HEAD the published r8 list)
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

@@ -736,6 +736,35 @@ def test_duplicate_spans_finds_planted_shared_passage(spark):
         assert 0 < got[d].dup_fraction < 1
 
 
+def test_knn_join_arrow_bit_equal_to_exact_jvm(spark):
+    """The Arrow/BLAS election must be BIT-EQUAL to the exact-JVM
+    knn_join — same L2R double summation, same HALF_UP 6-dp rounding,
+    same (cos, −id) tie encoding — across planted twin/clone structure
+    (twins: cosine exactly 1.0, the tie case) and coarse-to-fine
+    bucketings (coarse = big buckets exercise the in-kernel query
+    blocking; fine = alone-in-bucket emits nothing)."""
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark.queries.similarity_q import knn_join, knn_join_arrow
+
+    emb = tables.load(spark, SF_DIR_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    for f in (1.0, 1.01):
+        planted = emb.filter(F.col("vec_id") % 3 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(f)
+            ).alias("embedding"),
+        )
+        big = emb.unionByName(planted)
+        for bits in (4, 8, 10):
+            a = sorted(map(tuple, knn_join_arrow(big, n_bits=bits).collect()))
+            b = sorted(map(tuple, knn_join(big, n_bits=bits).collect()))
+            assert a == b, f"arrow != exact at f={f} bits={bits}"
+            assert a, "degenerate: no pairs elected"
+
+
 def test_winnow_guarantee_on_planted_overlap(spark):
     """The winnowing guarantee (Schleimer et al. 2003): two documents
     sharing a run of ≥ K+W−1 words MUST share at least one selected

@@ -27,6 +27,9 @@ _PANDAS_OK = {
     "mm_audio_features",
     "scl_group_zscore",
     "fn_bson_roundtrip",
+    # the bit-identical Arrow/BLAS knn election (grouped-map kernel —
+    # the documented HOF-per-pair escape hatch, r7)
+    "sim_knn_join_arrow",
 }
 
 
@@ -441,6 +444,8 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "scl_range_partition_plan": 4,
     # ONE per-user window shuffle + 5-group census + broadcast total
     "evt_out_of_order_census": 9,
+    # ONE bucket shuffle into the grouped-map kernel + presentation sort
+    "sim_knn_join_arrow": 2,
 }
 
 
