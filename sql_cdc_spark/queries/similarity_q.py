@@ -866,10 +866,12 @@ def _salted_bucket_pairs(vb: DataFrame, right_id: str) -> DataFrame:
     Both sides ship the PRE-CAST double array and the PRE-COMPUTED
     norm (__na/__nc): the cosine denominator is a per-vector constant,
     so folding sqrt(dot(e,e)) per PAIR paid two 64-element interpreted
-    folds + a cast allocation per candidate — measured r7 at the 100×
-    point: the full-cosine election dropped ~290 s → ~80 s once norms
-    moved pre-join (bit-identical values: same double expressions,
-    same order, evaluated once per row instead of once per pair)."""
+    folds + a cast allocation per candidate. Measured r7 at the 100×
+    point: full-cosine election ~290 s → 260 s (~10% — the remaining
+    per-pair dot fold dominates; the order-of-magnitude lever is the
+    Arrow kernel, sim_knn_join_arrow). Values bit-identical: same
+    double expressions, same order, evaluated once per row instead of
+    once per pair."""
     ea = SIM.as_double_array(F.col("embedding"))
     sa = vb.select(
         F.col("vec_id"),
