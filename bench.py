@@ -441,8 +441,9 @@ def graph_100x(spark, sf_dir: str) -> dict:
         t0 = perf_counter()
         # the bit-identical Arrow election (tested ==
         # knn_join everywhere) — the strategy a 100 TB graph build
-        # would use; the exact-JVM path read 269.9 s for this same
-        # edge set, the kernel ~25 s
+        # would use; measured on this same edge set: exact-JVM path
+        # 269.9 s, kernel 14.3 s (identical 164,981 edges and final
+        # PageRank delta)
         edges = (
             undirected_edges(knn_join_arrow(hemb, n_bits=14))
             .select("id_a", "id_b")
