@@ -443,10 +443,15 @@ def scl_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in ranked.filter(F.col("rn").isin(ranks)).collect()
     }
     # duplicate target ranks (tiny samples) keep their multiplicity —
-    # the oracle's rank-join derives the same multiset
-    bounds = [rank_to_key[rk] for rk in ranks]
+    # the oracle's rank-join derives the same multiset. An EMPTY sample
+    # (degenerate/tiny input: every target rank becomes 0, which
+    # row_number never emits) degrades to a single bucket with no
+    # bounds — exactly what the oracle's empty-bnd CTE produces, so
+    # both engines agree instead of Spark raising KeyError (ADVICE r7)
+    bounds = [rank_to_key[rk] for rk in ranks] if n_s > 0 else []
     bucket = sum(
-        (F.col("o_totalprice") > F.lit(bd)).cast("int") for bd in bounds
+        ((F.col("o_totalprice") > F.lit(bd)).cast("int") for bd in bounds),
+        start=F.lit(0),
     )
     total = orders.agg(F.count(F.lit(1)).alias("total_rows"))
     return (

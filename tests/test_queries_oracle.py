@@ -1129,3 +1129,42 @@ def test_passage_census_short_docs_tile_to_zero(spark):
         assert rows[s].n_passages == 1
         assert rows[s].n_dup_passages == 1  # the planted twin, not ''
         assert rows[s].dup_ppm == 1_000_000
+
+def test_range_partition_plan_empty_sample_degrades_to_single_bucket(
+    spark, tmp_path
+):
+    """ADVICE r7: a degenerate input whose deterministic 5% sample is
+    EMPTY made every target rank 0 (which row_number never emits) and
+    crashed the Spark side with KeyError while the oracle degraded
+    gracefully to one bucket. Both engines must now agree: zero bounds,
+    a single bucket 0 holding the whole table."""
+    import hashlib
+
+    import duckdb
+
+    from sql_cdc_spark.queries import scale_q
+
+    keys, k = [], 1
+    while len(keys) < 5:  # keys the salted md5 draw does NOT sample
+        h = int(
+            hashlib.md5(f"{scale_q.RANGE_SALT}{k}".encode()).hexdigest()[:15],
+            16,
+        )
+        if h % 100 >= scale_q.RANGE_SAMPLE_PCT:
+            keys.append(k)
+        k += 1
+    spark.createDataFrame(
+        [(kk, 100.0 + kk) for kk in keys],
+        "o_orderkey long, o_totalprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = scale_q.scl_range_partition_plan(spark, str(tmp_path))
+    rows = out.collect()
+    assert [(r.bucket_id, r.n_rows, r.fill_permille) for r in rows] == [
+        (0, 5, 1000 * 5 * scale_q.RANGE_BUCKETS // 5)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    assert_matches_oracle(out, con, scale_q._RANGE_PLAN_SQL)
