@@ -29,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_cdc_spark.functions.dedup import release_local_checkpoint
-from sql_cdc_spark.queries.similarity_q import bucket_vectors, elect_dropped
+from sql_cdc_spark.queries.similarity_q import (
+    bucket_vectors,
+    elect_dropped_arrow,
+)
 from sql_cdc_spark.streaming import feed as FEED
 from sql_cdc_spark.streaming.ann_maintenance import (
     CHANGE_SCHEMA,
@@ -64,7 +67,7 @@ def build_semdedup_state(
 ) -> SemDedupState:
     """Full build from a (vec_id, embedding) corpus."""
     vb = _ckpt(bucket_vectors(vectors), checkpoint)
-    return SemDedupState(vb, _ckpt(elect_dropped(vb), checkpoint))
+    return SemDedupState(vb, _ckpt(elect_dropped_arrow(vb), checkpoint))
 
 
 def apply_semdedup_changes(
@@ -90,7 +93,7 @@ def apply_semdedup_changes(
         state.vb.join(cb, "vec_id", "left_anti").unionByName(new_vb),
         checkpoint,
     )
-    re_elected = elect_dropped(vb2.join(ab, "bucket", "left_semi"))
+    re_elected = elect_dropped_arrow(vb2.join(ab, "bucket", "left_semi"))
     dropped2 = _ckpt(
         state.dropped.join(ab, "bucket", "left_anti")
         .select(*state.dropped.columns)

@@ -1511,12 +1511,21 @@ def _gen15(rng: random.Random) -> dict:
     }
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", range(9))
 def test_random_query15_matches_duckdb(spark, oracle, seed):
-    from sql_cdc_spark.queries.similarity_q import _knn_join_sql, knn_join
+    from sql_cdc_spark.queries.similarity_q import (
+        _knn_join_sql,
+        knn_join,
+        knn_join_arrow,
+    )
 
     rng = random.Random(43000 + seed)
     q = _gen15(rng)
+    if seed == 8:
+        # the forced MEGA-BUCKET seed (VERDICT r7 #3): hundreds of
+        # positively-scaled copies of one vector all land in its SRP
+        # bucket, driving the hot-bucket tiling in the Arrow kernel
+        q.update(plant="mega", mega_n=350)
     emb = (
         tables.load(spark, SF_DIR, "embeddings")
         .filter(F.col("vec_id") % q["mod"] == 0)
@@ -1529,7 +1538,33 @@ def test_random_query15_matches_duckdb(spark, oracle, seed):
         "(SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings "
         f"WHERE vec_id % {q['mod']} = 0)"
     )
-    if q["plant"] != "none":
+    if q["plant"] == "mega":
+        # positively-scaled copies keep every SRP sign, hence the
+        # bucket; factors 1 + i/1000.0 are the same integer-derived
+        # IEEE754 doubles on both engines
+        src = emb.filter(F.col("vec_id") == 0)
+        planted = src.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(q["mega_n"]))
+            ).alias("i"),
+            "embedding",
+        ).select(
+            (F.lit(1_000_000) + F.col("i")).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x * (F.lit(1.0) + F.col("i") / F.lit(1000.0)),
+            ).alias("embedding"),
+        )
+        emb = emb.unionByName(planted)
+        rel = (
+            f"(SELECT * FROM {rel} base UNION ALL "
+            f"SELECT 1000000 + gs.i AS vec_id, "
+            f"list_transform(embedding, x -> x * (1.0 + gs.i / 1000.0)) "
+            f"AS embedding "
+            f"FROM {rel} src, UNNEST(generate_series(1, {q['mega_n']})) "
+            f"AS gs(i) WHERE src.vec_id = 0)"
+        )
+    elif q["plant"] != "none":
         # twins are EXACT copies (factor 1.0 — the tie case); clones are
         # the same elementwise IEEE754 double multiplication both engines
         # evaluate from the same literal
@@ -1547,8 +1582,10 @@ def test_random_query15_matches_duckdb(spark, oracle, seed):
             f"list_transform(embedding, x -> x * {f}) AS embedding "
             f"FROM {rel} src WHERE vec_id % {q['pmod']} = 0)"
         )
+    sql = _knn_join_sql(q["n_bits"], emb_rel=rel)
+    # BOTH physical strategies against the same oracle: the exact-JVM
+    # reference and the Arrow kernel the consumers elect (r8)
+    assert_matches_oracle(knn_join(emb, n_bits=q["n_bits"]), oracle, sql)
     assert_matches_oracle(
-        knn_join(emb, n_bits=q["n_bits"]),
-        oracle,
-        _knn_join_sql(q["n_bits"], emb_rel=rel),
+        knn_join_arrow(emb, n_bits=q["n_bits"]), oracle, sql
     )
