@@ -56,10 +56,12 @@ def pagerank(
     (node, degree, rank_ppm). Iteration 1 is exactly the registered
     sim_pagerank_step recurrence (rank' = floor((100−d)%·unit) +
     floor(d%·inflow) with floor-division contributions), looped to the
-    integer fixpoint: stop when a round moves zero rank mass, else after
-    ``max_iters``. Integer dynamics can 2-cycle instead of fixing, so
-    the L1 delta is a stop signal, not an invariant; the returned state
-    is the last round's.
+    integer fixpoint: stop when a round moves zero rank mass, when the
+    dynamics enter a 2-CYCLE (VERDICT r7 #8 — integer floor divisions
+    can oscillate A→B→A forever instead of fixing; detected as
+    delta(t) == delta(t−2) with delta > 0, a heuristic that can only
+    stop a genuinely-converging run a hair early, never corrupt state),
+    or after ``max_iters``. The returned state is the last round's.
 
     Per round: one shuffle-hash join (ranks are one-row-per-node and
     corpus-scale — the documented broadcast-abort band) + one inflow
@@ -73,9 +75,11 @@ def pagerank(
     silently drop it from the result (ADVICE r6).
 
     ``stats``, if a dict, receives {'rounds': executed round count,
-    'last_delta': the final L1 delta} — the fixpoint telemetry the
-    bench's graph_100x block records."""
-    rounds, delta = 0, 0
+    'last_delta': the final L1 delta, 'two_cycle': whether the 2-cycle
+    stop fired} — the fixpoint telemetry the bench's graph_100x block
+    records."""
+    rounds, delta, two_cycle = 0, 0, False
+    deltas: list[int] = []
     und = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -114,11 +118,20 @@ def pagerank(
         # must stop after one round, not burn max_iters empty rounds
         if not delta:
             break
+        deltas.append(int(delta))
+        # 2-cycle stop: a state 2-cycle repeats its delta with period 2
+        # (|A−B| both ways), so delta(t) == delta(t−2) is its earliest
+        # bit-exact signature — graph_100x measured the dynamics burning
+        # the whole 20-round budget in a stable 2-cycle otherwise
+        if len(deltas) >= 3 and deltas[-1] == deltas[-3]:
+            two_cycle = True
+            break
     und.unpersist()
     deg.unpersist()
     if stats is not None:
         stats["rounds"] = rounds
         stats["last_delta"] = int(delta or 0)
+        stats["two_cycle"] = two_cycle
     return ranks
 
 
