@@ -132,6 +132,11 @@ ROUND7 = [
     "sim_knn_join_arrow",        # bit-identical Arrow/BLAS knn election
 ]
 
+# round-8 registrations
+ROUND8 = [
+    "txt_winnow_pairs",          # winnowing cross-doc overlap pairs
+]
+
 
 REFERENCE_INVOICES = 25_000  # the reference generator's own scale
 
@@ -914,7 +919,7 @@ def main() -> None:
     # comes in multi-second windows — consecutive repeats of one query
     # would all land inside one window, so each pass runs the whole list
     # before repeating, spreading every query's samples minutes apart
-    all_names = HEADLINE + EXTENDED + ROUND5 + ROUND6 + ROUND7
+    all_names = HEADLINE + EXTENDED + ROUND5 + ROUND6 + ROUND7 + ROUND8
     dfs = {name: qs[name](spark, sf_dir) for name in all_names}
     timings: dict[str, float] = {name: float("inf") for name in all_names}
     # probe-gated retry (VERDICT r5 #4): r5's official recording opened
@@ -940,6 +945,7 @@ def main() -> None:
         "round5": {name: timings.pop(name) for name in ROUND5},
         "round6": {name: timings.pop(name) for name in ROUND6},
         "round7": {name: timings.pop(name) for name in ROUND7},
+        "round8": {name: timings.pop(name) for name in ROUND8},
     }
 
     # pipeline throughput: best of 2 (same contention rationale; each run

@@ -50,53 +50,31 @@ def _registry() -> dict[str, QueryEntry]:
     # — the families whose last driver check is oldest; (3) demoted
     # long-greens stay covered every round by the local pytest oracle
     # suite, which runs ALL queries vs DuckDB at sf0.01.
-    # Round-7 rotation (executes the plan published in r6; see git
-    # history for the r1-r6 narratives): the window below is explicit.
-    # (1) The eight operators landed AND registered in round 7 enter
-    # first (sim_pagerank_fixed3, sim_kmeans_fixed, sim_semdedup_sweep,
-    # txt_winnow_fingerprints, crp_global_shuffle,
-    # scl_range_partition_plan, evt_out_of_order_census,
-    # sim_knn_join_arrow) — added this round, pinned in-window by the
-    # "added or changed in round N ⇒ driver-checked in round N"
-    # invariant. (2) Ten queries re-enter as CHANGED: the MinHash
-    # family's shingle/signature pair moved onto the
-    # _cache.session_cached lifecycle (VERDICT r6 #6 —
-    # dd_near_dup_pairs, dd_dup_clusters, dd_cluster_canonical,
-    # dd_lsh_recall_eval); txt_pmi_collocations got the adaptive
-    # ppb-staged lift (ADVICE r6); sim_kmeans_step's report now
-    # composes the shared kmeans_stats/_kmeans_round_report bodies; and
-    # the bucketed pair family (sim_knn_join, sim_mutual_knn,
-    # sim_pagerank_step, sim_semantic_dedup) re-enters after the
-    # per-vector norm precompute in _salted_bucket_pairs (bit-identical
-    # values — verified exact-tuple-equal vs the unchanged oracles —
-    # but a changed plan is a changed query). (3) The remaining 32
-    # slots pay the r3 rotation debt oldest-first: the 16 named r3
-    # greens that ceded slots in r6, then 16 of the 21 unpaid r3 greens
-    # — ≥30 rotation rows, the VERDICT r6 #1 done-criterion; after this
-    # round max staleness is 3 rounds (VERDICT r6 #2 target), with the
-    # 5 bumped r3 names heading the r8 list below.
-    # Round-8 plan (published now, same discipline): the window opens
-    # with anything added or changed in round 8, then the five r3
-    # greens bumped by this round's perf landings (crp_pack_sequences,
-    # crp_repetition_filter, crp_source_mixture, txt_pii_redact,
-    # win_time_range_sum), then the 49 then-stale r4 greens
-    # oldest-first — the SCD2/snapshot family (cdc_scd2_history,
-    # cdc_scd2_incremental, cdc_scd2_temporal_join, cdc_snapshot_diff,
-    # cdc_replica_as_of, cdc_incremental_join_view), the
-    # incremental-dedup pair (dd_incremental_near_dup,
-    # dd_incremental_containment) + dd_duplicate_spans +
-    # dd_lsh_candidate_pairs, the sketch/scale families
-    # (evt_gap_fill_locf, evt_heavy_hitters_cms, evt_histogram,
-    # evt_join_size_estimate, evt_rate_anomaly, evt_sketch_setops,
-    # scl_bloom_pruned_join, scl_zorder_key, sim_pq_topk,
-    # sim_random_projection), the corpus trio (crp_chunk_documents,
-    # crp_length_buckets, crp_pps_sample), fn_invoice_numbering,
-    # fn_json_extract, rel_customer_order_stats, rel_dq_audit,
-    # rel_header_line_view, rel_pricing_summary, rel_unpivot_measures,
-    # win_order_ranks, and the 17 tpch completions (q1-q3, q5, q7-q13,
-    # q15-q18, q20-q22). 5 + 49 names + landings exceed one 50-slot
-    # window, so round 8 must land AT MOST ~4-6 new/changed queries and
-    # push any r4 remainder to the front of round 9.
+    # Round-8 rotation (executes the plan published in r7; the r1-r7
+    # narratives live in git history): the window below is explicit.
+    # (1) SEVEN landing slots — txt_winnow_pairs is NEW (the winnowing
+    # cross-doc overlap pair report, VERDICT r7 #7); six re-enter as
+    # CHANGED: the knn/SemDeDup consumers moved onto the Arrow kernel
+    # strategy (VERDICT r7 #1 — sim_pagerank_fixed3, sim_pagerank_step,
+    # sim_mutual_knn now read the session-cached Arrow-built knn_best;
+    # sim_semantic_dedup and sim_semdedup_sweep elect in-kernel), and
+    # sim_knn_join_arrow re-enters because the kernel itself was
+    # REWRITTEN (mate-axis tiling, BigDecimal.valueOf-parity rounding,
+    # zero-norm sentinel — plan shape unchanged but the computation is
+    # new code, so it gets re-checked; VERDICT r7 #2 / ADVICE r7).
+    # That is one over the published ~4-6 cap: the extra slot buys the
+    # driver's independent re-check of the rewritten kernel, judged
+    # worth more than the 44th rotation row. (2) The five r3 strays —
+    # the oldest evidence in the project (staleness 4) — head the
+    # rotation exactly as published. (3) The remaining 38 slots pay the
+    # 49-name r4 debt in the published order (31 non-tpch + tpch q1,
+    # q2, q3, q5, q7, q8, q9).
+    # Round-9 plan (published now, same discipline): the window opens
+    # with anything added or changed in round 9, then the 11 r4 tpch
+    # greens left unpaid here (q10-q13, q15-q18, q20-q22), then the
+    # r5-checked greens oldest-first. 11 + landings leave ~35 slots for
+    # the r5 cohort, so round 9 should land at most ~4-6 new/changed
+    # queries again.
     for mod in (
         relational_q,
         functions_q,
@@ -115,73 +93,67 @@ def _registry() -> dict[str, QueryEntry]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         reg.update(mod.QUERIES)
-    # The round-7 driver window, explicit and order-significant: the
+    # The round-8 driver window, explicit and order-significant: the
     # driver hash-checks exactly these 50, top to bottom. Guarded by
-    # tests/test_operator_guards.py::test_registry_window_holds_all_round7_queries.
+    # tests/test_operator_guards.py::test_registry_window_holds_all_round8_queries.
     window = [
-        # -- landed AND registered this round -------------------------
-        "sim_pagerank_fixed3",       # 3-round PageRank unroll (LOOP evidence)
-        "sim_kmeans_fixed",          # 3-round Lloyd chain (LOOP evidence)
-        "sim_semdedup_sweep",        # SemDeDup threshold tuning sweep
-        "txt_winnow_fingerprints",   # MOSS winnowing shared-fp census
-        "crp_global_shuffle",        # seeded epoch-shuffle shard census
-        "scl_range_partition_plan",  # range-boundary planner + balance
-        "evt_out_of_order_census",   # lateness bands for watermark choice
-        "sim_knn_join_arrow",        # bit-identical Arrow/BLAS election
-        # -- changed this round ---------------------------------------
-        # the MinHash family's shingle/sig pair moved onto the
-        # session_cached lifecycle (VERDICT r6 #6):
-        "dd_near_dup_pairs",
-        "dd_dup_clusters",
-        "dd_cluster_canonical",
-        "dd_lsh_recall_eval",
-        # adaptive ppb-staged lift resolution (ADVICE r6):
-        "txt_pmi_collocations",
-        # report now composes the shared kmeans round bodies:
-        "sim_kmeans_step",
-        # per-vector norm precompute in the salted pair join (plans
-        # changed; values verified exact-tuple-equal vs the oracles):
-        "sim_knn_join",
-        "sim_mutual_knn",
+        # -- landed (new) this round ----------------------------------
+        "txt_winnow_pairs",          # winnowing cross-doc overlap pairs
+        # -- changed this round (Arrow kernel strategy, VERDICT r7 #1;
+        #    kernel rewrite re-check, VERDICT r7 #2 / ADVICE r7) -------
+        "sim_knn_join_arrow",
+        "sim_pagerank_fixed3",
         "sim_pagerank_step",
+        "sim_mutual_knn",
         "sim_semantic_dedup",
-        # -- rotation debt: the 16 named r3 greens that ceded r6 slots -
-        "tpch_q6_forecast_revenue",
-        "fn_bson_roundtrip",
-        "win_ntile_quartiles",
-        "rel_above_avg_orders",
-        "win_percent_rank",
-        "rel_anti_join_no_orders",
-        "tpch_q14_promo_revenue",
-        "tpch_q19_discounted_revenue",
-        "tpch_q4_late_order_priority",
-        "txt_doc_frequency",
-        "fn_string_ops",
-        "txt_bigram_topk",
-        "evt_tumbling_hourly",
-        "evt_asof_last_purchase",
-        "crp_train_test_split",
-        "crp_stratified_sample",
-        # -- rotation debt: the 21 r3 greens left unpaid in r6 ---------
-        "evt_daily_user_activity",
-        "evt_funnel_conversion",
-        "evt_interval_join_buckets",
-        "evt_percentile_sketch",
-        "evt_retention_cohorts",
-        "evt_type_transitions",
-        "evt_user_cardinality_sketch",
-        "mm_audio_features",
-        "rel_invoice_view_rollup",
-        "sim_label_centroids",
-        "sim_norm_stats",
-        "sim_quantized_topk",
-        "crp_contamination",
-        "crp_corpus_clean",
-        "crp_manifest",
-        "crp_mixture_sample",
-        # (crp_pack_sequences, crp_repetition_filter, crp_source_mixture,
-        #  txt_pii_redact, win_time_range_sum ceded their slots to the
-        #  five perf re-entries above; they HEAD the published r8 list)
+        "sim_semdedup_sweep",
+        # -- rotation debt: the five r3 strays (staleness 4 — oldest) --
+        "crp_pack_sequences",
+        "crp_repetition_filter",
+        "crp_source_mixture",
+        "txt_pii_redact",
+        "win_time_range_sum",
+        # -- rotation debt: the r4 greens, published order -------------
+        "cdc_scd2_history",
+        "cdc_scd2_incremental",
+        "cdc_scd2_temporal_join",
+        "cdc_snapshot_diff",
+        "cdc_replica_as_of",
+        "cdc_incremental_join_view",
+        "dd_incremental_near_dup",
+        "dd_incremental_containment",
+        "dd_duplicate_spans",
+        "dd_lsh_candidate_pairs",
+        "evt_gap_fill_locf",
+        "evt_heavy_hitters_cms",
+        "evt_histogram",
+        "evt_join_size_estimate",
+        "evt_rate_anomaly",
+        "evt_sketch_setops",
+        "scl_bloom_pruned_join",
+        "scl_zorder_key",
+        "sim_pq_topk",
+        "sim_random_projection",
+        "crp_chunk_documents",
+        "crp_length_buckets",
+        "crp_pps_sample",
+        "fn_invoice_numbering",
+        "fn_json_extract",
+        "rel_customer_order_stats",
+        "rel_dq_audit",
+        "rel_header_line_view",
+        "rel_pricing_summary",
+        "rel_unpivot_measures",
+        "win_order_ranks",
+        "tpch_q1_pricing_summary",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q7_nation_volume",
+        "tpch_q8_market_share",
+        "tpch_q9_product_type_profit",
+        # (tpch q10-q13, q15-q18, q20-q22 — 11 r4 greens — head the
+        #  published round-9 list above)
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

@@ -216,6 +216,114 @@ LIMIT {WINNOW_TOPK}
 """
 
 
+WINNOW_DF_CAP = 64    # boilerplate cap: fps in more docs join no pairs
+WINNOW_PAIR_TOPK = 25
+
+
+def txt_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap PAIR report from winnowing fingerprints —
+    the Lee-et-al./MOSS use case the census (txt_winnow_fingerprints)
+    stops short of (VERDICT r7 #7): WHICH document pairs share
+    fingerprinted runs, with the overlap mass. Any shared run of
+    ≥ WINNOW_K+WINNOW_W−1 words guarantees ≥ 1 shared fingerprint, so
+    a pair's n_shared grows with the length of its shared passages —
+    the partial-overlap dedup signal whole-doc digests and disjoint
+    tiles both miss. Emits (doc_a, doc_b, n_shared, n_a, n_b,
+    overlap_permille) where overlap_permille = 1000·n_shared over the
+    SMALLER doc's fingerprint count (a containment-style score: a doc
+    fully embedded in a larger one scores ~1000).
+
+    Scale shape — the dedup-family pair discipline: fingerprint
+    selection is scan-local (~1/W of the gram hashes survive, the
+    posting-volume lever); postings are DF-CAPPED before any join
+    (fps in > WINNOW_DF_CAP docs are boilerplate and would contribute
+    O(df²) pairs — the hot-shingle-cap rule), so per-fp pair fan-out
+    is bounded at CAP²/2; the pair self-join and both per-doc-count
+    joins pin shuffle-hash (postings and doc counts all scale with the
+    corpus — the unbounded-pair-path broadcast ban, see
+    dedup._attach_sizes); the report is TakeOrderedAndProject over the
+    (n_shared desc, doc_a, doc_b) total order."""
+    return winnow_pairs_report(tables.load(spark, sf_dir, "documents"))
+
+
+def winnow_pairs_report(
+    docs: DataFrame,
+    df_cap: int = WINNOW_DF_CAP,
+    topk: int = WINNOW_PAIR_TOPK,
+) -> DataFrame:
+    """The pair report over any (doc_id, text) frame — see
+    txt_winnow_pairs (fixture-testable form)."""
+    per_doc = TX.winnow_fingerprints(docs)
+    df = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("__nd"))
+    keep = df.filter(
+        (F.col("__nd") >= 2) & (F.col("__nd") <= df_cap)
+    ).select("fp")
+    postings = per_doc.join(keep.hint("shuffle_hash"), "fp")
+    pairs = (
+        postings.select("fp", F.col("doc_id").alias("doc_a"))
+        .join(
+            postings.select("fp", F.col("doc_id").alias("doc_b")).hint(
+                "shuffle_hash"
+            ),
+            "fp",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pc = per_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__nfp"))
+    report = (
+        pairs.join(
+            pc.select(F.col("doc_id").alias("doc_a"), F.col("__nfp").alias("n_a"))
+            .hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            pc.select(F.col("doc_id").alias("doc_b"), F.col("__nfp").alias("n_b"))
+            .hint("shuffle_hash"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.expr("1000 * n_shared div least(n_a, n_b)").alias(
+                "overlap_permille"
+            ),
+        )
+    )
+    return report.orderBy(
+        F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(topk)
+
+
+# shares the winnow CTE chain (w/g/hs/f) with _WINNOW_SQL — both built
+# from the same constants, so the two queries cannot drift
+_WINNOW_PAIRS_SQL = f"""
+{_WINNOW_SQL.split("SELECT fp, COUNT(*)")[0]}
+, keep AS (
+  SELECT fp FROM f GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND {WINNOW_DF_CAP}
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM f a JOIN keep USING (fp) JOIN f b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pc AS (SELECT doc_id, COUNT(*) AS nfp FROM f GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b, p.n_shared, ca.nfp AS n_a, cb.nfp AS n_b,
+       1000 * p.n_shared // LEAST(ca.nfp, cb.nfp) AS overlap_permille
+FROM p
+JOIN pc ca ON ca.doc_id = p.doc_a
+JOIN pc cb ON cb.doc_id = p.doc_b
+ORDER BY n_shared DESC, doc_a ASC, doc_b ASC
+LIMIT {WINNOW_PAIR_TOPK}
+"""
+
+
 TOP_BIGRAMS = 20
 
 
@@ -951,6 +1059,7 @@ QUERIES: dict[str, QueryEntry] = {
     "txt_ngram_novelty": QueryEntry(txt_ngram_novelty, _NOVELTY_SQL),
     "txt_bpe_tokens": QueryEntry(txt_bpe_tokens, _BPE_SQL),
     "txt_rolling_fingerprint": QueryEntry(txt_rolling_fingerprint, _ROLLING_SQL),
+    "txt_winnow_pairs": QueryEntry(txt_winnow_pairs, _WINNOW_PAIRS_SQL),
     "txt_winnow_fingerprints": QueryEntry(
         txt_winnow_fingerprints, _WINNOW_SQL
     ),

@@ -1316,3 +1316,50 @@ def test_grouped_pairing_equals_self_join_randomized(spark):
             .collect()
         }
         assert got_c == want_c, f"containment base diverged at seed {seed}"
+
+def test_winnow_pairs_planted_overlap_and_df_cap(spark):
+    """txt_winnow_pairs (VERDICT r7 #7): two documents sharing a run of
+    >= K+W-1 words MUST surface as a pair (the winnowing guarantee
+    lifted to the pair report); a fingerprint planted in MORE than
+    WINNOW_DF_CAP documents is boilerplate and must contribute NO
+    pairs; a fully-embedded doc scores overlap_permille 1000 against
+    its container."""
+    from sql_cdc_spark.functions import text as TX
+    from sql_cdc_spark.queries.text_q import winnow_pairs_report
+
+    k, w = TX.WINNOW_K, TX.WINNOW_W
+    run = " ".join(f"shared{i}" for i in range(k + w - 1))
+    boiler = " ".join(f"boil{i}" for i in range(k + w - 1))
+    rows = [
+        (1, "alpha beta gamma delta " + run + " epsilon zeta omega psi"),
+        (2, run + " eta theta iota kappa lam mu nu xi"),
+        (3, "completely different words without any shared passage here"),
+    ]
+    # the boilerplate run lands in cap+2 extra docs (> df_cap = 3)
+    cap = 3
+    for i in range(cap + 2):
+        rows.append(
+            (
+                100 + i,
+                boiler + f" filler{i}a filler{i}b filler{i}c filler{i}d",
+            )
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in winnow_pairs_report(docs, df_cap=cap, topk=100).collect()
+    }
+    assert (1, 2) in got, "shared >= K+W-1 run must surface as a pair"
+    assert all(a < 100 and b < 100 for a, b in got), (
+        f"boilerplate fp (df > cap) leaked pairs: {sorted(got)}"
+    )
+    # full containment scores 1000: doc 2's text embedded inside doc 4
+    docs2 = spark.createDataFrame(
+        [(1, rows[1][1]), (2, "prefix words here " + rows[1][1] + " suffix words there")],
+        "doc_id long, text string",
+    )
+    rep = {
+        (r.doc_a, r.doc_b): r.overlap_permille
+        for r in winnow_pairs_report(docs2, topk=10).collect()
+    }
+    assert rep.get((1, 2)) == 1000

@@ -26,7 +26,7 @@ def test_salted_join_matches_unsalted_inner_and_left(spark):
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_registry_window_holds_all_round7_queries():
+def test_registry_window_holds_all_round8_queries():
     """Driver contract: only the first 50 registry entries are
     hash-checked per round, so every query added or changed this round
     must sit inside that window — silently rotating one out would skip
@@ -34,61 +34,50 @@ def test_registry_window_holds_all_round7_queries():
     from sql_cdc_spark.queries import _registry
 
     window = list(_registry())[:50]
-    round7_new = [
-        # landed AND registered in round 7
-        "sim_pagerank_fixed3",       # 3-round PageRank unroll
-        "sim_kmeans_fixed",          # 3-round Lloyd chain
-        "sim_semdedup_sweep",        # SemDeDup threshold sweep
-        "txt_winnow_fingerprints",   # MOSS winnowing census
-        "crp_global_shuffle",        # seeded epoch-shuffle shard census
-        "scl_range_partition_plan",  # range-boundary planner
-        "evt_out_of_order_census",   # lateness bands
-        "sim_knn_join_arrow",        # bit-identical Arrow/BLAS election
-        # changed r7: the MinHash family's shingle/sig pair moved onto
-        # the _cache.session_cached lifecycle (VERDICT r6 #6)
-        "dd_near_dup_pairs",
-        "dd_dup_clusters",
-        "dd_cluster_canonical",
-        "dd_lsh_recall_eval",
-        # changed r7: adaptive ppb-staged lift resolution (ADVICE r6)
-        "txt_pmi_collocations",
-        # changed r7: composes the shared kmeans round bodies
-        "sim_kmeans_step",
-        # changed r7: per-vector norm precompute in _salted_bucket_pairs
-        # (bit-identical values, changed plan)
-        "sim_knn_join",
-        "sim_mutual_knn",
+    round8_new = [
+        # landed in round 8 (VERDICT r7 #7)
+        "txt_winnow_pairs",
+        # changed r8: the knn/SemDeDup consumers elect the Arrow kernel
+        # strategy (VERDICT r7 #1) and the kernel itself was rewritten
+        # (tiling + rounding parity + zero-norm sentinel, VERDICT r7 #2
+        # / ADVICE r7)
+        "sim_knn_join_arrow",
+        "sim_pagerank_fixed3",
         "sim_pagerank_step",
+        "sim_mutual_knn",
         "sim_semantic_dedup",
+        "sim_semdedup_sweep",
     ]
-    missing = [n for n in round7_new if n not in window]
+    missing = [n for n in round8_new if n not in window]
     assert not missing, f"changed queries outside the driver window: {missing}"
-    # rotation-debt payoff, as published in the r6 registry comment:
-    # the 16 named r3 greens that ceded r6 slots, then 16 of the 21
-    # unpaid r3 greens (≥30 rotation rows, the VERDICT r6 #1
-    # done-criterion; the last 5 ceded their slots to the norm-precompute
-    # perf re-entries and HEAD the published r8 list). Post-r7 max
-    # staleness is 3 rounds (VERDICT r6 #2 target).
-    stale_r7 = [
-        "tpch_q6_forecast_revenue", "fn_bson_roundtrip",
-        "win_ntile_quartiles", "rel_above_avg_orders", "win_percent_rank",
-        "rel_anti_join_no_orders", "tpch_q14_promo_revenue",
-        "tpch_q19_discounted_revenue", "tpch_q4_late_order_priority",
-        "txt_doc_frequency", "fn_string_ops", "txt_bigram_topk",
-        "evt_tumbling_hourly", "evt_asof_last_purchase",
-        "crp_train_test_split", "crp_stratified_sample",
-        "evt_daily_user_activity", "evt_funnel_conversion",
-        "evt_interval_join_buckets", "evt_percentile_sketch",
-        "evt_retention_cohorts", "evt_type_transitions",
-        "evt_user_cardinality_sketch", "mm_audio_features",
-        "rel_invoice_view_rollup", "sim_label_centroids", "sim_norm_stats",
-        "sim_quantized_topk", "crp_contamination", "crp_corpus_clean",
-        "crp_manifest", "crp_mixture_sample",
+    # rotation-debt payoff, as published in the r7 registry comment:
+    # the five r3 strays (staleness 4 — the project's oldest evidence)
+    # FIRST, then 38 of the 49 r4 greens in the published order (the
+    # 11 tpch leftovers head the published round-9 list).
+    stale_r8 = [
+        "crp_pack_sequences", "crp_repetition_filter",
+        "crp_source_mixture", "txt_pii_redact", "win_time_range_sum",
+        "cdc_scd2_history", "cdc_scd2_incremental",
+        "cdc_scd2_temporal_join", "cdc_snapshot_diff", "cdc_replica_as_of",
+        "cdc_incremental_join_view", "dd_incremental_near_dup",
+        "dd_incremental_containment", "dd_duplicate_spans",
+        "dd_lsh_candidate_pairs", "evt_gap_fill_locf",
+        "evt_heavy_hitters_cms", "evt_histogram", "evt_join_size_estimate",
+        "evt_rate_anomaly", "evt_sketch_setops", "scl_bloom_pruned_join",
+        "scl_zorder_key", "sim_pq_topk", "sim_random_projection",
+        "crp_chunk_documents", "crp_length_buckets", "crp_pps_sample",
+        "fn_invoice_numbering", "fn_json_extract",
+        "rel_customer_order_stats", "rel_dq_audit", "rel_header_line_view",
+        "rel_pricing_summary", "rel_unpivot_measures", "win_order_ranks",
+        "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+        "tpch_q7_nation_volume", "tpch_q8_market_share",
+        "tpch_q9_product_type_profit",
     ]
-    stale_missing = [n for n in stale_r7 if n not in window]
+    stale_missing = [n for n in stale_r8 if n not in window]
     assert not stale_missing, f"rotation debt unpaid: {stale_missing}"
     # no wasted slots: the pinned sets fill the window exactly
-    assert len(set(round7_new) | set(stale_r7)) == 50 == len(window)
+    assert len(set(round8_new) | set(stale_r8)) == 50 == len(window)
 
 
 def test_refresh_aggregate_groups_matches_full_recompute(spark):
@@ -361,7 +350,12 @@ def test_expectations_one_pass_and_null_as_violation(spark):
 # makes that class of gap a test failure the moment the operator is
 # registered. Next round: rename to the new round's frozen set by
 # folding the round-7 names in.
-REGISTRY_FROZEN_PRE_R7 = {
+REGISTRY_FROZEN_PRE_R8 = {
+    # round-7 registrations (folded in at the r8 roll-over)
+    "sim_pagerank_fixed3", "sim_kmeans_fixed", "sim_semdedup_sweep",
+    "txt_winnow_fingerprints", "crp_global_shuffle",
+    "scl_range_partition_plan", "evt_out_of_order_census",
+    "sim_knn_join_arrow",
     # round-6 registrations (folded in at the r7 roll-over)
     "txt_bm25_search", "txt_bpe_pair_census", "sim_hybrid_search",
     "scl_skew_census", "txt_tfidf_topterms", "txt_ngram_novelty",
@@ -443,11 +437,11 @@ def test_every_new_registration_sits_in_the_driver_window():
 
     reg = list(_registry())
     window = set(reg[:50])
-    new_this_round = [n for n in reg if n not in REGISTRY_FROZEN_PRE_R7]
+    new_this_round = [n for n in reg if n not in REGISTRY_FROZEN_PRE_R8]
     outside = [n for n in new_this_round if n not in window]
     assert not outside, (
         f"registered this round but driver-unchecked: {outside}"
     )
     # and the frozen set never references a name the registry dropped
-    dropped = [n for n in REGISTRY_FROZEN_PRE_R7 if n not in reg]
+    dropped = [n for n in REGISTRY_FROZEN_PRE_R8 if n not in reg]
     assert not dropped, f"frozen names no longer registered: {dropped}"

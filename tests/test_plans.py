@@ -479,6 +479,11 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "evt_out_of_order_census": 9,
     # ONE bucket shuffle into the grouped-map kernel + presentation sort
     "sim_knn_join_arrow": 2,
+    # round-8 landing: winnow postings df agg + cap semi-join + the
+    # pinned shuffle-hash pair self-join + pair agg + two per-doc-count
+    # joins (also pinned — every side scales with the corpus) +
+    # TakeOrdered
+    "txt_winnow_pairs": 9,
 }
 
 
