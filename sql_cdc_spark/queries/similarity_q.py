@@ -738,13 +738,20 @@ def elect_nearest_arrow(vb: DataFrame, with_bucket: bool = False) -> DataFrame:
     return vb.groupBy("bucket").applyInPandas(elect, schema)
 
 
-def elect_dropped_arrow(vb: DataFrame) -> DataFrame:
+SEMDEDUP_T = 0.35  # within-bucket cosine above which a doc is redundant
+
+
+def elect_dropped_arrow(
+    vb: DataFrame, threshold: float = SEMDEDUP_T
+) -> DataFrame:
     """elect_dropped through the per-bucket Arrow kernel — the SemDeDup
     election with identical rows (same bigint min-key fold, in-kernel);
-    see functions/simkernel.py for the exactness/memory contract."""
+    see functions/simkernel.py for the exactness/memory contract.
+    ``threshold`` must be a ≤6-dp decimal (the micro-domain contract;
+    fuzz family 16 sweeps it)."""
     from sql_cdc_spark.functions import simkernel as K
 
-    t_micro = int(round(SEMDEDUP_T * 1_000_000))
+    t_micro = int(round(threshold * 1_000_000))
 
     def elect(pdf):
         return K.elect_dropped_pdf(pdf, t_micro)
@@ -850,7 +857,6 @@ ORDER BY vec_id
 """
 
 
-SEMDEDUP_T = 0.35  # within-bucket cosine above which a doc is redundant
 BUCKET_SALT = 16   # fan-out of the salted bucket self-joins (see below)
 
 
@@ -954,7 +960,9 @@ def bucket_vectors(emb: DataFrame, n_bits: int = LSH_BITS) -> DataFrame:
     )
 
 
-def elect_dropped(vb: DataFrame) -> DataFrame:
+def elect_dropped(
+    vb: DataFrame, threshold: float = SEMDEDUP_T
+) -> DataFrame:
     """The SemDeDup election over a bucketed (vec_id, embedding, bucket)
     frame — see sim_semantic_dedup. Unordered; a vector's row depends
     ONLY on its own bucket's membership, which is what makes per-bucket
@@ -984,7 +992,7 @@ def elect_dropped(vb: DataFrame) -> DataFrame:
     # in the repo including the 100× synthetics (~2^34).
     cos_micro = F.round(cos * 1_000_000).cast("long")
     key = F.when(
-        cos >= SEMDEDUP_T,
+        cos >= threshold,
         F.col("__mate") * F.lit(1 << 21) + (cos_micro + F.lit(1_000_000)),
     )
     pairs = (
@@ -1090,11 +1098,19 @@ ORDER BY threshold_micro
 """
 
 
-def _semantic_dedup_sql() -> str:
-    lsh = _lsh_sql().strip()
+def _semantic_dedup_sql(
+    n_bits: int = LSH_BITS,
+    emb_rel: str = "embeddings",
+    threshold: float = SEMDEDUP_T,
+) -> str:
+    """Parameterized like _knn_join_sql/_lsh_sql so fuzz family 16 can
+    re-derive the election at arbitrary (bits, threshold, corpus);
+    defaults render the registered oracle text byte-for-byte."""
+    lsh = _lsh_sql(n_bits, emb_rel).strip()
+    v_cte = f"WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM {emb_rel})"
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-b AS ({lsh.replace('WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)', '')} ),
+{v_cte},
+b AS ({lsh.replace(v_cte, '')} ),
 vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
 dup AS (
   SELECT a.vec_id, a.bucket, c.vec_id AS mate,
@@ -1106,7 +1122,7 @@ dup AS (
 SELECT vec_id, keeper_id, cos_sim, bucket FROM (
   SELECT vec_id, bucket, mate AS keeper_id, cos AS cos_sim,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY mate) AS rn
-  FROM dup WHERE cos >= {SEMDEDUP_T}
+  FROM dup WHERE cos >= {threshold}
 ) WHERE rn = 1
 ORDER BY vec_id
 """

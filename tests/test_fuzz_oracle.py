@@ -1589,3 +1589,95 @@ def test_random_query15_matches_duckdb(spark, oracle, seed):
     assert_matches_oracle(
         knn_join_arrow(emb, n_bits=q["n_bits"]), oracle, sql
     )
+
+# ---- family 16: the SemDeDup election parameter space — random SRP bit
+# widths, thresholds, corpus subsets, and planted twin/clone structure
+# through BOTH physical strategies (exact-JVM elect_dropped and the
+# Arrow kernel sim_semantic_dedup elects since r8) vs the parameterized
+# DuckDB twin (_semantic_dedup_sql defaults render the registered
+# oracle byte-for-byte), plus the sweep fold's cross-strategy equality
+
+
+def _gen16(rng: random.Random) -> dict:
+    return {
+        "n_bits": rng.choice([4, 5, 6, 8]),
+        # ≤6-dp decimals only (the micro-domain threshold contract)
+        "threshold": rng.choice([0.15, 0.25, 0.35, 0.45, 0.6]),
+        "mod": rng.choice([1, 2, 5]),
+        "plant": rng.choice(["none", "twins", "clones"]),
+        "pmod": rng.choice([3, 7]),
+        "factor": rng.choice([1.01, 0.97]),
+    }
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_query16_matches_duckdb(spark, oracle, seed):
+    from pyspark.sql import functions as PF
+
+    from sql_cdc_spark.queries.similarity_q import (
+        _pair_cosine,
+        _salted_bucket_pairs,
+        _semantic_dedup_sql,
+        bucket_vectors,
+        elect_dropped,
+        elect_dropped_arrow,
+        max_mate_micro_arrow,
+    )
+
+    rng = random.Random(44000 + seed)
+    q = _gen16(rng)
+    emb = (
+        tables.load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % q["mod"] == 0)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    rel = (
+        "(SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings "
+        f"WHERE vec_id % {q['mod']} = 0)"
+    )
+    if q["plant"] != "none":
+        f = 1.0 if q["plant"] == "twins" else q["factor"]
+        planted = emb.filter(F.col("vec_id") % q["pmod"] == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(f)
+            ).alias("embedding"),
+        )
+        emb = emb.unionByName(planted)
+        rel = (
+            f"(SELECT * FROM {rel} base UNION ALL "
+            f"SELECT vec_id + 1000000 AS vec_id, "
+            f"list_transform(embedding, x -> x * {f}) AS embedding "
+            f"FROM {rel} src WHERE vec_id % {q['pmod']} = 0)"
+        )
+    vb = bucket_vectors(emb, q["n_bits"])
+    sql = _semantic_dedup_sql(q["n_bits"], emb_rel=rel, threshold=q["threshold"])
+    assert_matches_oracle(
+        elect_dropped(vb, threshold=q["threshold"]).orderBy("vec_id"),
+        oracle,
+        sql,
+    )
+    assert_matches_oracle(
+        elect_dropped_arrow(vb, threshold=q["threshold"]).orderBy("vec_id"),
+        oracle,
+        sql,
+    )
+    # the sweep fold: in-kernel per-vector max mate micro-cosine must
+    # equal the salted-JVM pair fold bit-for-bit on the same bucketing
+    kern = sorted(map(tuple, max_mate_micro_arrow(vb).collect()))
+    joined = _salted_bucket_pairs(vb, "__mate")
+    cm = PF.round(_pair_cosine() * 1_000_000).cast("long")
+    jvm = sorted(
+        map(
+            tuple,
+            joined.filter(PF.col("__mate") < PF.col("vec_id"))
+            .select("vec_id", cm.alias("cm"))
+            .groupBy("vec_id")
+            .agg(PF.max("cm").alias("max_cm"))
+            .collect(),
+        )
+    )
+    assert kern == jvm
