@@ -74,7 +74,14 @@ def _registry() -> dict[str, QueryEntry]:
     # greens left unpaid here (q10-q13, q15-q18, q20-q22), then the
     # r5-checked greens oldest-first. 11 + landings leave ~35 slots for
     # the r5 cohort, so round 9 should land at most ~4-6 new/changed
-    # queries again.
+    # queries again. One changed-family landing is already measured and
+    # queued: the containment in-row-sizes rewrite (r8 pilot: postings
+    # carry each doc's rare count BEFORE pair generation, so the pair
+    # table never joins — 28.0 -> 17.2 s at 10x, bit-identical output;
+    # SURVEY round-8 findings). It touches containment_base and its
+    # consumers (dd_containment_pairs, dd_containment_sweep,
+    # dd_incremental_containment + the maintenance twin), which then
+    # claim the r9 changed-query slots.
     for mod in (
         relational_q,
         functions_q,
