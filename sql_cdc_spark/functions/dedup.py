@@ -221,6 +221,39 @@ def lsh_candidate_pairs(
     )
 
 
+def _grouped_sized_pairs(
+    df: DataFrame, key_col: str, id_col: str, n_col: str
+) -> DataFrame:
+    """_grouped_pairs carrying a per-id payload column through pair
+    generation: groupBy(key) → sort_array(collect_list(struct(id, n)))
+    → the i<j pairs emit (id_a, id_b, n_a, n_b) in-row. The struct sorts
+    by its FIRST field, and ids are unique within a key group, so the
+    pair enumeration order is identical to _grouped_pairs on the bare
+    ids. This is how the containment path ships each doc's rare-set
+    size THROUGH the pair table instead of joining it back on
+    afterwards (the r8-measured in-row-sizes plan — see
+    containment_base)."""
+    grouped = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"), F.col(n_col).alias("n")
+                )
+            )
+        ).alias("__e")
+    )
+    return grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__e, (a, i) -> "
+                "transform(slice(__e, i + 2, size(__e)), "
+                "b -> struct(a.i AS id_a, b.i AS id_b, "
+                "a.n AS n_a, b.n AS n_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.id_a", "__p.id_b", "__p.n_a", "__p.n_b")
+
+
 def _candidate_intersections(
     hashed: DataFrame, candidates: DataFrame, id_col: str
 ) -> DataFrame:
@@ -393,7 +426,22 @@ def containment_base(
     rare-table network pass (the join's second shuffle side); a late-r4
     A/B at sf0.1 measured 2.39 s vs 2.84 s best-of-3 on the same data
     (both passes in the same window, equal probe), with byte-identical
-    output."""
+    output.
+
+    Sizes are IN-ROW (landed r9, measured r8): each doc's rare-set
+    count attaches to the POSTINGS — one postings⨝sizes join, linear in
+    the rare table — before pair generation, and the (id, n) struct
+    pairs carry n_a/n_b straight through the pair aggregate, so the
+    pair table joins NOTHING. The previous shape aggregated bare pairs
+    and then ran TWO pinned shuffle-hash joins of the corpus-scale pair
+    table against the sizes table — the family's measured cost center
+    (~21 s of a 32.2 s 10× pipeline; the pair table is the largest
+    relation in the whole family, 11.2M rows at 10× vs 2.5M postings).
+    A/B at 10×: 28.0 s → 17.2 s, bit-identical 8,420 pairs (full-tuple
+    parity). The postings join itself stays pinned shuffle-hash: both
+    sides scale with the corpus, and AQE's compressed-size broadcast
+    election is the measured maxResultSize hazard (_attach_sizes doc,
+    CLAUDE.md)."""
     if rare is not None:
         rare_sh = rare.select(F.col(id_col), "sh64")
     else:
@@ -405,14 +453,15 @@ def containment_base(
             .select("sh64")
         )
         rare_sh = hashed.join(F.broadcast(hot), ["sh64"], "left_anti")
+    sizes = rare_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    sized = rare_sh.join(sizes.hint("shuffle_hash"), [id_col])
     # one pair row per shared rare shingle: multiplicity IS the
-    # intersection size, so no .distinct() here
-    pairs = _grouped_pairs(rare_sh, "sh64", id_col)
-    inter = pairs.groupBy("id_a", "id_b").agg(
+    # intersection size, so no .distinct() here; n_a/n_b are constant
+    # per (id_a, id_b) so widening the grouping key changes nothing
+    pairs = _grouped_sized_pairs(sized, "sh64", id_col, "__n")
+    return pairs.groupBy("id_a", "id_b", "n_a", "n_b").agg(
         F.count(F.lit(1)).alias("n_inter")
     )
-    # blocking path: unbounded pair table — pin the shuffle-hash plan
-    return _attach_sizes(inter, rare_sh, id_col, None, pin_shuffle=True)
 
 
 def containment_sweep(

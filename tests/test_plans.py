@@ -371,7 +371,10 @@ HEADLINE_EXCHANGE_BUDGETS = {
     "cdc_snapshot_diff": 2,
     "crp_pps_sample": 1,
     "scl_bloom_pruned_join": 1,
-    "dd_containment_pairs": 25,  # grouped pair generation (late-r4 rewrite)
+    "dd_containment_pairs": 17,  # grouped pair generation + in-row sizes
+    # (r9 rewrite: sizes attach to POSTINGS before pair generation, so
+    # the pair table joins nothing — was 25 when the pair table ran two
+    # pinned shuffle-hash size joins; measured 28.0→17.2 s at 10×)
     "crp_chunk_documents": 1,   # the presentation orderBy; scan is shuffle-free
     "crp_length_buckets": 2,
     "evt_sketch_setops": 29,    # fully-lazy register pipeline (A/B: faster
@@ -512,6 +515,37 @@ def test_headline_exchange_budgets(spark):
     assert not over, f"exchange budget exceeded (got, budget): {over}"
 
 
+def test_containment_pair_table_never_joins(spark):
+    """r9 in-row-sizes done-criterion: the containment family's pair
+    table (id_a, id_b, …) must JOIN NOTHING — sizes ride the postings
+    through pair generation as (id, n) structs. The pre-r9 shape ran two
+    pinned shuffle-hash joins of the corpus-scale pair table against the
+    sizes table (the family's measured cost center, ~21 s of a 32.2 s
+    10× pipeline; rewrite A/B: 28.0 → 17.2 s, bit-identical pairs). Any
+    regression re-introducing a join keyed on id_a/id_b fails here."""
+    import re
+
+    for name in ("dd_containment_pairs", "dd_containment_sweep"):
+        spark.catalog.clearCache()
+        phys = _plan(spark, name).split("== Physical Plan ==")[-1]
+        pair_joins = [
+            line.strip()
+            for line in phys.splitlines()
+            if "Join" in line and re.search(r"\[id_[ab]#", line)
+        ]
+        assert not pair_joins, (
+            f"{name}: pair table participates in a join — the in-row "
+            f"sizes plan joins only postings⨝sizes on doc_id: {pair_joins}"
+        )
+        # the one shuffled join left is postings⨝sizes on the doc id
+        shj = [
+            line.strip()
+            for line in phys.splitlines()
+            if "ShuffledHashJoin" in line
+        ]
+        assert all("doc_id" in line for line in shj), shj
+
+
 def test_aqe_splits_skewed_join(spark):
     """The session claims AQE skew-join handling (session.py) — prove it
     engages: a join with one massively hot key, forced to sort-merge and
@@ -563,7 +597,8 @@ def test_aqe_splits_skewed_join(spark):
 # a plan regression is caught in the round they were BUILT, not the
 # round they enter the window
 R5_QUEUED_EXCHANGE_BUDGETS = {
-    "dd_containment_sweep": 27,     # shared grouped base + sweep agg
+    "dd_containment_sweep": 19,     # shared grouped base (in-row sizes,
+                                    # r9: was 27) + sweep agg
     "crp_fuzzy_contamination": 28,  # sigs/bands/cands + candidate-first verify
     "rel_topn_other_rollup": 5,     # custkey agg + window + reused-part agg
     "evt_collapse_runs": 2,         # ONE user_id shuffle + final orderBy
