@@ -244,6 +244,37 @@ def test_dup_clusters_connected_components(spark):
     assert got == {2: 2, 7: 2, 9: 2, 11: 11, 12: 11, 3: 3, 40: 3, 41: 3}
 
 
+def test_dup_clusters_deep_chain_beats_round_budget(spark):
+    """The r9 star-contraction rewrite's reason to exist: a component
+    whose diameter EXCEEDS max_iters. Min-label propagation moved the
+    min one hop per round, so a 60-hop chain at max_iters=8 silently
+    returned partial labels; large-star/small-star contracts the same
+    chain within the log-scale budget. Also pins the new fail-loud
+    contract: the operator must either converge or raise — never emit
+    wrong labels."""
+    from sql_cdc_spark.functions.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(chain, 8).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_dup_clusters_raises_rather_than_truncates(spark):
+    """max_iters=1 cannot finish a chain — the operator must raise, not
+    return partial labels (the old algorithm's silent-truncation bug)."""
+    import pytest as _pytest
+
+    from sql_cdc_spark.functions.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, 1)
+
+
 def _pairs_set(df):
     return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
 
