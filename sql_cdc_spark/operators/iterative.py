@@ -58,10 +58,19 @@ def pagerank(
     floor(d%·inflow) with floor-division contributions), looped to the
     integer fixpoint: stop when a round moves zero rank mass, when the
     dynamics enter a 2-CYCLE (VERDICT r7 #8 — integer floor divisions
-    can oscillate A→B→A forever instead of fixing; detected as
-    delta(t) == delta(t−2) with delta > 0, a heuristic that can only
-    stop a genuinely-converging run a hair early, never corrupt state),
-    or after ``max_iters``. The returned state is the last round's.
+    can oscillate A→B→A forever instead of fixing), or after
+    ``max_iters``. The returned state is the last round's.
+
+    The 2-cycle test is a STATE checksum compared two rounds apart
+    (bit_xor of per-node (node, rank_ppm) hashes, computed in the same
+    aggregate as the delta — no extra pass): sig(t) == sig(t−2) with
+    delta > 0 certifies the state genuinely revisited itself, so
+    ``two_cycle`` in stats means what it says. The previous rule,
+    delta(t) == delta(t−2), also fired on converging runs whose L1
+    deltas merely plateau for three rounds (ADVICE r8 — the 100×
+    dynamics decay geometrically and plateau long before fixing, so
+    the flag mislabeled slow convergence as cycling and returned a
+    pre-fixpoint state).
 
     Per round: one shuffle-hash join (ranks are one-row-per-node and
     corpus-scale — the documented broadcast-abort band) + one inflow
@@ -79,7 +88,7 @@ def pagerank(
     stop fired} — the fixpoint telemetry the bench's graph_100x block
     records."""
     rounds, delta, two_cycle = 0, 0, False
-    deltas: list[int] = []
+    sigs: list[int] = []
     und = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -107,9 +116,10 @@ def pagerank(
             und, ranks, damping_pct,
             extra=(F.col("rank_ppm").alias("__prev"),),
         ).localCheckpoint()
-        delta = nxt.agg(
-            F.sum(F.abs(F.col("rank_ppm") - F.col("__prev")))
-        ).first()[0]
+        delta, sig = nxt.agg(
+            F.sum(F.abs(F.col("rank_ppm") - F.col("__prev"))),
+            F.bit_xor(F.xxhash64("node", "rank_ppm")),
+        ).first()
         release_local_checkpoint(snap)
         snap = nxt
         ranks = nxt.drop("__prev")
@@ -118,12 +128,13 @@ def pagerank(
         # must stop after one round, not burn max_iters empty rounds
         if not delta:
             break
-        deltas.append(int(delta))
-        # 2-cycle stop: a state 2-cycle repeats its delta with period 2
-        # (|A−B| both ways), so delta(t) == delta(t−2) is its earliest
-        # bit-exact signature — graph_100x measured the dynamics burning
-        # the whole 20-round budget in a stable 2-cycle otherwise
-        if len(deltas) >= 3 and deltas[-1] == deltas[-3]:
+        sigs.append(int(sig))
+        # 2-cycle stop: the state checksum revisits itself two rounds
+        # apart while still moving mass — A→B→A confirmed on the STATE,
+        # not inferred from a delta plateau (ADVICE r8); graph_100x
+        # measured the dynamics burning the whole 20-round budget in a
+        # stable 2-cycle before this stop existed
+        if len(sigs) >= 3 and sigs[-1] == sigs[-3]:
             two_cycle = True
             break
     und.unpersist()

@@ -843,8 +843,8 @@ b AS ({lsh.replace(v_cte, '')} ),
 vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
 p AS (
   SELECT a.vec_id, c.vec_id AS nn_id,
-         ROUND(list_dot_product(a.e, c.e)
-               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         ROUND(COALESCE(list_dot_product(a.e, c.e)
+               / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e)), 0), 0), 6)
            AS cos_sim
   FROM vb a JOIN vb c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
 )
@@ -912,11 +912,21 @@ def _pair_cosine() -> Column:
     per pair (irreducible), the norms read the per-vector __na/__nc
     columns. Bit-identical to the oracle's
     ROUND(dot/(sqrt(dot aa)·sqrt(dot cc)), 6) — sqrt(dot(e,e)) is the
-    same double whether folded per pair or per row."""
-    return F.round(
-        SIM.dot(F.col("__ea"), F.col("__ec"))
-        / (F.col("__na") * F.col("__nc")),
-        6,
+    same double whether folded per pair or per row.
+
+    Zero-norm sentinel (ADVICE r8): a zero vector's 0/0 cosine is NaN,
+    which previously CRASHED this path downstream (ANSI NaN→bigint in
+    the election key) while DuckDB ordered NaN ABOVE every real cosine
+    — nanvl pins it to 0, matching the Arrow kernel's sentinel and the
+    NULLIF/COALESCE guard now in the oracle SQL; a planted zero-norm
+    fuzz seed pins all three cross-engine."""
+    return F.nanvl(
+        F.round(
+            SIM.dot(F.col("__ea"), F.col("__ec"))
+            / (F.col("__na") * F.col("__nc")),
+            6,
+        ),
+        F.lit(0.0),
     )
 
 
@@ -1077,9 +1087,9 @@ b AS ({lsh.replace('WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embe
 vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
 pv AS (
   SELECT a.vec_id,
-         MAX(CAST(round(ROUND(list_dot_product(a.e, c.e)
-               / (sqrt(list_dot_product(a.e, a.e))
-                  * sqrt(list_dot_product(c.e, c.e))), 6) * 1000000)
+         MAX(CAST(round(ROUND(COALESCE(list_dot_product(a.e, c.e)
+               / NULLIF(sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(c.e, c.e)), 0), 0), 6) * 1000000)
              AS BIGINT)) AS max_cm
   FROM vb a JOIN vb c ON a.bucket = c.bucket AND c.vec_id < a.vec_id
   GROUP BY a.vec_id
@@ -1114,8 +1124,8 @@ b AS ({lsh.replace(v_cte, '')} ),
 vb AS (SELECT v.vec_id, v.e, b.bucket FROM v JOIN b USING (vec_id)),
 dup AS (
   SELECT a.vec_id, a.bucket, c.vec_id AS mate,
-         ROUND(list_dot_product(a.e, c.e)
-               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+         ROUND(COALESCE(list_dot_product(a.e, c.e)
+               / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e)), 0), 0), 6)
            AS cos
   FROM vb a JOIN vb c ON a.bucket = c.bucket AND c.vec_id < a.vec_id
 )

@@ -191,7 +191,12 @@ def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LEAST(hl[j], hl[j+1], hl[j+2])) so the oracle never leans on DuckDB
 # list-slicing semantics; generate_series(1, n<1) is empty on DuckDB,
 # matching the Spark when()-guards (the documented sequence hazard)
-_WINNOW_SQL = f"""
+# the shared w/g/hs/f CTE prefix (normalize → gram-hash → ordered hash
+# list → window-min fingerprints) that BOTH winnow queries compose —
+# a named constant, not a string-split of one query out of the other,
+# so a cosmetic edit to either query's tail cannot silently corrupt the
+# other's oracle (ADVICE r8)
+_WINNOW_PREFIX_SQL = f"""
 WITH w AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws FROM documents),
 g AS (
   SELECT doc_id, t.i,
@@ -209,6 +214,10 @@ f AS (
   SELECT DISTINCT doc_id, LEAST(hl[t.j], hl[t.j + 1], hl[t.j + 2]) AS fp
   FROM hs, UNNEST(generate_series(1, len(hl) - {TX.WINNOW_W - 1})) AS t(j)
 )
+"""
+
+_WINNOW_SQL = f"""
+{_WINNOW_PREFIX_SQL}
 SELECT fp, COUNT(*) AS n_docs
 FROM f GROUP BY fp HAVING COUNT(*) >= 2
 ORDER BY n_docs DESC, fp ASC
@@ -299,10 +308,10 @@ def winnow_pairs_report(
     ).limit(topk)
 
 
-# shares the winnow CTE chain (w/g/hs/f) with _WINNOW_SQL — both built
-# from the same constants, so the two queries cannot drift
+# shares the winnow CTE chain (w/g/hs/f) with _WINNOW_SQL via the named
+# prefix constant — both built from the same constants, cannot drift
 _WINNOW_PAIRS_SQL = f"""
-{_WINNOW_SQL.split("SELECT fp, COUNT(*)")[0]}
+{_WINNOW_PREFIX_SQL}
 , keep AS (
   SELECT fp FROM f GROUP BY fp
   HAVING COUNT(*) BETWEEN 2 AND {WINNOW_DF_CAP}

@@ -1511,7 +1511,7 @@ def _gen15(rng: random.Random) -> dict:
     }
 
 
-@pytest.mark.parametrize("seed", range(9))
+@pytest.mark.parametrize("seed", range(10))
 def test_random_query15_matches_duckdb(spark, oracle, seed):
     from sql_cdc_spark.queries.similarity_q import (
         _knn_join_sql,
@@ -1526,6 +1526,14 @@ def test_random_query15_matches_duckdb(spark, oracle, seed):
         # positively-scaled copies of one vector all land in its SRP
         # bucket, driving the hot-bucket tiling in the Arrow kernel
         q.update(plant="mega", mega_n=350)
+    if seed == 9:
+        # the forced ZERO-NORM seed (ADVICE r8): a planted all-zeros
+        # vector (0/0 cosine) must follow the SENTINEL-0 rule in all
+        # three implementations — the Arrow kernel (non-finite → 0),
+        # the exact JVM path (nanvl), and the oracle (COALESCE/NULLIF)
+        # — instead of DuckDB's bare NaN ordering ABOVE every real
+        # cosine in the DESC election
+        q.update(plant="zero")
     emb = (
         tables.load(spark, SF_DIR, "embeddings")
         .filter(F.col("vec_id") % q["mod"] == 0)
@@ -1563,6 +1571,23 @@ def test_random_query15_matches_duckdb(spark, oracle, seed):
             f"AS embedding "
             f"FROM {rel} src, UNNEST(generate_series(1, {q['mega_n']})) "
             f"AS gs(i) WHERE src.vec_id = 0)"
+        )
+    elif q["plant"] == "zero":
+        # x * 0.0 is the same ±0.0 on both engines; every SRP dot is
+        # 0 (> 0 false) so the zero vector lands in bucket 0 alongside
+        # real vectors and pairs with them at sentinel cosine 0
+        planted = emb.filter(F.col("vec_id") == 0).select(
+            F.lit(1_000_001).alias("vec_id"),
+            F.transform(
+                F.col("embedding"), lambda x: x * F.lit(0.0)
+            ).alias("embedding"),
+        )
+        emb = emb.unionByName(planted)
+        rel = (
+            f"(SELECT * FROM {rel} base UNION ALL "
+            f"SELECT 1000001 AS vec_id, "
+            f"list_transform(embedding, x -> x * 0.0) AS embedding "
+            f"FROM {rel} src WHERE vec_id = 0)"
         )
     elif q["plant"] != "none":
         # twins are EXACT copies (factor 1.0 — the tie case); clones are

@@ -37,7 +37,7 @@ def _py_pagerank(edges, max_iters, damping_pct=85):
     unit = IT.PR_RANK_UNIT
     base = unit * (100 - damping_pct) // 100
     rank = {n: unit for n in deg}
-    deltas = []
+    states = []
     for _ in range(max_iters):
         inflow = {n: 0 for n in deg}
         for n, r in rank.items():
@@ -49,9 +49,10 @@ def _py_pagerank(edges, max_iters, damping_pct=85):
         rank = nxt
         if delta == 0:
             break
-        deltas.append(delta)
-        # the driver's 2-cycle stop (VERDICT r7 #8), mirrored exactly
-        if len(deltas) >= 3 and deltas[-1] == deltas[-3]:
+        states.append(dict(rank))
+        # the driver's STATE-cycle stop (VERDICT r7 #8 / ADVICE r8),
+        # mirrored exactly: the state revisits itself two rounds apart
+        if len(states) >= 3 and states[-1] == states[-3]:
             break
     return deg, rank
 
@@ -299,3 +300,74 @@ def test_pagerank_two_cycle_stop_fires_and_state_matches_python(spark):
     assert stats["last_delta"] > 0
     deg, want = _py_pagerank(edges, max_iters=60)
     assert got == {n: (deg[n], want[n]) for n in deg}
+    # the state really does 2-cycle: one more round returns to this state
+    again = {
+        r.node: (r.degree, r.rank_ppm)
+        for r in IT.pagerank(
+            edges_df, max_iters=stats["rounds"] + 2
+        ).collect()
+    }
+    assert again == got
+
+
+def test_pagerank_plateau_is_not_flagged_as_two_cycle(spark):
+    """ADVICE r8: the old delta(t) == delta(t−2) rule also fired on runs
+    whose L1 deltas merely plateau for three rounds while the STATE is
+    still moving, stopping early with a mislabeled two_cycle=True. On
+    this fixture graph the deltas settle at 6,6,6,6 from round 24 with
+    changing states (the old rule stops at round 26), and the genuine
+    state 2-cycle only starts at round 28 — the checksum rule must ride
+    through the plateau and stop exactly on the confirmed cycle."""
+    edges = [(0, 3), (0, 4), (0, 7), (2, 4), (3, 7), (4, 5), (4, 7),
+             (4, 8), (5, 8), (6, 8)]
+    edges_df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    # Python recompute with NO stop rule: locate where the old
+    # delta-plateau rule would have fired vs the genuine state cycle
+    deg, adj = {}, {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    unit = IT.PR_RANK_UNIT
+    base = unit * (100 - 85) // 100
+    rank = {n: unit for n in deg}
+    deltas, states = [], []
+    old_stop = new_stop = None
+    for t in range(60):
+        inflow = {n: 0 for n in deg}
+        for n, r in rank.items():
+            c = r // deg[n]
+            for m in adj[n]:
+                inflow[m] += c
+        nxt = {n: base + 85 * inflow[n] // 100 for n in deg}
+        deltas.append(sum(abs(nxt[n] - rank[n]) for n in deg))
+        rank = nxt
+        states.append(dict(rank))
+        if (
+            old_stop is None
+            and len(deltas) >= 3
+            and deltas[-1] > 0
+            and deltas[-1] == deltas[-3]
+        ):
+            old_stop = t + 1
+        if len(states) >= 3 and states[-1] == states[-3]:
+            new_stop = t + 1
+            break
+    assert old_stop is not None and new_stop is not None
+    assert old_stop < new_stop, "fixture lost its plateau-before-cycle"
+    assert states[old_stop - 1] != states[old_stop - 3], (
+        "old rule fired on a plateau, not a cycle — fixture property"
+    )
+
+    stats = {}
+    got = {
+        r.node: r.rank_ppm
+        for r in IT.pagerank(edges_df, max_iters=60, stats=stats).collect()
+    }
+    # the driver rode through the plateau to the genuine cycle…
+    assert stats["two_cycle"] is True
+    assert stats["rounds"] == new_stop
+    # …and its state is the Python recompute at that round
+    assert got == states[new_stop - 1]
