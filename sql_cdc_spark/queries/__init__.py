@@ -50,38 +50,49 @@ def _registry() -> dict[str, QueryEntry]:
     # — the families whose last driver check is oldest; (3) demoted
     # long-greens stay covered every round by the local pytest oracle
     # suite, which runs ALL queries vs DuckDB at sf0.01.
-    # Round-8 rotation (executes the plan published in r7; the r1-r7
+    # Round-9 rotation (executes the plan published in r8; the r1-r8
     # narratives live in git history): the window below is explicit.
-    # (1) SEVEN landing slots — txt_winnow_pairs is NEW (the winnowing
-    # cross-doc overlap pair report, VERDICT r7 #7); six re-enter as
-    # CHANGED: the knn/SemDeDup consumers moved onto the Arrow kernel
-    # strategy (VERDICT r7 #1 — sim_pagerank_fixed3, sim_pagerank_step,
-    # sim_mutual_knn now read the session-cached Arrow-built knn_best;
-    # sim_semantic_dedup and sim_semdedup_sweep elect in-kernel), and
-    # sim_knn_join_arrow re-enters because the kernel itself was
-    # REWRITTEN (mate-axis tiling, BigDecimal.valueOf-parity rounding,
-    # zero-norm sentinel — plan shape unchanged but the computation is
-    # new code, so it gets re-checked; VERDICT r7 #2 / ADVICE r7).
-    # That is one over the published ~4-6 cap: the extra slot buys the
-    # driver's independent re-check of the rewritten kernel, judged
-    # worth more than the 44th rotation row. (2) The five r3 strays —
-    # the oldest evidence in the project (staleness 4) — head the
-    # rotation exactly as published. (3) The remaining 38 slots pay the
-    # 49-name r4 debt in the published order (31 non-tpch + tpch q1,
-    # q2, q3, q5, q7, q8, q9).
-    # Round-9 plan (published now, same discipline): the window opens
-    # with anything added or changed in round 9, then the 11 r4 tpch
-    # greens left unpaid here (q10-q13, q15-q18, q20-q22), then the
-    # r5-checked greens oldest-first. 11 + landings leave ~35 slots for
-    # the r5 cohort, so round 9 should land at most ~4-6 new/changed
-    # queries again. One changed-family landing is already measured and
-    # queued: the containment in-row-sizes rewrite (r8 pilot: postings
-    # carry each doc's rare count BEFORE pair generation, so the pair
-    # table never joins — 28.0 -> 17.2 s at 10x, bit-identical output;
-    # SURVEY round-8 findings). It touches containment_base and its
-    # consumers (dd_containment_pairs, dd_containment_sweep,
-    # dd_incremental_containment + the maintenance twin), which then
-    # claim the r9 changed-query slots.
+    # (1) SEVEN changed-query slots:
+    #   - the containment in-row-sizes rewrite landed exactly as queued
+    #     (VERDICT r8 #1: postings carry each doc's rare count BEFORE
+    #     pair generation, the pair table joins NOTHING — measured
+    #     28.0 -> 17.2 s at 10x, bit-identical pairs):
+    #     dd_containment_pairs, dd_containment_sweep,
+    #     dd_incremental_containment (+ the maintenance twin, pytest);
+    #   - dup_clusters rewritten to alternating large-star/small-star
+    #     contraction (VERDICT r8 #5: O(log diameter) rounds, fail-loud
+    #     instead of silent truncation past the budget): its registry
+    #     consumers dd_dup_clusters, dd_cluster_canonical, crp_manifest
+    #     re-enter as changed;
+    #   - scl_range_partition_plan takes the catch-up slot ADVICE r8
+    #     prescribed (its r8 empty-sample guard was value-identical but
+    #     landed outside the r8 window, bending the changed=>checked
+    #     invariant; repaid with a driver check here).
+    #   That is one over the ~4-6 cap, same judgment as r8's seven: the
+    #   cluster rewrite has three consumers and leaving one unchecked
+    #   the round its algorithm changed is worse than one fewer
+    #   rotation row.
+    #   EXEMPTION NOTE (the ADVICE r8 route for value-identical edits):
+    #   sim_knn_join / sim_knn_join_arrow / sim_semantic_dedup /
+    #   sim_semdedup_sweep gained zero-norm guards this round (nanvl in
+    #   the exact path, COALESCE/NULLIF in the oracles, mirroring the
+    #   kernel sentinel). Value-identical on any corpus without an
+    #   exactly-zero embedding (the driver corpus has none); the
+    #   zero-vector case itself is pinned cross-engine by fuzz family
+    #   15's forced seed 9 every local run. They keep their r8 checks
+    #   rather than claiming slots.
+    # (2) The 11 r4 tpch greens (staleness 4 — the oldest evidence):
+    #   q10-q13, q15-q18, q20-q22, exactly as published in r8.
+    # (3) The remaining 32 slots pay the r5 cohort (staleness 3,
+    #   45 names) in alphabetical order; the last 13 —
+    #   rel_semi_join_big_spenders, rel_top_revenue_orders,
+    #   rel_topn_other_rollup, rel_union_all_segments,
+    #   scl_salted_pricing, sim_bucketed_topk, sim_lsh_buckets,
+    #   txt_quality_gate, txt_token_stats, win_lag_delta,
+    #   win_latest_n_per_user, win_moving_avg, win_running_total —
+    #   head the published round-10 list, followed by the r6 cohort
+    #   oldest-first; round 10 should land at most ~4-6 new/changed
+    #   queries.
     for mod in (
         relational_q,
         functions_q,
@@ -100,67 +111,68 @@ def _registry() -> dict[str, QueryEntry]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         reg.update(mod.QUERIES)
-    # The round-8 driver window, explicit and order-significant: the
+    # The round-9 driver window, explicit and order-significant: the
     # driver hash-checks exactly these 50, top to bottom. Guarded by
-    # tests/test_operator_guards.py::test_registry_window_holds_all_round8_queries.
+    # tests/test_operator_guards.py::test_registry_window_holds_all_round9_queries
+    # (membership AND position, VERDICT r8 #7).
     window = [
-        # -- landed (new) this round ----------------------------------
-        "txt_winnow_pairs",          # winnowing cross-doc overlap pairs
-        # -- changed this round (Arrow kernel strategy, VERDICT r7 #1;
-        #    kernel rewrite re-check, VERDICT r7 #2 / ADVICE r7) -------
-        "sim_knn_join_arrow",
-        "sim_pagerank_fixed3",
-        "sim_pagerank_step",
-        "sim_mutual_knn",
-        "sim_semantic_dedup",
-        "sim_semdedup_sweep",
-        # -- rotation debt: the five r3 strays (staleness 4 — oldest) --
-        "crp_pack_sequences",
-        "crp_repetition_filter",
-        "crp_source_mixture",
-        "txt_pii_redact",
-        "win_time_range_sum",
-        # -- rotation debt: the r4 greens, published order -------------
-        "cdc_scd2_history",
-        "cdc_scd2_incremental",
-        "cdc_scd2_temporal_join",
-        "cdc_snapshot_diff",
-        "cdc_replica_as_of",
-        "cdc_incremental_join_view",
-        "dd_incremental_near_dup",
+        # -- changed this round (containment in-row sizes, VERDICT r8
+        #    #1; dup_clusters star contraction, VERDICT r8 #5) ---------
+        "dd_containment_pairs",
+        "dd_containment_sweep",
         "dd_incremental_containment",
-        "dd_duplicate_spans",
-        "dd_lsh_candidate_pairs",
-        "evt_gap_fill_locf",
-        "evt_heavy_hitters_cms",
-        "evt_histogram",
-        "evt_join_size_estimate",
-        "evt_rate_anomaly",
-        "evt_sketch_setops",
-        "scl_bloom_pruned_join",
-        "scl_zorder_key",
-        "sim_pq_topk",
-        "sim_random_projection",
-        "crp_chunk_documents",
-        "crp_length_buckets",
-        "crp_pps_sample",
-        "fn_invoice_numbering",
-        "fn_json_extract",
-        "rel_customer_order_stats",
-        "rel_dq_audit",
-        "rel_header_line_view",
-        "rel_pricing_summary",
-        "rel_unpivot_measures",
-        "win_order_ranks",
-        "tpch_q1_pricing_summary",
-        "tpch_q2_min_cost_supplier",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume",
-        "tpch_q7_nation_volume",
-        "tpch_q8_market_share",
-        "tpch_q9_product_type_profit",
-        # (tpch q10-q13, q15-q18, q20-q22 — 11 r4 greens — head the
-        #  published round-9 list above)
+        "dd_dup_clusters",
+        "dd_cluster_canonical",
+        "crp_manifest",
+        # -- ADVICE r8 catch-up: changed in r8 outside the r8 window ---
+        "scl_range_partition_plan",
+        # -- rotation debt: the 11 r4 tpch strays (staleness 4) --------
+        "tpch_q10_returned_items",
+        "tpch_q11_important_stock",
+        "tpch_q12_priority_by_status",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_orders",
+        "tpch_q20_excess_suppliers",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_global_sales_opportunity",
+        # -- rotation debt: the r5 cohort (staleness 3), alphabetical --
+        "cdc_bounded_batch",
+        "cdc_flagship_changed_invoices",
+        "cdc_keyset_resume",
+        "cdc_latest_event_per_user",
+        "cdc_union_distinct_keys",
+        "cdc_version_watermark",
+        "crp_dsir_select",
+        "crp_filter_funnel",
+        "crp_fuzzy_contamination",
+        "dd_embedding_dup_pairs",
+        "dd_jaccard_pairs",
+        "dd_simhash",
+        "dd_simhash_pairs",
+        "dd_source_overlap",
+        "evt_collapse_runs",
+        "evt_props_topk",
+        "evt_rolling_actives",
+        "fn_date_arithmetic",
+        "fn_hash_bucket",
+        "fn_timestamp_format",
+        "mm_media_catalog",
+        "rel_cross_join_small",
+        "rel_cube_status_flag",
+        "rel_derived_columns",
+        "rel_distinct_flags",
+        "rel_except_lost_customers",
+        "rel_filter_composite",
+        "rel_intersect_buyers",
+        "rel_multi_hop_dims",
+        "rel_pivot_status",
+        "rel_rollup_lineitem",
+        "rel_sample_avg",
+        # (the 13 remaining r5 greens head the published round-10 list
+        #  above)
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

@@ -26,58 +26,83 @@ def test_salted_join_matches_unsalted_inner_and_left(spark):
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_registry_window_holds_all_round8_queries():
+def test_registry_window_holds_all_round9_queries():
     """Driver contract: only the first 50 registry entries are
     hash-checked per round, so every query added or changed this round
     must sit inside that window — silently rotating one out would skip
-    its verification the very round it changed."""
+    its verification the very round it changed. Per VERDICT r8 #7 the
+    published list is pinned by POSITION, not just membership: a module
+    reorder that silently swaps the window now fails here."""
     from sql_cdc_spark.queries import _registry
 
     window = list(_registry())[:50]
-    round8_new = [
-        # landed in round 8 (VERDICT r7 #7)
-        "txt_winnow_pairs",
-        # changed r8: the knn/SemDeDup consumers elect the Arrow kernel
-        # strategy (VERDICT r7 #1) and the kernel itself was rewritten
-        # (tiling + rounding parity + zero-norm sentinel, VERDICT r7 #2
-        # / ADVICE r7)
-        "sim_knn_join_arrow",
-        "sim_pagerank_fixed3",
-        "sim_pagerank_step",
-        "sim_mutual_knn",
-        "sim_semantic_dedup",
-        "sim_semdedup_sweep",
+    published_round9 = [
+        # changed this round: containment in-row sizes (VERDICT r8 #1),
+        # dup_clusters large-star/small-star contraction (VERDICT r8 #5)
+        "dd_containment_pairs",
+        "dd_containment_sweep",
+        "dd_incremental_containment",
+        "dd_dup_clusters",
+        "dd_cluster_canonical",
+        "crp_manifest",
+        # ADVICE r8 catch-up: changed in r8 outside the r8 window
+        "scl_range_partition_plan",
+        # rotation debt: the 11 r4 tpch strays (staleness 4)
+        "tpch_q10_returned_items",
+        "tpch_q11_important_stock",
+        "tpch_q12_priority_by_status",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_orders",
+        "tpch_q20_excess_suppliers",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_global_sales_opportunity",
+        # rotation debt: the r5 cohort (staleness 3), alphabetical
+        "cdc_bounded_batch",
+        "cdc_flagship_changed_invoices",
+        "cdc_keyset_resume",
+        "cdc_latest_event_per_user",
+        "cdc_union_distinct_keys",
+        "cdc_version_watermark",
+        "crp_dsir_select",
+        "crp_filter_funnel",
+        "crp_fuzzy_contamination",
+        "dd_embedding_dup_pairs",
+        "dd_jaccard_pairs",
+        "dd_simhash",
+        "dd_simhash_pairs",
+        "dd_source_overlap",
+        "evt_collapse_runs",
+        "evt_props_topk",
+        "evt_rolling_actives",
+        "fn_date_arithmetic",
+        "fn_hash_bucket",
+        "fn_timestamp_format",
+        "mm_media_catalog",
+        "rel_cross_join_small",
+        "rel_cube_status_flag",
+        "rel_derived_columns",
+        "rel_distinct_flags",
+        "rel_except_lost_customers",
+        "rel_filter_composite",
+        "rel_intersect_buyers",
+        "rel_multi_hop_dims",
+        "rel_pivot_status",
+        "rel_rollup_lineitem",
+        "rel_sample_avg",
     ]
-    missing = [n for n in round8_new if n not in window]
-    assert not missing, f"changed queries outside the driver window: {missing}"
-    # rotation-debt payoff, as published in the r7 registry comment:
-    # the five r3 strays (staleness 4 — the project's oldest evidence)
-    # FIRST, then 38 of the 49 r4 greens in the published order (the
-    # 11 tpch leftovers head the published round-9 list).
-    stale_r8 = [
-        "crp_pack_sequences", "crp_repetition_filter",
-        "crp_source_mixture", "txt_pii_redact", "win_time_range_sum",
-        "cdc_scd2_history", "cdc_scd2_incremental",
-        "cdc_scd2_temporal_join", "cdc_snapshot_diff", "cdc_replica_as_of",
-        "cdc_incremental_join_view", "dd_incremental_near_dup",
-        "dd_incremental_containment", "dd_duplicate_spans",
-        "dd_lsh_candidate_pairs", "evt_gap_fill_locf",
-        "evt_heavy_hitters_cms", "evt_histogram", "evt_join_size_estimate",
-        "evt_rate_anomaly", "evt_sketch_setops", "scl_bloom_pruned_join",
-        "scl_zorder_key", "sim_pq_topk", "sim_random_projection",
-        "crp_chunk_documents", "crp_length_buckets", "crp_pps_sample",
-        "fn_invoice_numbering", "fn_json_extract",
-        "rel_customer_order_stats", "rel_dq_audit", "rel_header_line_view",
-        "rel_pricing_summary", "rel_unpivot_measures", "win_order_ranks",
-        "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
-        "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
-        "tpch_q7_nation_volume", "tpch_q8_market_share",
-        "tpch_q9_product_type_profit",
+    assert len(published_round9) == 50
+    mismatches = [
+        (i, got, want)
+        for i, (got, want) in enumerate(zip(window, published_round9))
+        if got != want
     ]
-    stale_missing = [n for n in stale_r8 if n not in window]
-    assert not stale_missing, f"rotation debt unpaid: {stale_missing}"
-    # no wasted slots: the pinned sets fill the window exactly
-    assert len(set(round8_new) | set(stale_r8)) == 50 == len(window)
+    assert not mismatches, (
+        "driver window deviates from the published round-9 list "
+        f"(slot, got, expected): {mismatches[:5]}"
+    )
 
 
 def test_refresh_aggregate_groups_matches_full_recompute(spark):
@@ -350,7 +375,9 @@ def test_expectations_one_pass_and_null_as_violation(spark):
 # makes that class of gap a test failure the moment the operator is
 # registered. Next round: rename to the new round's frozen set by
 # folding the round-7 names in.
-REGISTRY_FROZEN_PRE_R8 = {
+REGISTRY_FROZEN_PRE_R9 = {
+    # round-8 registrations (folded in at the r9 roll-over)
+    "txt_winnow_pairs",
     # round-7 registrations (folded in at the r8 roll-over)
     "sim_pagerank_fixed3", "sim_kmeans_fixed", "sim_semdedup_sweep",
     "txt_winnow_fingerprints", "crp_global_shuffle",
@@ -437,11 +464,11 @@ def test_every_new_registration_sits_in_the_driver_window():
 
     reg = list(_registry())
     window = set(reg[:50])
-    new_this_round = [n for n in reg if n not in REGISTRY_FROZEN_PRE_R8]
+    new_this_round = [n for n in reg if n not in REGISTRY_FROZEN_PRE_R9]
     outside = [n for n in new_this_round if n not in window]
     assert not outside, (
         f"registered this round but driver-unchecked: {outside}"
     )
     # and the frozen set never references a name the registry dropped
-    dropped = [n for n in REGISTRY_FROZEN_PRE_R8 if n not in reg]
+    dropped = [n for n in REGISTRY_FROZEN_PRE_R9 if n not in reg]
     assert not dropped, f"frozen names no longer registered: {dropped}"
