@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -299,6 +300,7 @@ def stress_100x(spark, sf_dir: str) -> dict:
     out["near_dup_seconds"] = round(dt, 3)
     out["near_dup_docs_per_second"] = round(n_docs / dt, 1)
     out["near_dup_probe_ms"] = probe
+    out["near_dup_probe_wide_ms"] = _cpu_probe_wide_ms()
 
     probe = _cpu_probe_ms()
     t0 = perf_counter()
@@ -309,6 +311,7 @@ def stress_100x(spark, sf_dir: str) -> dict:
     out["containment_seconds"] = round(dt, 3)
     out["containment_docs_per_second"] = round(n_docs / dt, 1)
     out["containment_probe_ms"] = probe
+    out["containment_probe_wide_ms"] = _cpu_probe_wide_ms()
 
     # lexical retrieval at 100×: the fourth point of the postings curve
     # (sf0.1 → 10× → here) pinning that BM25 cost tracks matched
@@ -323,6 +326,7 @@ def stress_100x(spark, sf_dir: str) -> dict:
     out["bm25_seconds"] = round(dt, 3)
     out["bm25_docs_per_second"] = round(n_docs / dt, 1)
     out["bm25_probe_ms"] = probe
+    out["bm25_probe_wide_ms"] = _cpu_probe_wide_ms()
 
     # incremental apply at 100×: the same 50-doc change batch applied to
     # a 100×-corpus near-dup state — the third decade of the
@@ -347,6 +351,7 @@ def stress_100x(spark, sf_dir: str) -> dict:
         out["apply_100x_pairs"] = new_state.pairs.count()
         out["apply_100x_seconds"] = round(perf_counter() - t0, 3)
         out["apply_100x_probe_ms"] = probe
+        out["apply_100x_probe_wide_ms"] = _cpu_probe_wide_ms()
     finally:
         if new_state is not None:
             new_state.release()
@@ -387,6 +392,7 @@ def stress_100x(spark, sf_dir: str) -> dict:
         out["knn_seconds"] = round(dt, 3)
         out["knn_vecs_per_second"] = round(n_vecs / dt, 1)
         out["knn_probe_ms"] = probe
+        out["knn_probe_wide_ms"] = _cpu_probe_wide_ms()
 
         # the bit-identical Arrow/BLAS strategy on the same corpus/bits
         probe = _cpu_probe_ms()
@@ -400,6 +406,7 @@ def stress_100x(spark, sf_dir: str) -> dict:
         out["knn_arrow_seconds"] = round(dt, 3)
         out["knn_arrow_vecs_per_second"] = round(n_vecs / dt, 1)
         out["knn_arrow_probe_ms"] = probe
+        out["knn_arrow_probe_wide_ms"] = _cpu_probe_wide_ms()
 
         probe = _cpu_probe_ms()
         t0 = perf_counter()
@@ -413,6 +420,7 @@ def stress_100x(spark, sf_dir: str) -> dict:
         out["semdedup_seconds"] = round(dt, 3)
         out["semdedup_vecs_per_second"] = round(n_vecs / dt, 1)
         out["semdedup_probe_ms"] = probe
+        out["semdedup_probe_wide_ms"] = _cpu_probe_wide_ms()
 
         # the Arrow-kernel strategy sim_semantic_dedup elects since r8
         # (bit-equal by test) on the same corpus/bits
@@ -425,6 +433,7 @@ def stress_100x(spark, sf_dir: str) -> dict:
         out["semdedup_arrow_seconds"] = round(dt, 3)
         out["semdedup_arrow_vecs_per_second"] = round(n_vecs / dt, 1)
         out["semdedup_arrow_probe_ms"] = probe
+        out["semdedup_arrow_probe_wide_ms"] = _cpu_probe_wide_ms()
     finally:
         hemb.unpersist()
     return out
@@ -459,6 +468,7 @@ def graph_100x(spark, sf_dir: str) -> dict:
         out["n_vecs"] = hemb.count()
         out["edge_bits"] = 14
         out["edge_probe_ms"] = _cpu_probe_ms()
+        out["edge_probe_wide_ms"] = _cpu_probe_wide_ms()
         t0 = perf_counter()
         # the bit-identical Arrow election (tested ==
         # knn_join everywhere) — the strategy a 100 TB graph build
@@ -474,6 +484,7 @@ def graph_100x(spark, sf_dir: str) -> dict:
         out["edge_build_seconds"] = round(perf_counter() - t0, 3)
 
         out["pagerank_probe_ms"] = _cpu_probe_ms()
+        out["pagerank_probe_wide_ms"] = _cpu_probe_wide_ms()
         stats = {}
         t0 = perf_counter()
         ranks = pagerank(edges, max_iters=20, stats=stats)
@@ -889,6 +900,172 @@ def incremental_apply_scaling(spark, sf_dir: str) -> dict:
     return out
 
 
+def winnow_10x_stress(spark, sf_dir: str) -> dict:
+    """Opt-in 10× scale point for the winnow-pairs family (VERDICT r8
+    #6): the pair report over the 10× rotation corpus with BOTH hazard
+    topologies planted — (a) cross-doc overlap: 1-in-50 source docs get
+    a shadow doc sharing their first ~40 words verbatim inside
+    otherwise-rotated text (must SURFACE as high-n_shared pairs), and
+    (b) boilerplate flood: one in five docs carries the same 45-word
+    footer, whose fingerprints land in ~10k docs — 160× past
+    WINNOW_DF_CAP — and must be KILLED by the cap before the pair join
+    (uncapped they alone would contribute ~10k²/2 ≈ 5·10⁷ rows per
+    fingerprint). Reports docs/s plus the cap-kill census the cap
+    discipline has so far only asserted."""
+    from time import perf_counter
+
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import text as TX
+    from sql_cdc_spark.queries.text_q import WINNOW_DF_CAP, winnow_pairs_report
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    # 45 DISTINCT words: a repeated short phrase would collapse to ~9
+    # distinct grams (period of the repetition) and understate the flood
+    boiler = (
+        "these terms of service govern every use of this site and by "
+        "continuing you accept them in full including all limitations "
+        "of liability warranty disclaimers governing law provisions "
+        "arbitration clauses severability rules amendment procedures "
+        "contact details licensing conditions trademark notices"
+    )
+    overlap = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 200_000_000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 1200),
+            F.lit(" "),
+            F.translate(
+                F.expr("substring(text, 1201)"), "aeiou", "eioua"
+            ),
+        ).alias("text"),
+    )
+    corpus = (
+        _tenx_corpus(docs)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat("text", F.lit(" " + boiler)),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(overlap)
+        .persist()
+    )
+    try:
+        n = corpus.count()
+        out = {
+            "input_docs": n,
+            "probe_ms": _cpu_probe_ms(),
+            "probe_wide_ms": _cpu_probe_wide_ms(),
+        }
+        t0 = perf_counter()
+        top = winnow_pairs_report(corpus).collect()
+        dt = perf_counter() - t0
+        out["seconds"] = round(dt, 3)
+        out["docs_per_second"] = round(n / dt, 1)
+        out["top_pairs"] = len(top)
+        out["top_n_shared_sum"] = sum(r["n_shared"] for r in top)
+        out["planted_pairs_in_top"] = sum(
+            1 for r in top if r["doc_b"] - r["doc_a"] == 200_000_000
+        )
+        # planted-overlap census (untimed): every shadow pair must
+        # SURFACE in the full pair table with the overlap mass its
+        # ~200-word verbatim prefix guarantees (≥ 1 shared fp per
+        # shared ≥ K+W−1-word run; ~1/W of its grams in expectation)
+        planted = (
+            winnow_pairs_report(corpus, topk=None)
+            .filter(F.col("doc_b") - F.col("doc_a") == 200_000_000)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("n_shared").alias("min_sh"),
+            )
+            .first()
+        )
+        out["planted_pairs_found"] = planted["n"]
+        out["planted_min_n_shared"] = planted["min_sh"]
+        # cap-kill census (untimed): what the df-cap removed before the
+        # pair join saw it — and the O(df²) pair fan-out that kill
+        # avoided, the number the cap discipline exists for
+        dfreq = (
+            TX.winnow_fingerprints(corpus)
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.sum(
+                    F.when(F.col("nd") > WINNOW_DF_CAP, 1).otherwise(0)
+                ).alias("killed"),
+                F.max("nd").alias("max_df"),
+                F.sum(
+                    F.when(
+                        F.col("nd") > WINNOW_DF_CAP,
+                        F.col("nd") * (F.col("nd") - 1) / 2,
+                    ).otherwise(0.0)
+                ).alias("pairs_avoided"),
+            )
+            .first()
+        )
+        out["shared_fps"] = dfreq["shared"]
+        out["capped_fps"] = dfreq["killed"]
+        out["max_fp_df"] = dfreq["max_df"]
+        out["pair_rows_avoided_by_cap"] = int(dfreq["pairs_avoided"])
+    finally:
+        corpus.unpersist()
+    return out
+
+
+def cluster_100x(spark) -> dict:
+    """Opt-in 100× connected-components point (VERDICT r8 #5): the
+    star-contraction clusterer over a pair table at the scale a
+    500k-doc near-dup pass emits — 5,000 clone families of 100 docs in
+    PATH topology (the near-dup shape: adjacent perturbation levels
+    pair, distant ones don't) PLUS one planted 100,001-node chain, the
+    worst-case diameter the old min-label propagation could not finish
+    (O(diameter) rounds = 100k shuffles; star contraction is
+    O(log diameter)). The pair table is synthesized with spark.range —
+    the operator under test consumes pairs, so generator cost is kept
+    out of the measurement by construction."""
+    from time import perf_counter
+
+    from pyspark.sql import functions as F
+
+    from sql_cdc_spark.functions.dedup import dup_clusters
+
+    fam_edges = (
+        spark.range(5_000 * 100)
+        .filter(F.col("id") % 100 != 99)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    chain = spark.range(10_000_000, 10_100_000).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    pairs = fam_edges.unionByName(chain)
+    out = {
+        "n_edges": 5_000 * 99 + 100_000,
+        "probe_ms": _cpu_probe_ms(),
+        "probe_wide_ms": _cpu_probe_wide_ms(),
+    }
+    stats: dict = {}
+    t0 = perf_counter()
+    labels = dup_clusters(pairs, max_iters=30, stats=stats)
+    out["n_labeled"] = labels.count()
+    out["n_clusters"] = labels.select("cluster_id").distinct().count()
+    dt = perf_counter() - t0
+    out["seconds"] = round(dt, 3)
+    out["rounds"] = stats["rounds"]
+    out["seconds_per_round"] = round(dt / stats["rounds"], 3)
+    # correctness of the planted topology: 5,000 families + 1 chain,
+    # every node labeled
+    out["topology_ok"] = (
+        out["n_clusters"] == 5_001 and out["n_labeled"] == 600_001
+    )
+    return out
+
+
 # documented single-thread probe baseline on this box (~55-65 ms); an
 # edge probe above 2× this marks the surrounding wall-clock contaminated
 PROBE_BASELINE_MS = 60.0
@@ -911,6 +1088,62 @@ def _cpu_probe_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+# documented WIDE-probe baseline on this box (median of 32 simultaneous
+# loops, re-baselined r9): ~105-115 ms median / ~155-190 ms max in a
+# quiet window — the ~1.6-1.9× over the single-thread baseline is the
+# box's real full-width capacity cost (SMT sharing), not contention. A
+# median above 2× this baseline marks the surrounding PARALLEL wall-
+# clock contaminated even when the single-thread probe reads clean —
+# the r8 blind spot (identical 32-wide code at 260 s vs 117 s, both
+# single-probe-clean) this probe exists to close.
+WIDE_PROBE_BASELINE_MS = 110.0
+
+_WIDE_CHILD = (
+    "import time,sys\n"
+    "def loop():\n"
+    "    t=time.perf_counter()\n"
+    "    s=0\n"
+    "    for i in range(1000000): s+=i*i\n"
+    "    return (time.perf_counter()-t)*1000\n"
+    "t0=float(sys.argv[1])\n"
+    "time.sleep(max(0.0,t0-time.time()))\n"
+    "print(loop())\n"
+)
+
+
+def _cpu_probe_wide_ms(n_procs: int = 32) -> list[float]:
+    """[max_ms, median_ms] of 32 SIMULTANEOUS single-thread integer
+    loops (one subprocess each, aligned on a shared start time) — the
+    parallel-capacity signal the single-thread probe provably lacks
+    (VERDICT r8 #3 / the r8 knn 260-vs-117 s finding): a host window
+    can throttle 32-wide capacity while one thread runs full speed.
+    Subprocesses, not threads — a pure-Python loop in 32 threads would
+    serialize on the GIL and measure nothing. The child loop runs in a
+    FUNCTION (locals): at module scope the same loop reads 2-2.5×
+    slower from global-dict access, which would swamp the signal."""
+    start = time.time() + 0.8
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-S", "-c", _WIDE_CHILD, repr(start)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for _ in range(n_procs)
+    ]
+    vals = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=60)
+            vals.append(float(out.strip()))
+        except (ValueError, subprocess.TimeoutExpired):
+            p.kill()
+    if not vals:
+        return [-1.0, -1.0]
+    vals.sort()
+    return [round(vals[-1], 1), round(vals[len(vals) // 2], 1)]
+
+
 def _cpu_ticks() -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from /proc/stat — lets the bench report
     how much CPU the hypervisor withheld during the run. Round 2's 1.9×
@@ -930,6 +1163,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     ticks0 = _cpu_ticks()
     probe0 = _cpu_probe_ms()
+    probes_wide = [_cpu_probe_wide_ms()]
 
     from sql_cdc_spark.session import get_spark
 
@@ -968,6 +1202,7 @@ def main() -> None:
                 dfs[name].write.format("noop").mode("overwrite").save()
                 timings[name] = min(timings[name], time.perf_counter() - t0)
         probes.append(_cpu_probe_ms())
+        probes_wide.append(_cpu_probe_wide_ms())
         if probes[-2] <= 2 * PROBE_BASELINE_MS and probes[-1] <= 2 * PROBE_BASELINE_MS:
             break
     timings = {name: round(t, 3) for name, t in timings.items()}
@@ -996,11 +1231,18 @@ def main() -> None:
     nd_passes, ct_passes, knn_passes, rt_passes = [], [], [], []
     r6_passes = []
     for _ in range(2):
-        nd_passes.append(dedup_10x_stress(spark, sf_dir))
-        ct_passes.append(containment_10x_stress(spark, sf_dir))
-        knn_passes.append(knn_10x_stress(spark, sf_dir))
-        rt_passes.append(retrieval_10x_stress(spark, sf_dir))
-        r6_passes.append(round6_10x_stress(spark, sf_dir))
+        # one wide reading per block per pass: the stress stages are the
+        # 32-wide work the single-thread probe cannot certify
+        for passes, block in (
+            (nd_passes, dedup_10x_stress),
+            (ct_passes, containment_10x_stress),
+            (knn_passes, knn_10x_stress),
+            (rt_passes, retrieval_10x_stress),
+            (r6_passes, round6_10x_stress),
+        ):
+            r = block(spark, sf_dir)
+            r["probe_wide_ms"] = _cpu_probe_wide_ms()
+            passes.append(r)
     # per-metric best-of for the round-6 block (same rationale as knn:
     # one pass can be clean for one sub-block and contended for another)
     r6_stress = {
@@ -1026,6 +1268,7 @@ def main() -> None:
             [p["passage_probe_ms"], p["fuzzy_probe_ms"], p["power_probe_ms"]]
             for p in r6_passes
         ],
+        "probe_wide_ms": [p["probe_wide_ms"] for p in r6_passes],
     }
 
     total = round(sum(timings.values()), 3)
@@ -1046,8 +1289,14 @@ def main() -> None:
         # 51.9 s twice in one run vs 5.5 s clean); alternating the blocks
         # spreads each block's two samples minutes apart.
         "round6_10x": r6_stress,
-        "dd_near_dup_pairs_10x": min(nd_passes, key=lambda r: r["seconds"]),
-        "dd_containment_pairs_10x": min(ct_passes, key=lambda r: r["seconds"]),
+        "dd_near_dup_pairs_10x": {
+            **min(nd_passes, key=lambda r: r["seconds"]),
+            "probe_wide_ms": [p["probe_wide_ms"] for p in nd_passes],
+        },
+        "dd_containment_pairs_10x": {
+            **min(ct_passes, key=lambda r: r["seconds"]),
+            "probe_wide_ms": [p["probe_wide_ms"] for p in ct_passes],
+        },
         # per-metric best-of: one pass can be clean for the scaled run
         # and contended for the fixed run; selecting the whole dict by a
         # single key would publish the other metric's contaminated value
@@ -1074,6 +1323,7 @@ def main() -> None:
                 )
             },
             "probe_ms": [p["probe_ms"] for p in knn_passes],
+            "probe_wide_ms": [p["probe_wide_ms"] for p in knn_passes],
         },
         # retrieval family, per-metric best-of (same rationale as knn):
         # one pass can be clean for the search and contended for the
@@ -1099,6 +1349,7 @@ def main() -> None:
                 for k in ("query_rows", "query_seconds")
             },
             "probe_ms": [p["probe_ms"] for p in rt_passes],
+            "probe_wide_ms": [p["probe_wide_ms"] for p in rt_passes],
         },
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
     }
@@ -1107,6 +1358,10 @@ def main() -> None:
         detail["dedup_100x"] = stress_100x(spark, sf_dir)
         spark.catalog.clearCache()
         detail["graph_100x"] = graph_100x(spark, sf_dir)
+        spark.catalog.clearCache()
+        detail["cluster_100x"] = cluster_100x(spark)
+        spark.catalog.clearCache()
+        detail["winnow_10x"] = winnow_10x_stress(spark, sf_dir)
 
     # the driver-facing line: headline per-query + group TOTALS only,
     # kept well under the 2000-char stdout tail the driver records
@@ -1136,6 +1391,15 @@ def main() -> None:
         out["cpu_steal_pct"] = round(
             100.0 * (ticks1[0] - ticks0[0]) / (ticks1[1] - ticks0[1]), 1
         )
+    # wide probes stay off stdout (the 1900-char driver-line budget):
+    # BENCH_DETAIL carries the full [max, median] series — leading edge,
+    # one per headline attempt, then the closing edge after the stress
+    # blocks (each stress block additionally records per-pass readings)
+    probes_wide.append(_cpu_probe_wide_ms())
+    detail["cpu_probe_wide_ms"] = probes_wide
+    detail["cpu_probe_wide_contaminated"] = all(
+        med > 2 * WIDE_PROBE_BASELINE_MS for _mx, med in probes_wide
+    )
     detail.update(
         {k: out[k] for k in ("cpu_probe_ms",) if k in out}
     )

@@ -1103,7 +1103,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame, max_iters: int = 20, stats: dict | None = None
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the smallest doc_id in the component. This is the
     final step of corpus dedup: keep one representative per cluster
@@ -1139,10 +1141,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
     sig = None
     converged = False
+    rounds = 0
     for _ in range(max_iters):
         stars = _small_star(_large_star(snap)).localCheckpoint()
         release_local_checkpoint(snap)
         snap = stars
+        rounds += 1
         # set signature: count + XOR of per-edge hashes (edges are
         # distinct, so XOR identifies the set; SUM would ANSI-overflow)
         new_sig = tuple(
@@ -1154,6 +1158,9 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             converged = True
             break
         sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["edges_final"] = sig[0] if sig else 0
     if not converged:
         raise RuntimeError(
             f"dup_clusters: star-contraction did not converge within "

@@ -258,10 +258,12 @@ def txt_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_pairs_report(
     docs: DataFrame,
     df_cap: int = WINNOW_DF_CAP,
-    topk: int = WINNOW_PAIR_TOPK,
+    topk: int | None = WINNOW_PAIR_TOPK,
 ) -> DataFrame:
     """The pair report over any (doc_id, text) frame — see
-    txt_winnow_pairs (fixture-testable form)."""
+    txt_winnow_pairs (fixture-testable form). ``topk=None`` returns the
+    FULL unordered pair table (census use — a global sort + huge-k
+    TakeOrdered would be pure waste when the caller filters anyway)."""
     per_doc = TX.winnow_fingerprints(docs)
     df = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("__nd"))
     keep = df.filter(
@@ -303,6 +305,8 @@ def winnow_pairs_report(
             ),
         )
     )
+    if topk is None:
+        return report
     return report.orderBy(
         F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b")
     ).limit(topk)
