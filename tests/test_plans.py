@@ -729,18 +729,29 @@ def test_pair_table_never_broadcasts_in_size_attach(spark):
     """The 100x stress run caught AQE broadcasting the PAIR table in
     _attach_sizes once its compressed shuffle output dipped under the
     64 MB threshold — a ~1 GiB deserialized driver collect that aborts
-    on maxResultSize. The sizes side is hinted as the shuffle-hash build
-    side, so BOTH size attachments must plan as ShuffledHashJoin; the
-    only broadcasts left in these plans are the bounded hot-shingle /
-    candidate anti-joins."""
+    on maxResultSize. Every size attachment must plan as
+    ShuffledHashJoin and the pair table (id_a/id_b) must never be a
+    broadcast side. Shapes per family: jaccard still attaches sizes to
+    the PAIR table (two pinned joins); containment attaches sizes to
+    the POSTINGS before pair generation (r9 in-row rewrite — one pinned
+    doc_id join, the pair table joins nothing, see
+    test_containment_pair_table_never_joins)."""
+    import re
+
     from sql_cdc_spark import tables
     from sql_cdc_spark.functions import dedup as DD
 
     docs = tables.load(spark, SF_DIR, "documents").select("doc_id", "text")
     sh = DD.doc_shingles(docs)
-    for df in (
-        DD.containment_pairs(sh),
-        DD.jaccard_pairs(sh, threshold=0.1),
+    for df, min_shj in (
+        (DD.containment_pairs(sh), 1),
+        (DD.jaccard_pairs(sh, threshold=0.1), 2),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("ShuffledHashJoin") >= 2, plan[:2000]
+        assert plan.count("ShuffledHashJoin") >= min_shj, plan[:2000]
+        pair_broadcasts = [
+            line.strip()
+            for line in plan.splitlines()
+            if "Broadcast" in line and re.search(r"\[id_[ab]#", line)
+        ]
+        assert not pair_broadcasts, pair_broadcasts
