@@ -138,6 +138,27 @@ ROUND8 = [
     "txt_winnow_pairs",          # winnowing cross-doc overlap pairs
 ]
 
+# Queries whose CONSTRUCTION executes the core algorithm (measured with
+# a setJobGroup probe over every bench query, r9): the dup_clusters
+# contraction loop, the localCheckpoint-eager maintenance-twin state
+# builds, the SCD2 merge, and the Lloyd iterations all run while the
+# DataFrame is being BUILT — at sf0.01 these builds took 1.4-13.8 s and
+# 3-72 jobs — so the noop-only loop above times only their final
+# checkpointed scan. (Queries whose builds run bounded metadata/seed
+# collects — table loads, bloom builds, K-row seeds, ≤B−1 boundaries —
+# are NOT listed: their main computation is inside the timed noop.)
+# The eager_full block re-times these with construction INSIDE the
+# timed region.
+EAGER_BUILD_QUERIES = [
+    "dd_dup_clusters",
+    "crp_manifest",
+    "dd_incremental_near_dup",
+    "dd_incremental_containment",
+    "cdc_scd2_incremental",
+    "sim_kmeans_step",
+    "sim_kmeans_fixed",
+]
+
 
 REFERENCE_INVOICES = 25_000  # the reference generator's own scale
 
@@ -1214,6 +1235,32 @@ def main() -> None:
         "round8": {name: timings.pop(name) for name in ROUND8},
     }
 
+    # Eager-construction queries (measurement-bug fix, OPTIMIZATION_r09):
+    # these fns EXECUTE jobs while the DataFrame is being BUILT (the
+    # dup_clusters contraction loop and the localCheckpoint-eager
+    # maintenance-twin state builds), so the noop-only loop above times
+    # just their final checkpointed scan. The original entries are kept
+    # unchanged (cross-round comparable, and the warm read is itself the
+    # documented amortization claim); this block ADDITIONALLY records the
+    # full construction+action cost, DataFrame rebuilt inside the timed
+    # region, best-of-2, detail-only (stdout stays under the 1900-char
+    # driver budget).
+    eager_full: dict[str, float] = {}
+    eager_probe = [_cpu_probe_ms()]
+    for _ in range(2):
+        for name in EAGER_BUILD_QUERIES:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            eager_full[name] = min(eager_full.get(name, float("inf")), dt)
+    eager_probe.append(_cpu_probe_ms())
+    eager_full_block = {
+        **{name: round(t, 3) for name, t in eager_full.items()},
+        "probe_ms": eager_probe,
+    }
+
     # pipeline throughput: best of 2 (same contention rationale; each run
     # writes 25k files so the pair is spread ~10s apart naturally)
     runs = [cdc_pipeline_throughput(spark, sf_dir) for _ in range(2)]
@@ -1281,6 +1328,7 @@ def main() -> None:
             g: round(sum(t.values()), 3) for g, t in group_timings.items()
         },
         "cdc_pipeline": cdc,
+        "eager_full": eager_full_block,
         # best-of-2 for the one-shot scale blocks: a single pass landing
         # in a host-contention window (probe 2×+ baseline) would record a
         # bogus 2-4× scale number; per-pass probes make each attributable.

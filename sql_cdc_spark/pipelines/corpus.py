@@ -96,7 +96,16 @@ def prepare_training_corpus(
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    kept = exact_kept.join(dropped, "doc_id", "left_anti").drop("text")
+    # pinned shuffle-hash: both sides scale with the corpus (dropped is
+    # the duplicate population), so broadcast is banned by the unbounded
+    # pair-path discipline, and the checkpoint-cut cluster labels carry
+    # no stats — the planner's fallback is a sort-merge that sorts the
+    # FULL survivor table by doc_id for nothing (r9 same-window A/B at
+    # sf0.1, clean probes, values hash-identical: SMJ 0.741 s → SHJ
+    # 0.665 s best-of-3)
+    kept = exact_kept.join(
+        dropped.hint("shuffle_hash"), "doc_id", "left_anti"
+    ).drop("text")
 
     return SP.with_split(kept, "doc_id", test_frac, val_frac).select(
         "doc_id", "lang", "source", "n_tokens", "quality", "digest", "split"

@@ -285,6 +285,13 @@ def dd_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("rep_chars"),
         F.count(F.lit(1)).alias("n_members"),
     )
+    # deliberately NOT hinted (r9 opt A/B): the stats-less fallback here
+    # is a sort-merge, but both sides are cluster-population-sized (one
+    # row per clustered doc / per cluster — tiny relative to the
+    # corpus), and a pinned shuffle-hash measured SLOWER at sf0.1
+    # (0.337 s SMJ vs 0.390 s SHJ best-of-3, same-window interleaved,
+    # clean probes) — the sort is trivial at this relation size and the
+    # per-partition hash build is pure overhead
     return (
         sized.join(best, "cluster_id", "inner")
         .filter(F.col("n_chars") == F.col("rep_chars"))
@@ -569,10 +576,14 @@ def _shared_containment_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_cdc_spark.queries._cache import session_cached
 
     def build() -> DataFrame:
-        docs = tables.load(spark, sf_dir, "documents")
-        return DD.containment_base(
-            DD.doc_shingles(docs), "doc_id", CONTAINMENT_DF_CAP
-        )
+        # reuse the family-wide session-cached shingle frame instead of
+        # a private doc_shingles scan: a session running the MinHash
+        # family and containment (the bench and the oracle suite do,
+        # every round) pays the normalize/tokenize/shingle/hash explode
+        # ONCE — the r9 10× decomposition put that scan at ~74% of the
+        # containment pipeline, dwarfing the pair machinery
+        shingled, _ = _shingle_base(spark, sf_dir)
+        return DD.containment_base(shingled, "doc_id", CONTAINMENT_DF_CAP)
 
     return session_cached(spark, ("containment_base", sf_dir), build)
 

@@ -209,9 +209,12 @@ def manifest_from_state(
     dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    kept = _survivors(state.gated).join(dropped, "doc_id", "left_anti").drop(
-        "text"
-    )
+    # pinned shuffle-hash for the same reason as the batch twin
+    # (pipelines/corpus.py): corpus-scale ⨝ corpus-scale, stats-less
+    # checkpointed side, broadcast banned
+    kept = _survivors(state.gated).join(
+        dropped.hint("shuffle_hash"), "doc_id", "left_anti"
+    ).drop("text")
     return SP.with_split(kept, "doc_id", test_frac, val_frac).select(
         "doc_id", "lang", "source", "n_tokens", "quality", "digest", "split"
     )

@@ -725,6 +725,22 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert got == want and got
 
 
+def test_manifest_survivor_anti_join_pins_shuffle_hash(spark):
+    """r9 optimization: dup_clusters' star-contraction labels are
+    lineage-cut (stats-less Scan ExistingRDD), so the planner's fallback
+    for crp_manifest's corpus-scale survivor anti-join became a
+    SortMergeJoin that sorts the FULL survivor table by doc_id for
+    nothing (measured 0.741 s SMJ vs 0.665 s SHJ best-of-3 same-window
+    at sf0.1). Broadcast is banned on this path (the dropped set scales
+    with the corpus), so the pin must be shuffle-hash.
+    dd_cluster_canonical's sized⨝best join deliberately keeps the SMJ
+    fallback: its relations are cluster-population-sized and the same
+    A/B measured the pin SLOWER there (see the code comment)."""
+    plan = _plan(spark, "crp_manifest")
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
 def test_pair_table_never_broadcasts_in_size_attach(spark):
     """The 100x stress run caught AQE broadcasting the PAIR table in
     _attach_sizes once its compressed shuffle output dipped under the

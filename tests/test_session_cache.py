@@ -50,6 +50,30 @@ def test_containment_base_repersists_after_external_clearcache(spark):
     assert _is_persisted(again), "frame must be re-marked for persistence"
 
 
+def test_containment_base_shares_family_shingle_frame(spark):
+    """r9 optimization: _shared_containment_base must consume the
+    family-wide session-cached shingle frame — one
+    normalize/tokenize/shingle/hash explode per session across the
+    MinHash AND containment families (the r9 10x decomposition put that
+    scan at ~74% of the containment pipeline) — not a private
+    doc_shingles scan that only CacheManager plan-matching could
+    deduplicate."""
+    from sql_cdc_spark.queries import _cache
+    from sql_cdc_spark.queries.dedup_q import _shared_containment_base
+
+    app = spark.sparkContext.applicationId
+    # drop any prior entries so the assertion sees THIS build's effect
+    for k in [k for k in _cache._FRAMES if k[0] == app]:
+        _cache._FRAMES.pop(k).unpersist()
+    _shared_containment_base(spark, SF_DIR)
+    keys = {k[1] for k in _cache._FRAMES if k[0] == app}
+    assert "containment_base" in keys, keys
+    assert "shingle_base" in keys, (
+        "containment base no longer builds on the shared shingle frame",
+        keys,
+    )
+
+
 def test_dead_session_entries_are_evicted(spark):
     """Entries keyed to an applicationId other than the live session's
     are dropped on the next access, so stopped sessions do not leak
