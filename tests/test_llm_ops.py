@@ -35,6 +35,36 @@ def test_exact_dedup_finds_planted_copies(spark, docs):
         assert d.canonical_id < off
 
 
+def test_doc_shingles_kernel_matches_exact(spark, docs):
+    """r9 optimization: the elected mapInArrow shingling kernel must be
+    bit-identical to the JVM expression reference (doc_shingles_exact)
+    on the driver corpus AND on planted edge cases covering every
+    semantic the kernel re-implements in Python: Java's ASCII-only
+    regex \\s (NBSP is NOT whitespace), Spark trim (0x20 only),
+    UTF8String.toLowerCase (Turkish İ, ß, Greek final sigma, titlecase
+    digraphs, fullwidth forms), blank/sub-width documents, and null
+    text."""
+    edge_texts = [
+        "İstanbul Şehir Üniversitesi kampüsü",
+        "STRASSE ß GROSS MASSE WEISS",
+        "ΣΟΦΟΣ ΣΟΦΙΑ ΤΕΛΟΣ",
+        "nbsp joined words here now",
+        "tab\tand\nnewline\rand\x0bvt\x0cff mix",
+        "", " ", "  ", "one", "one two",
+        "ǅungla Ǳungla ǈjubav titlecase digraphs",
+        "ＦＵＬＬ ＷＩＤＴＨ here",
+        None,
+    ]
+    edges = spark.createDataFrame(
+        [(10_000 + i, t) for i, t in enumerate(edge_texts)],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edges)
+    got = sorted(map(tuple, DD.doc_shingles(corpus).collect()))
+    want = sorted(map(tuple, DD.doc_shingles_exact(corpus).collect()))
+    assert got == want
+
+
 def test_identical_docs_have_identical_signatures(spark, docs):
     planted, off = _with_planted_dups(docs, n=3)
     sigs = DD.minhash_signatures(DD.doc_shingles(planted))

@@ -39,7 +39,40 @@ _PANDAS_OK = {
     "sim_mutual_knn",
     "sim_semantic_dedup",
     "sim_semdedup_sweep",
+    # r9 (optimization round): doc_shingles is an elected mapInArrow
+    # kernel — bit-identical to doc_shingles_exact by test, 3.8× on the
+    # 10× scan, and the in-kernel per-doc dedup deletes the distinct
+    # exchange. These are the registry consumers whose final plans carry
+    # the MapInArrow node (the checkpoint-cut consumers — dup_clusters
+    # family, crp_manifest, incremental twins — consume it during
+    # construction, so their lineage-cut plans don't show it); presence
+    # is asserted by test_shingle_consumers_elect_arrow_kernel
+    "crp_fuzzy_contamination",
+    "dd_containment_pairs",
+    "dd_containment_sweep",
+    "dd_jaccard_pairs",
+    "dd_lsh_candidate_pairs",
+    "dd_lsh_recall_eval",
+    "dd_minhash_signatures",
+    "dd_near_dup_pairs",
+    "dd_source_overlap",
 }
+
+
+def test_shingle_consumers_elect_arrow_kernel(spark):
+    """r9 optimization done-criterion: the shingle consumers must PLAN
+    the mapInArrow shingling kernel (the JVM expression path stays
+    available as doc_shingles_exact, the cross-implementation
+    reference)."""
+    for name in (
+        "dd_near_dup_pairs",
+        "dd_jaccard_pairs",
+        "dd_containment_pairs",
+    ):
+        spark.catalog.clearCache()
+        assert "MapInArrow" in _plan(spark, name), (
+            f"{name} lost the Arrow shingling kernel"
+        )
 
 
 def test_knn_consumers_elect_arrow_kernel(spark):
@@ -70,7 +103,12 @@ def test_no_row_python_udfs_anywhere(spark):
         if name not in _PANDAS_OK:
             assert all(
                 tok not in plan
-                for tok in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas")
+                for tok in (
+                    "MapInPandas",
+                    "ArrowEvalPython",
+                    "FlatMapGroupsInPandas",
+                    "MapInArrow",
+                )
             ), f"{name} unexpectedly routes through Python"
 
 
