@@ -1039,6 +1039,110 @@ def winnow_10x_stress(spark, sf_dir: str) -> dict:
     return out
 
 
+def cold_build_block(spark, sf_dir: str) -> dict:
+    """Cold-vs-warm cost of every session-cached family base (VERDICT r9
+    #2/#3): the headline/group loop constructs all DataFrames up front
+    and takes best-of-3 interleaved passes, so cached-family numbers
+    read the warm InMemoryRelation — the documented amortization claim,
+    but not what a fresh session's FIRST action pays. This block resets
+    the python-side cache registry AND executor storage, then times each
+    cached key's first materialization (noop sink — build included) and
+    the warm re-read of the same frame."""
+    from time import perf_counter
+
+    from sql_cdc_spark.queries import _cache
+    from sql_cdc_spark.queries.dedup_q import (
+        _shared_containment_base,
+        _shingle_base,
+    )
+    from sql_cdc_spark.queries.similarity_q import knn_best
+    from sql_cdc_spark.queries.text_q import _winnow_base
+
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _cache._FRAMES if k[0] == app]:
+        _cache._FRAMES.pop(k).unpersist()
+    spark.catalog.clearCache()
+
+    out = {"probe_ms": _cpu_probe_ms()}
+    for key, build in (
+        # materializing sigs materializes the shingled frame beneath it,
+        # so this single number is the whole MinHash-family cold cost
+        ("shingle_base", lambda: _shingle_base(spark, sf_dir)[1]),
+        ("containment_base", lambda: _shared_containment_base(spark, sf_dir)),
+        ("winnow_base", lambda: _winnow_base(spark, sf_dir)),
+        ("knn_best", lambda: knn_best(spark, sf_dir)),
+    ):
+        df = build()
+        t0 = perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[f"{key}_cold_s"] = round(perf_counter() - t0, 3)
+        t0 = perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[f"{key}_warm_s"] = round(perf_counter() - t0, 3)
+    out["probe_ms_after"] = _cpu_probe_ms()
+    return out
+
+
+def event_stream_latency(spark, sf_dir: str) -> dict:
+    """Micro-batch latency point for the event-time family (VERDICT r9
+    #8 — the one family whose e2es all run availableNow with no latency
+    evidence): lay the events table out as N parquet files, run the
+    watermarked tumbling rollup (streaming/windows.py::windowed_counts,
+    the evt_tumbling_hourly twin) with maxFilesPerTrigger=1 so each file
+    is one micro-batch, and report the engine's own per-batch
+    triggerExecution durations (p50/p95, first batch separately — it
+    pays stream initialization). No registry query changes; the sink is
+    noop."""
+    import shutil
+    import tempfile
+    from time import perf_counter
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.streaming import windows as W
+
+    n_files = 20
+    tmp = tempfile.mkdtemp(prefix="evt_latency_")
+    try:
+        src = os.path.join(tmp, "stream")
+        ev = tables.load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev.repartition(n_files).write.parquet(src)
+        out = {"n_files": n_files, "probe_ms": _cpu_probe_ms()}
+        t0 = perf_counter()
+        q = (
+            W.windowed_counts(W.read_event_stream(spark, src, 1))
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out["wall_seconds"] = round(perf_counter() - t0, 3)
+        progresses = [
+            p if isinstance(p, dict) else json.loads(p.json)
+            for p in (q.recentProgress or [])
+        ]
+        durs = [
+            p["durationMs"]["triggerExecution"]
+            for p in progresses
+            if p.get("numInputRows", 0) > 0
+        ]
+        durs_ms = sorted(durs)
+        out["n_batches"] = len(durs)
+        if durs:
+            out["first_batch_ms"] = durs[0]
+            steady = sorted(durs[1:]) or durs_ms
+            out["batch_p50_ms"] = steady[len(steady) // 2]
+            out["batch_p95_ms"] = steady[
+                min(len(steady) - 1, int(len(steady) * 0.95))
+            ]
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def cluster_100x(spark) -> dict:
     """Opt-in 100× connected-components point (VERDICT r8 #5): the
     star-contraction clusterer over a pair table at the scale a
@@ -1400,6 +1504,13 @@ def main() -> None:
             "probe_wide_ms": [p["probe_wide_ms"] for p in rt_passes],
         },
         "incremental_apply_scaling": incremental_apply_scaling(spark, sf_dir),
+        # r10 additions (VERDICT r9 #3/#8), detail-only: cold-vs-warm
+        # cost per session-cached family base, and the event-time
+        # micro-batch latency point. cold_build runs LAST in this dict
+        # so it measures after-reset cold builds without disturbing the
+        # interleaved loops above (it resets the cache registry itself).
+        "event_stream_latency": event_stream_latency(spark, sf_dir),
+        "cold_build": cold_build_block(spark, sf_dir),
     }
     if os.environ.get("SPARK_GRAFT_STRESS_100X") == "1":
         spark.catalog.clearCache()

@@ -149,7 +149,9 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     document. Every caller in this repo feeds keyed frames (base
     corpora, exact-dedup survivors, latest-per-key collapsed change
     batches), and the DuckDB oracle CTEs assume the same. A frame with
-    duplicate id rows would double-count n_sh downstream."""
+    duplicate id rows would double-count n_sh downstream
+    (tests/test_llm_ops.py::test_doc_shingles_registry_inputs_are_keyed
+    spot-checks every registry feed)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     id_field = docs.schema[id_col]
@@ -159,6 +161,32 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             StructField("sh64", LongType(), True),
         ]
     )
+
+    return (
+        balance_partitions(docs)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInArrow(_shingle_kernel(id_col), out_schema)
+    )
+
+
+# Per-task output-buffer bound for the shingling kernel (ADVICE r9 /
+# VERDICT r9 #4): the r9 kernel buffered one OUTPUT RecordBatch per
+# INPUT batch as Python lists — at Arrow's default 10k rows/batch a
+# long-document corpus holds every doc's full shingle fan-out at once
+# (a multi-GB per-task heap spike the streamed JVM path never had).
+# Flushing every ~64k shingle rows bounds the buffer at a few MB; the
+# residual worst case is max(FLUSH, one doc's own distinct shingles),
+# which is the irreducible per-doc working set. 64k keeps batches large
+# enough that the Arrow framing cost stays noise (measured: 10× scan
+# unchanged within the ±10% done-criterion).
+SHINGLE_FLUSH_ROWS = 1 << 16
+
+
+def _shingle_kernel(id_col: str, flush_rows: int = SHINGLE_FLUSH_ROWS):
+    """mapInArrow generator for doc_shingles — module-level factory so
+    tests can drive the kernel directly over synthetic Arrow batches
+    (batch-size bound, long-doc flush behavior). Semantics mirrored
+    from the JVM reference are documented in doc_shingles."""
     k = SHINGLE_K
 
     def kernel(batches):
@@ -169,35 +197,52 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
         ws = re.compile(r"\s+", re.ASCII)
         md5 = hashlib.md5
+        out_ids: list = []
+        out_sh: list = []
+        id_type = None
+
+        def flush():
+            b = pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, id_type), pa.array(out_sh, pa.int64())],
+                [id_col, "sh64"],
+            )
+            out_ids.clear()
+            out_sh.clear()
+            return b
+
         for batch in batches:
             id_arr = batch.column(0)
+            id_type = id_arr.type
             ids = id_arr.to_pylist()
             texts = batch.column(1).to_pylist()
-            out_ids: list = []
-            out_sh: list = []
             for did, t in zip(ids, texts):
                 norm = ws.sub(" ", (t or "").lower()).strip(" ")
                 toks = norm.split(" ")
                 if len(toks) >= k:
+                    # two-level dedup: distinct shingle STRINGS first (so
+                    # md5 runs once per distinct shingle), then distinct
+                    # over the HASHED 60-bit ints — the (id, sh64) domain
+                    # the exact path and the DuckDB oracle dedup on, so a
+                    # within-doc md5-prefix collision collapses here too
+                    # (ADVICE r9: string-domain dedup broke the '60-bit
+                    # collisions included' contract in that corner)
                     shs = {
-                        " ".join(toks[i : i + k])
-                        for i in range(len(toks) - k + 1)
+                        int(md5(s.encode()).hexdigest()[:15], 16)
+                        for s in {
+                            " ".join(toks[i : i + k])
+                            for i in range(len(toks) - k + 1)
+                        }
                     }
                 else:
-                    shs = {norm}
-                for s in shs:
-                    out_ids.append(did)
-                    out_sh.append(int(md5(s.encode()).hexdigest()[:15], 16))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(out_ids, id_arr.type), pa.array(out_sh, pa.int64())],
-                [id_col, "sh64"],
-            )
+                    shs = {int(md5(norm.encode()).hexdigest()[:15], 16)}
+                out_sh.extend(shs)
+                out_ids.extend([did] * len(shs))
+                if len(out_sh) >= flush_rows:
+                    yield flush()
+        if out_sh:
+            yield flush()
 
-    return (
-        balance_partitions(docs)
-        .select(F.col(id_col), F.col(text_col))
-        .mapInArrow(kernel, out_schema)
-    )
+    return kernel
 
 
 def minhash_signatures(
@@ -395,7 +440,21 @@ def jaccard_pairs(
     only verifies those (the LSH path — linear-ish work); without, blocks
     on shared shingles (still avoids the full cross join: pairs sharing
     zero shingles are never generated). Input is doc_shingles' hashed
-    (id, sh64) form — joins compare 8-byte ints, never shingle strings."""
+    (id, sh64) form — joins compare 8-byte ints, never shingle strings.
+
+    Tried, measured, REVERTED (r10, guide §1.2): porting the r9
+    containment in-row-sizes pattern to the blocking path (sizes attach
+    to postings, (n_a, n_b) ride the sh64 self-join into the pair
+    aggregate, pair table joins nothing) measured SLOWER — same-window
+    interleaved A/B at sf0.1 with a warm shingle base and clean probes:
+    old 1.108/1.029/1.020 s vs in-row 1.556/1.405/1.514 s, values
+    identical (260 pairs; 1,130,536 pre-threshold pair groups over
+    260,388 posting rows). Unlike containment (whose pair table ran two
+    pinned joins measured at ~21 s of a 32 s 10× pipeline), both size
+    attachments here are cheap hash joins of a DOC-sized table, while
+    the in-row form widens the sh64 self-join shuffle by the two size
+    ints and triples the pair aggregate's per-group state. The pinned
+    pair-table⨝sizes shape stays."""
     hashed = shingled.select(F.col(id_col), "sh64")
     if candidates is not None:
         inter = _candidate_intersections(hashed, candidates, id_col)

@@ -209,6 +209,80 @@ def elect_dropped_pdf(
     )
 
 
+def exact_probe_topk_kernel(probes: list[tuple[int, list[float]]], k: int):
+    """mapInArrow generator factory: exact top-k per FIXED probe over
+    the whole vector table in ONE scan (the recall-eval exact
+    reference — r10, the VERDICT r9 ruling electing the kernel for eval
+    references). Per batch, every row's cosine against the probe matrix
+    accumulates one dimension at a time (the module exactness contract)
+    and rounds through round_micro_half_up (bit-equal to F.round by the
+    standing parity test); a running per-probe top-k folded by
+    (micro desc, id asc) crosses batches, so each task emits at most
+    |probes|·k rows. Per-probe top-k is distributive, so the caller's
+    global (micro desc, id asc) top-k over task winners reproduces the
+    JVM ``orderBy(cos desc, vec_id).limit(k)`` membership exactly. Rows
+    whose id equals the probe's id are excluded (the eval's self-pair
+    filter)."""
+    pid_list = [p for p, _ in probes]
+    vec_list = [list(v) for _, v in probes]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from sql_cdc_spark.functions.simkernel import round_micro_half_up
+
+        if not pid_list:
+            return
+        P = np.asarray(vec_list, dtype=np.float64)
+        pids = np.asarray(pid_list, dtype=np.int64)
+        n_p, dims = P.shape
+        pn = np.zeros(n_p)
+        for d in range(dims):
+            pn = pn + P[:, d] * P[:, d]
+        pn = np.sqrt(pn)
+        best_ids = [np.empty(0, dtype=np.int64) for _ in range(n_p)]
+        best_mi = [np.empty(0, dtype=np.int64) for _ in range(n_p)]
+        for batch in batches:
+            ids = np.asarray(batch.column(0).to_pylist(), dtype=np.int64)
+            if ids.size == 0:
+                continue
+            M = np.asarray(batch.column(1).to_pylist(), dtype=np.float64)
+            nr = np.zeros(ids.size)
+            acc = np.zeros((ids.size, n_p))
+            for d in range(dims):  # L2R per-dimension accumulation
+                col = M[:, d]
+                nr = nr + col * col
+                acc = acc + np.outer(col, P[:, d])
+            nr = np.sqrt(nr)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / np.outer(nr, pn)
+            mi = round_micro_half_up(cos)
+            for j in range(n_p):
+                keep = ids != pids[j]
+                cid = np.concatenate([best_ids[j], ids[keep]])
+                cmi = np.concatenate([best_mi[j], mi[keep, j]])
+                order = np.lexsort((cid, -cmi))[:k]
+                best_ids[j], best_mi[j] = cid[order], cmi[order]
+        if any(len(b) for b in best_ids):
+            out_pid = np.concatenate(
+                [
+                    np.full(len(best_ids[j]), pids[j], dtype=np.int64)
+                    for j in range(n_p)
+                ]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_pid),
+                    pa.array(np.concatenate(best_ids)),
+                    pa.array(np.concatenate(best_mi)),
+                ],
+                ["probe_id", "vec_id", "micro"],
+            )
+
+    return kernel
+
+
 def max_mate_micro_pdf(
     pdf: pd.DataFrame,
     q_block: int = Q_BLOCK,

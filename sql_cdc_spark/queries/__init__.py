@@ -50,49 +50,41 @@ def _registry() -> dict[str, QueryEntry]:
     # — the families whose last driver check is oldest; (3) demoted
     # long-greens stay covered every round by the local pytest oracle
     # suite, which runs ALL queries vs DuckDB at sf0.01.
-    # Round-9 rotation (executes the plan published in r8; the r1-r8
+    # Round-10 rotation (executes the plan published in r9; the r1-r9
     # narratives live in git history): the window below is explicit.
-    # (1) SEVEN changed-query slots:
-    #   - the containment in-row-sizes rewrite landed exactly as queued
-    #     (VERDICT r8 #1: postings carry each doc's rare count BEFORE
-    #     pair generation, the pair table joins NOTHING — measured
-    #     28.0 -> 17.2 s at 10x, bit-identical pairs):
-    #     dd_containment_pairs, dd_containment_sweep,
-    #     dd_incremental_containment (+ the maintenance twin, pytest);
-    #   - dup_clusters rewritten to alternating large-star/small-star
-    #     contraction (VERDICT r8 #5: O(log diameter) rounds, fail-loud
-    #     instead of silent truncation past the budget): its registry
-    #     consumers dd_dup_clusters, dd_cluster_canonical, crp_manifest
-    #     re-enter as changed;
-    #   - scl_range_partition_plan takes the catch-up slot ADVICE r8
-    #     prescribed (its r8 empty-sample guard was value-identical but
-    #     landed outside the r8 window, bending the changed=>checked
-    #     invariant; repaid with a driver check here).
-    #   That is one over the ~4-6 cap, same judgment as r8's seven: the
-    #   cluster rewrite has three consumers and leaving one unchecked
-    #   the round its algorithm changed is worse than one fewer
-    #   rotation row.
-    #   EXEMPTION NOTE (the ADVICE r8 route for value-identical edits):
-    #   sim_knn_join / sim_knn_join_arrow / sim_semantic_dedup /
-    #   sim_semdedup_sweep gained zero-norm guards this round (nanvl in
-    #   the exact path, COALESCE/NULLIF in the oracles, mirroring the
-    #   kernel sentinel). Value-identical on any corpus without an
-    #   exactly-zero embedding (the driver corpus has none); the
-    #   zero-vector case itself is pinned cross-engine by fuzz family
-    #   15's forced seed 9 every local run. They keep their r8 checks
-    #   rather than claiming slots.
-    # (2) The 11 r4 tpch greens (staleness 4 — the oldest evidence):
-    #   q10-q13, q15-q18, q20-q22, exactly as published in r8.
-    # (3) The remaining 32 slots pay the r5 cohort (staleness 3,
-    #   45 names) in alphabetical order; the last 13 —
-    #   rel_semi_join_big_spenders, rel_top_revenue_orders,
-    #   rel_topn_other_rollup, rel_union_all_segments,
-    #   scl_salted_pricing, sim_bucketed_topk, sim_lsh_buckets,
-    #   txt_quality_gate, txt_token_stats, win_lag_delta,
-    #   win_latest_n_per_user, win_moving_avg, win_running_total —
-    #   head the published round-10 list, followed by the r6 cohort
-    #   oldest-first; round 10 should land at most ~4-6 new/changed
-    #   queries.
+    # (1) SEVEN changed-query slots — all optimization-round plan
+    #   changes, every one proven value-identical by the full-gate
+    #   oracle before landing (r9 precedent for exceeding the ~4-6 cap:
+    #   two shared-base families account for five of the seven, and
+    #   leaving a changed query unchecked the round its plan changed is
+    #   worse than one fewer rotation row):
+    #   - sim_ann_recall_eval: exact side through the Arrow probe-top-k
+    #     kernel + single-scan ann side (VERDICT r9 #2 ruling; 24
+    #     parquet scans -> 3, 1.71 -> 0.82 s at sf0.1);
+    #   - dd_jaccard_pairs, dd_source_overlap, crp_fuzzy_contamination:
+    #     now feed the session-cached family shingle frame (VERDICT r9
+    #     #6; one shingle explode + signature aggregate per session
+    #     across the whole dedup family);
+    #   - txt_winnow_pairs + txt_winnow_fingerprints: session-cached
+    #     winnow fingerprint base (the scan fed FOUR subtrees per
+    #     session; 3.40 -> ~0.5 s warm at sf0.1);
+    #   - crp_dsir_select: fused raw+target census (one groupBy with
+    #     count + count_if instead of two census shuffles and a second
+    #     join; 3 tokenize passes -> 2).
+    #   NOTE: doc_shingles' kernel internals also changed (chunked
+    #   RecordBatch flush + hashed-domain per-doc dedup, VERDICT r9 #4 /
+    #   ADVICE r9) — plan-invisible and pinned bit-identical by
+    #   test_doc_shingles_kernel_matches_exact; three of the changed
+    #   slots above are shingle consumers, double-covering it.
+    # (2) The 13 remaining r5 greens (staleness 4 — the oldest
+    #   evidence), exactly the list published in r9.
+    # (3) The remaining 30 slots pay the r6 cohort (staleness 3, 40
+    #   names) in alphabetical order (sim_ann_recall_eval is already in
+    #   the changed block). The 9 left over — txt_bm25_search,
+    #   txt_bpe_pair_census, txt_bpe_tokens, txt_dup_passage_census,
+    #   txt_language_id, txt_ngram_novelty, txt_quality_score,
+    #   txt_rolling_fingerprint, txt_tfidf_topterms — stay covered by
+    #   the local full-gate oracle and head any future rotation.
     for mod in (
         relational_q,
         functions_q,
@@ -111,68 +103,67 @@ def _registry() -> dict[str, QueryEntry]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         reg.update(mod.QUERIES)
-    # The round-9 driver window, explicit and order-significant: the
+    # The round-10 driver window, explicit and order-significant: the
     # driver hash-checks exactly these 50, top to bottom. Guarded by
-    # tests/test_operator_guards.py::test_registry_window_holds_all_round9_queries
+    # tests/test_operator_guards.py::test_registry_window_holds_all_round10_queries
     # (membership AND position, VERDICT r8 #7).
     window = [
-        # -- changed this round (containment in-row sizes, VERDICT r8
-        #    #1; dup_clusters star contraction, VERDICT r8 #5) ---------
-        "dd_containment_pairs",
-        "dd_containment_sweep",
-        "dd_incremental_containment",
-        "dd_dup_clusters",
-        "dd_cluster_canonical",
-        "crp_manifest",
-        # -- ADVICE r8 catch-up: changed in r8 outside the r8 window ---
-        "scl_range_partition_plan",
-        # -- rotation debt: the 11 r4 tpch strays (staleness 4) --------
-        "tpch_q10_returned_items",
-        "tpch_q11_important_stock",
-        "tpch_q12_priority_by_status",
-        "tpch_q13_customer_distribution",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_orders",
-        "tpch_q20_excess_suppliers",
-        "tpch_q21_waiting_suppliers",
-        "tpch_q22_global_sales_opportunity",
-        # -- rotation debt: the r5 cohort (staleness 3), alphabetical --
-        "cdc_bounded_batch",
-        "cdc_flagship_changed_invoices",
-        "cdc_keyset_resume",
-        "cdc_latest_event_per_user",
-        "cdc_union_distinct_keys",
-        "cdc_version_watermark",
-        "crp_dsir_select",
-        "crp_filter_funnel",
-        "crp_fuzzy_contamination",
-        "dd_embedding_dup_pairs",
+        # -- changed this round (r10 optimization: kernel election,
+        #    session-cache shares, census fusion — see rotation note) --
+        "sim_ann_recall_eval",
         "dd_jaccard_pairs",
-        "dd_simhash",
-        "dd_simhash_pairs",
         "dd_source_overlap",
-        "evt_collapse_runs",
-        "evt_props_topk",
-        "evt_rolling_actives",
-        "fn_date_arithmetic",
-        "fn_hash_bucket",
-        "fn_timestamp_format",
-        "mm_media_catalog",
-        "rel_cross_join_small",
-        "rel_cube_status_flag",
-        "rel_derived_columns",
-        "rel_distinct_flags",
-        "rel_except_lost_customers",
-        "rel_filter_composite",
-        "rel_intersect_buyers",
-        "rel_multi_hop_dims",
-        "rel_pivot_status",
-        "rel_rollup_lineitem",
-        "rel_sample_avg",
-        # (the 13 remaining r5 greens head the published round-10 list
-        #  above)
+        "crp_fuzzy_contamination",
+        "crp_dsir_select",
+        "txt_winnow_pairs",
+        "txt_winnow_fingerprints",
+        # -- rotation debt: the 13 remaining r5 greens (staleness 4) ---
+        "rel_semi_join_big_spenders",
+        "rel_top_revenue_orders",
+        "rel_topn_other_rollup",
+        "rel_union_all_segments",
+        "scl_salted_pricing",
+        "sim_bucketed_topk",
+        "sim_lsh_buckets",
+        "txt_quality_gate",
+        "txt_token_stats",
+        "win_lag_delta",
+        "win_latest_n_per_user",
+        "win_moving_avg",
+        "win_running_total",
+        # -- rotation debt: the r6 cohort (staleness 3), alphabetical --
+        "cdc_changes_scan",
+        "cdc_flagship_documents",
+        "cdc_net_changes_enriched",
+        "cdc_replica_sync",
+        "crp_domain_reweight",
+        "crp_ngram_lm_score",
+        "dd_dedup_impact",
+        "dd_exact",
+        "dd_minhash_signatures",
+        "evt_late_data_filter",
+        "evt_session_windows",
+        "evt_sliding_windows",
+        "evt_top_users_per_day",
+        "evt_value_percentiles",
+        "mm_decode_features",
+        "mm_frame_sample",
+        "mm_resize_digest",
+        "rel_fuzzy_match_block",
+        "rel_grouping_sets",
+        "scl_compaction_plan",
+        "scl_group_zscore",
+        "scl_salted_join_segments",
+        "scl_skew_census",
+        "sim_centroid_assign",
+        "sim_embedding_quantize",
+        "sim_hybrid_search",
+        "sim_ivf_topk",
+        "sim_multiprobe_topk",
+        "sim_power_iteration",
+        "sim_topk_cosine",
+        # (the 9 remaining r6 greens — the txt_* tail — head any future
+        #  rotation; all 192 stay covered by the full-gate oracle)
     ]
     assert len(window) == 50, f"window must fill all 50 slots: {len(window)}"
     missing = [n for n in window if n not in reg]

@@ -732,19 +732,36 @@ def crp_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registry status: oracle-parity-gated in pytest
     (tests/test_pipelines.py); registered in the round-5 driver
-    window."""
-    return fuzzy_contamination_pairs(tables.load(spark, sf_dir, "documents"))
+    window. r10: feeds from the session-cached family shingle frame
+    (VERDICT r9 #6 — one shingle explode + signature aggregate per
+    session shared with the whole dedup family, the r9
+    _shared_containment_base precedent); values unchanged."""
+    from sql_cdc_spark.queries.dedup_q import _shingle_base
+
+    return fuzzy_contamination_pairs(
+        tables.load(spark, sf_dir, "documents"),
+        base=_shingle_base(spark, sf_dir),
+    )
 
 
-def fuzzy_contamination_pairs(docs: DataFrame) -> DataFrame:
+def fuzzy_contamination_pairs(
+    docs: DataFrame, base: tuple[DataFrame, DataFrame] | None = None
+) -> DataFrame:
     """The (test_doc_id, train_doc_id, jaccard) cross-split near-dup scan
-    over any (doc_id, text) corpus — see crp_fuzzy_contamination."""
+    over any (doc_id, text) corpus — see crp_fuzzy_contamination.
+    ``base`` optionally supplies a pre-built (shingled, sigs-with-n_sh)
+    pair (the registry path passes the session-cached family frames)."""
     from sql_cdc_spark.functions import dedup as DD
     from sql_cdc_spark.queries.dedup_q import LSH_MAX_BUCKET, NEAR_DUP_THRESHOLD
 
-    sh = DD.doc_shingles(docs)
-    sigs = DD.minhash_signatures(sh)
-    cands = DD.lsh_candidate_pairs(sigs, max_bucket_size=LSH_MAX_BUCKET)
+    if base is None:
+        sh = DD.doc_shingles(docs)
+        sigs = DD.minhash_signatures(sh, with_sizes=True)
+    else:
+        sh, sigs = base
+    cands = DD.lsh_candidate_pairs(
+        sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
+    )
 
     def is_test(c):
         return SP.hash_unit(c, "split") < TEST_FRAC
@@ -757,7 +774,10 @@ def fuzzy_contamination_pairs(docs: DataFrame) -> DataFrame:
         (is_test(a) & is_train(b)) | (is_test(b) & is_train(a))
     )
     verified = DD.jaccard_pairs(
-        sh, candidates=cross, threshold=NEAR_DUP_THRESHOLD
+        sh,
+        candidates=cross,
+        threshold=NEAR_DUP_THRESHOLD,
+        sizes=sigs.select("doc_id", "n_sh"),
     )
     return verified.select(
         F.when(is_test(a), a).otherwise(b).alias("test_doc_id"),
@@ -1223,34 +1243,46 @@ def crp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "is_tgt", sh64.alias("sh64"))
     )
-    raw = grams.groupBy("sh64").agg(F.count(F.lit(1)).alias("raw_cnt"))
-    tgt = (
-        grams.filter(F.col("is_tgt"))
-        .groupBy("sh64")
-        .agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    # r10 (guide §2.4): ONE map-side-combined groupBy produces BOTH
+    # censuses — count(*) is raw_cnt, count_if(is_tgt) is tgt_cnt — so
+    # the corpus is tokenized/exploded twice (census + pool) instead of
+    # three times, the census shuffle runs once instead of twice, and
+    # scoring joins ONE census table instead of raw + left-join tgt.
+    # Value-identical: _bits(0 + 1) = 0, exactly what the old left join
+    # + COALESCE(tgt_cnt, 0) contributed for grams unseen in target.
+    census = grams.groupBy("sh64").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.count_if(F.col("is_tgt")).alias("tgt_cnt"),
     )
     pool = grams.filter(~F.col("is_tgt")).select(
         "doc_id", F.lit(1).alias("n"), "sh64"
     )
-    return dsir_rank_pool(pool, raw, tgt, DSIR_K)
+    return dsir_rank_pool(pool, census, None, DSIR_K)
 
 
 def dsir_rank_pool(
-    pool: DataFrame, raw: DataFrame, tgt: DataFrame, k: int = DSIR_K
+    pool: DataFrame, raw: DataFrame, tgt: DataFrame | None, k: int = DSIR_K
 ) -> DataFrame:
     """The DSIR scoring/ranking body shared by the one-shot query and
     the streaming census maintenance (streaming/dsir_maintenance.py),
     so the two paths cannot drift. ``pool``: (doc_id, n, sh64) gram
     occurrence counts of the docs to rank (the one-shot path passes
     n=1 occurrence rows); ``raw``/``tgt``: the (sh64, raw_cnt/tgt_cnt)
-    censuses."""
+    censuses. ``tgt=None`` means ``raw`` is a FUSED census already
+    carrying tgt_cnt (0 for grams unseen in target — the one-shot
+    path's r10 single-pass form); the maintenance path keeps its two
+    materialized census tables and the left-join shape."""
     def _bits(c):
         # floor(log2(c + 1)): exact int bit-length, engine-portable
         return (F.length(F.bin(c + F.lit(1))) - F.lit(1)).cast("long")
 
-    scored = (
+    joined = (
         pool.join(raw, "sh64")
-        .join(tgt, "sh64", "left")
+        if tgt is None
+        else pool.join(raw, "sh64").join(tgt, "sh64", "left")
+    )
+    scored = (
+        joined
         .select(
             "doc_id",
             "n",

@@ -328,9 +328,21 @@ ORDER BY s.cluster_id
 
 def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.1, blocked on shared shingles (pairs
-    with zero overlap are never generated — the no-LSH exact variant)."""
-    docs = tables.load(spark, sf_dir, "documents")
-    return DD.jaccard_pairs(DD.doc_shingles(docs), threshold=JACCARD_THRESHOLD)
+    with zero overlap are never generated — the no-LSH exact variant).
+
+    r10: reads the session-cached family shingle frame and reuses its
+    n_sh sizes (one shingle explode + one size aggregate per session
+    across the whole MinHash/Jaccard/containment family) instead of a
+    private doc_shingles scan + a second per-doc count over it — the
+    same share _shared_containment_base adopted in r9 (guide §2.4/§5).
+    Values unchanged: n_sh is the identical per-doc distinct-shingle
+    count either way."""
+    shingled, sigs = _shingle_base(spark, sf_dir)
+    return DD.jaccard_pairs(
+        shingled,
+        threshold=JACCARD_THRESHOLD,
+        sizes=sigs.select("doc_id", "n_sh"),
+    )
 
 
 _JACCARD_PAIRS_SQL = f"""
@@ -727,13 +739,23 @@ def dd_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registry status: oracle-parity-gated in pytest this round (plus a
     planted fixture covering the exact-pair math, since the sf0.01
     corpus holds no exact duplicates); enters the driver window in
-    round 5 with the other late-r4 queries."""
-    return source_overlap_matrix(tables.load(spark, sf_dir, "documents"))
+    round 5 with the other late-r4 queries. r10: the near side feeds
+    from the session-cached family shingle frame (VERDICT r9 #6 — one
+    shingle explode + signature aggregate per session across the dedup
+    family) instead of a private scan; values unchanged."""
+    return source_overlap_matrix(
+        tables.load(spark, sf_dir, "documents"),
+        base=_shingle_base(spark, sf_dir),
+    )
 
 
-def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+def source_overlap_matrix(
+    docs: DataFrame, base: tuple[DataFrame, DataFrame] | None = None
+) -> DataFrame:
     """The (src_a, src_b, exact_pairs, near_pairs) census over any
-    (doc_id, text, source) corpus — see dd_source_overlap."""
+    (doc_id, text, source) corpus — see dd_source_overlap. ``base``
+    optionally supplies a pre-built (shingled, sigs-with-n_sh) pair
+    (the registry path passes the session-cached family frames)."""
     from sql_cdc_spark.functions.text import fingerprint
 
     dsrc = (
@@ -763,8 +785,11 @@ def source_overlap_matrix(docs: DataFrame) -> DataFrame:
         .filter(F.col("exact_pairs") > 0)
     )
 
-    sh = DD.doc_shingles(docs)
-    sigs = DD.minhash_signatures(sh, with_sizes=True)
+    if base is None:
+        sh = DD.doc_shingles(docs)
+        sigs = DD.minhash_signatures(sh, with_sizes=True)
+    else:
+        sh, sigs = base
     cands = DD.lsh_candidate_pairs(
         sigs.drop("n_sh"), max_bucket_size=LSH_MAX_BUCKET
     )

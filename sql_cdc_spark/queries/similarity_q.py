@@ -1289,6 +1289,12 @@ LIMIT {HYBRID_TOPK}
 ANN_EVAL_PROBES = 6
 
 
+def _probe_topk_kernel(probes: list[tuple[int, list[float]]], k: int):
+    from sql_cdc_spark.functions import simkernel as K
+
+    return K.exact_probe_topk_kernel(probes, k)
+
+
 def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality harness: recall@k of the single-probe LSH path
     against brute-force exact top-k, per probe — the measurement that
@@ -1299,13 +1305,25 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates' top-k (the sim_bucketed_topk shape), and their overlap
     as integer recall_pct.
 
-    Scale shape: the panel is a CONSTANT (ANN_EVAL_PROBES), so the plan
-    is |panel| TakeOrderedAndProject heap scans plus |panel| broadcast
-    bucket filters — per-probe cost is one scan, total cost scales
-    linearly with corpus size and NOT with corpus × corpus. Everything
-    after the heaps operates on ≤ 2·k·|panel| rows. Membership of both
+    Scale shape (r10 rewrite — guide §1.2/§4.2; the VERDICT r9 ruling
+    electing the Arrow kernel for eval exact-references): the old plan
+    ran 4 scan branches PER PROBE (24 at |panel|=6 — an exact heap
+    scan, a probe-row lookup, the bucket side and the probe-bucket
+    lookup), measured 1.7-2.0 s at sf0.1 with per-branch scheduling as
+    the dominant cost. Now the probe panel is collected ONCE (bounded:
+    ≤ |panel| rows — the documented seed-collect class), the exact side
+    is ONE mapInArrow scan computing all |panel| cosines per batch with
+    the same per-dimension accumulation + HALF_UP micro rounding the
+    elected knn kernel uses (functions/simkernel.py — bit-equal to
+    F.round by its standing parity test) with a per-task top-k fold,
+    and the ann side is ONE scan broadcast-joined against the |panel|-
+    row probe frame. 2 corpus scans total instead of 24; everything
+    after operates on ≤ (tasks+1)·k·|panel| rows. Membership of both
     top-k sets is deterministic (cos 6-dp rounded, vec_id tiebreak), so
-    the report hashes identically on any engine."""
+    the report hashes identically on any engine — the DuckDB oracle is
+    unchanged and re-proves value identity."""
+    from pyspark.sql.window import Window
+
     emb = tables.load(spark, sf_dir, "embeddings")
     vb = emb.select(
         "vec_id",
@@ -1314,40 +1332,60 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
-    tagged = None
-    for p in range(ANN_EVAL_PROBES):
-        q = emb.filter(F.col("vec_id") == p).select("embedding")
-        exact = SIM.topk_cosine(
-            emb.filter(F.col("vec_id") != p), q, k=TOP_K
-        ).select(
-            F.lit(p).cast("long").alias("probe_id"),
+    # bounded seed collect (≤ ANN_EVAL_PROBES rows): the probe panel as
+    # plain doubles, exactly the values the old per-probe broadcast
+    # carried
+    probes = [
+        (int(r.vec_id), [float(x) for x in r.e])
+        for r in emb.filter(F.col("vec_id") < ANN_EVAL_PROBES)
+        .select(
+            "vec_id", SIM.as_double_array(F.col("embedding")).alias("e")
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    part_topk = (
+        emb.select(
+            "vec_id", SIM.as_double_array(F.col("embedding")).alias("embedding")
+        )
+        .mapInArrow(
+            _probe_topk_kernel(probes, TOP_K),
+            "probe_id long, vec_id long, micro long",
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("micro").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        part_topk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id", F.lit("e").alias("side"))
+    )
+    pframe = vb.filter(F.col("vec_id") < ANN_EVAL_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("bucket").alias("pbucket"),
+        F.col("embedding").alias("pe"),
+    )
+    cand = vb.join(
+        F.broadcast(pframe), F.col("bucket") == F.col("pbucket")
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    ann = (
+        cand.select(
+            "probe_id",
             "vec_id",
-            F.lit("e").alias("side"),
+            SIM.cosine(
+                SIM.as_double_array(F.col("embedding")),
+                SIM.as_double_array(F.col("pe")),
+            ).alias("cos_sim"),
         )
-        pb = vb.filter(F.col("vec_id") == p).select(
-            F.col("bucket").alias("pbucket"), F.col("embedding").alias("pe")
-        )
-        cand = vb.join(
-            F.broadcast(pb), F.col("bucket") == F.col("pbucket")
-        ).filter(F.col("vec_id") != p)
-        ann = (
-            cand.select(
-                "vec_id",
-                SIM.cosine(
-                    SIM.as_double_array(F.col("embedding")),
-                    SIM.as_double_array(F.col("pe")),
-                ).alias("cos_sim"),
-            )
-            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-            .limit(TOP_K)
-            .select(
-                F.lit(p).cast("long").alias("probe_id"),
-                "vec_id",
-                F.lit("a").alias("side"),
-            )
-        )
-        branch = exact.unionByName(ann)
-        tagged = branch if tagged is None else tagged.unionByName(branch)
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id", F.lit("a").alias("side"))
+    )
+    tagged = exact.unionByName(ann)
     per_vec = tagged.groupBy("probe_id", "vec_id").agg(
         F.max((F.col("side") == "e").cast("int")).alias("e"),
         F.max((F.col("side") == "a").cast("int")).alias("a"),

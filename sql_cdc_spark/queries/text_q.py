@@ -175,9 +175,14 @@ def txt_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint once), and the top-k compiles to TakeOrderedAndProject
     over the (n_docs desc, fp asc) total order. The ~1/W sub-sampling
     is the 100 TB lever: posting volume tracks selected fingerprints,
-    not grams."""
-    docs = tables.load(spark, sf_dir, "documents")
-    per_doc = TX.winnow_fingerprints(docs)
+    not grams.
+
+    r10: reads the session-cached per-doc fingerprint frame shared with
+    txt_winnow_pairs (guide §2.4/§5, the r9 shingle-share precedent) —
+    the normalize/gram-hash/window-min scan is the family's dominant
+    cost and was previously paid once here plus THREE times inside the
+    pair report's census/postings/size subtrees."""
+    per_doc = _winnow_base(spark, sf_dir)
     return (
         per_doc.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -251,20 +256,51 @@ def txt_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins pin shuffle-hash (postings and doc counts all scale with the
     corpus — the unbounded-pair-path broadcast ban, see
     dedup._attach_sizes); the report is TakeOrderedAndProject over the
-    (n_shared desc, doc_a, doc_b) total order."""
-    return winnow_pairs_report(tables.load(spark, sf_dir, "documents"))
+    (n_shared desc, doc_a, doc_b) total order.
+
+    r10: the fingerprint scan feeds THREE subtrees of this plan (df
+    census, the capped postings self-join, per-doc counts) and is also
+    txt_winnow_fingerprints' whole input — the registry path now reads
+    it from ONE session-cached frame instead of re-running the
+    normalize/gram-hash/window-min scan four times per session (guide
+    §2.4/§5; values unchanged, same lineage)."""
+    return winnow_pairs_report(
+        tables.load(spark, sf_dir, "documents"),
+        per_doc=_winnow_base(spark, sf_dir),
+    )
+
+
+def _winnow_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-document winnowing fingerprints — the shared
+    materialization behind txt_winnow_fingerprints and txt_winnow_pairs
+    (one scan-local fingerprint pass per session per sf_dir; the
+    _cache.session_cached lifecycle: re-persist after an external
+    clearCache, dead-session eviction)."""
+    from sql_cdc_spark.queries._cache import session_cached
+
+    return session_cached(
+        spark,
+        ("winnow_base", sf_dir),
+        lambda: TX.winnow_fingerprints(
+            tables.load(spark, sf_dir, "documents")
+        ),
+    )
 
 
 def winnow_pairs_report(
     docs: DataFrame,
     df_cap: int = WINNOW_DF_CAP,
     topk: int | None = WINNOW_PAIR_TOPK,
+    per_doc: DataFrame | None = None,
 ) -> DataFrame:
     """The pair report over any (doc_id, text) frame — see
     txt_winnow_pairs (fixture-testable form). ``topk=None`` returns the
     FULL unordered pair table (census use — a global sort + huge-k
-    TakeOrdered would be pure waste when the caller filters anyway)."""
-    per_doc = TX.winnow_fingerprints(docs)
+    TakeOrdered would be pure waste when the caller filters anyway).
+    ``per_doc`` optionally supplies a pre-built (doc_id, fp) fingerprint
+    frame (the registry path passes the session-cached one)."""
+    if per_doc is None:
+        per_doc = TX.winnow_fingerprints(docs)
     df = per_doc.groupBy("fp").agg(F.count(F.lit(1)).alias("__nd"))
     keep = df.filter(
         (F.col("__nd") >= 2) & (F.col("__nd") <= df_cap)

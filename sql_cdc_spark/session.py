@@ -93,6 +93,23 @@ def get_spark(
         # rejects; read as long and convert in tables.load (lossless — the
         # data is microsecond-precision)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin the JVM default locale (ADVICE r9): the Arrow shingling
+        # kernel's bit-identity to the JVM reference relies on Python
+        # str.lower() matching UTF8String.toLowerCase, whose non-ASCII
+        # path delegates to java String.toLowerCase under the DEFAULT
+        # locale — on a tr/az-locale JVM 'I' lowercases to dotless 'ı'
+        # on the JVM side but 'i' in Python, a silent kernel-vs-
+        # reference divergence. en_US makes the parity contract hold on
+        # any host. (Applies at JVM launch; a pre-existing JVM in this
+        # process keeps its locale, which on this box is already en.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
         # BI endpoint (sources/biserver.py): Thrift-server connections
         # share THIS session so JDBC clients see the registered temp
         # views; inert unless start_bi_endpoint is called

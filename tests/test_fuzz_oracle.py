@@ -9,6 +9,10 @@ from __future__ import annotations
 import random
 
 import pytest
+
+# r10 tiering (VERDICT r9 #1): e2e/fuzz modules run in the slow tier;
+# the driver core gate keeps the unit/plan/oracle-representative layer
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from sql_cdc_spark import tables

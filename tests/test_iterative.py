@@ -6,6 +6,7 @@ a checkable equality, not a tolerance."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from sql_cdc_spark import tables
@@ -57,6 +58,7 @@ def _py_pagerank(edges, max_iters, damping_pct=85):
     return deg, rank
 
 
+@pytest.mark.slow
 def test_pagerank_round1_equals_registered_step(spark):
     from sql_cdc_spark.queries.similarity_q import sim_pagerank_step
 
@@ -71,6 +73,7 @@ def test_pagerank_round1_equals_registered_step(spark):
         assert got[r.vec_id] == (r.degree, r.rank_ppm)
 
 
+@pytest.mark.slow
 def test_pagerank_trajectory_matches_python(spark):
     edges_df = _nn_edges(spark)
     edges = [(r.id_a, r.id_b) for r in edges_df.collect()]
@@ -82,6 +85,7 @@ def test_pagerank_trajectory_matches_python(spark):
     assert got == {n: (deg[n], want[n]) for n in deg}
 
 
+@pytest.mark.slow
 def test_pagerank_fixed3_equals_driver_at_depth3(spark):
     """The registered fixed-depth unroll (sim_pagerank_fixed3) and the
     fixpoint driver must agree at depth 3 — both compose the SAME
@@ -107,6 +111,7 @@ def test_pagerank_fixed3_equals_driver_at_depth3(spark):
     assert fixed == [(r.node, r.degree, r.rank_ppm) for r in loop]
 
 
+@pytest.mark.slow
 def test_kmeans_fixed_report_matches_trainer_round3(spark):
     """The registered fixed-depth chain (sim_kmeans_fixed) and the
     fixpoint trainer share kmeans_stats/kmeans_update by reference;
@@ -280,6 +285,7 @@ def test_bpe_encode_equals_training_corpus_and_is_shuffle_free(spark):
     want = {int(r.doc_id): list(r.t) for r in trained.collect()}
     assert got == want
 
+@pytest.mark.slow
 def test_pagerank_two_cycle_stop_fires_and_state_matches_python(spark):
     """VERDICT r7 #8: integer PageRank dynamics can enter a stable
     2-cycle and previously burned the whole round budget; the driver
@@ -310,6 +316,7 @@ def test_pagerank_two_cycle_stop_fires_and_state_matches_python(spark):
     assert again == got
 
 
+@pytest.mark.slow
 def test_pagerank_plateau_is_not_flagged_as_two_cycle(spark):
     """ADVICE r8: the old delta(t) == delta(t−2) rule also fired on runs
     whose L1 deltas merely plateau for three rounds while the STATE is

@@ -65,6 +65,103 @@ def test_doc_shingles_kernel_matches_exact(spark, docs):
     assert got == want
 
 
+def test_shingle_kernel_output_batches_are_bounded():
+    """r10 (VERDICT r9 #4 / ADVICE r9): the shingling kernel must flush
+    its output buffer every ``flush_rows`` shingle rows instead of
+    holding one input batch's full fan-out — a long-document corpus at
+    Arrow's 10k rows/batch otherwise spikes multi-GB of Python lists
+    per task. Drives the module-level kernel directly over a synthetic
+    batch holding one LONG document (far more shingles than the flush
+    bound) plus trailing short docs, and checks (a) several batches come
+    out, (b) every batch respects the bound max(flush, one doc's own
+    distinct shingles), and (c) chunking changes no rows vs an unbounded
+    run."""
+    import pyarrow as pa
+
+    from sql_cdc_spark.functions.dedup import _shingle_kernel
+
+    long_doc = " ".join(f"w{i}" for i in range(5_000))  # 4,998 shingles
+    mediums = [
+        (100 + j, " ".join(f"m{j}x{i}" for i in range(50)))  # 48 shingles
+        for j in range(200)
+    ]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1] + [i for i, _ in mediums], pa.int64()),
+            pa.array([long_doc] + [t for _, t in mediums]),
+        ],
+        ["doc_id", "text"],
+    )
+    flush = 1_000
+    chunks = list(_shingle_kernel("doc_id", flush_rows=flush)([batch]))
+    assert len(chunks) >= 5, "fan-out did not trigger chunked flushes"
+    # one doc's own distinct shingles is the irreducible working set:
+    # the long doc flushes alone; every other batch stays within
+    # flush + one medium doc's shingles
+    sizes = sorted((c.num_rows for c in chunks), reverse=True)
+    assert sizes[0] <= 4_998
+    assert all(s <= flush + 48 for s in sizes[1:]), sizes
+    got = sorted(
+        (i, s)
+        for c in chunks
+        for i, s in zip(c.column(0).to_pylist(), c.column(1).to_pylist())
+    )
+    whole = list(_shingle_kernel("doc_id", flush_rows=1 << 30)([batch]))
+    want = sorted(
+        (i, s)
+        for c in whole
+        for i, s in zip(c.column(0).to_pylist(), c.column(1).to_pylist())
+    )
+    assert got == want and len(got) > 5_000
+
+
+def test_doc_shingles_registry_inputs_are_keyed(spark, docs):
+    """ADVICE r9: doc_shingles replaced the reference path's defensive
+    global distinct with a one-row-per-id PRECONDITION. Spot-check every
+    frame shape the registry feeds it: the base corpus table, the
+    exact-dedup survivor set, and the incremental upsert batch (updates
+    ∪ offset inserts) — each must be keyed by doc_id, or n_sh and every
+    Jaccard/containment downstream silently double-counts."""
+    from sql_cdc_spark.queries.dedup_q import (
+        INC_DEL,
+        INC_ID_OFFSET,
+        INC_INS,
+        INC_UPD,
+        INC_SUFFIX,
+    )
+
+    def dup_ids(df):
+        return (
+            df.groupBy("doc_id")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+
+    base = docs.select("doc_id", "text")
+    assert dup_ids(base) == 0, "corpus table is not keyed by doc_id"
+
+    exact = DD.exact_duplicates(base)
+    survivors = base.join(
+        exact.select(F.col("canonical_id").alias("doc_id")), "doc_id"
+    )
+    assert dup_ids(survivors) == 0, "exact-dedup survivors not keyed"
+
+    is_del = (F.col("doc_id") % INC_DEL[0]) == INC_DEL[1]
+    is_upd = ((F.col("doc_id") % INC_UPD[0]) == INC_UPD[1]) & ~is_del
+    is_ins = (F.col("doc_id") % INC_INS[0]) == INC_INS[1]
+    upserts = (
+        base.filter(is_upd)
+        .select("doc_id", F.concat("text", F.lit(INC_SUFFIX)).alias("text"))
+        .unionByName(
+            base.filter(is_ins).select(
+                (F.col("doc_id") + INC_ID_OFFSET).alias("doc_id"), "text"
+            )
+        )
+    )
+    assert dup_ids(upserts) == 0, "incremental upsert batch not keyed"
+
+
 def test_identical_docs_have_identical_signatures(spark, docs):
     planted, off = _with_planted_dups(docs, n=3)
     sigs = DD.minhash_signatures(DD.doc_shingles(planted))
@@ -221,6 +318,7 @@ def test_ann_recall_vs_brute_force(spark):
     assert r_multi >= 0.3
 
 
+@pytest.mark.slow
 def test_ivf_probe_sweep_recall_monotone_to_exact(spark):
     """IVF probe-width sweep: with a seeded (deterministic) coarse
     quantizer, widening n_probe can only add scanned clusters, so
@@ -309,6 +407,7 @@ def _pairs_set(df):
     return {(r.id_a, r.id_b, r.jaccard) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_equals_full_recompute(spark, docs):
     """apply_near_dup_changes == build_near_dup_state on the post-change
     corpus, through a batch containing inserts (verbatim copies → new
@@ -358,6 +457,7 @@ def test_incremental_near_dup_equals_full_recompute(spark, docs):
     assert got_sizes == want_sizes
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_cap_flip_exact(spark):
     """The hot-band-cap edge: an affected bucket crossing the cap must
     retire pairs of UNTOUCHED docs (bucket newly over cap) and create
@@ -393,6 +493,7 @@ def test_incremental_near_dup_cap_flip_exact(spark):
     assert {(a, b) for a, b, _ in _pairs_set(got.pairs)} == {(3, 4)}
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_chained_batches(spark, docs):
     """State survives repeated application: two consecutive batches end
     at the same pair set as one full recompute of the final corpus."""
@@ -425,6 +526,7 @@ def test_incremental_near_dup_chained_batches(spark, docs):
     assert _pairs_set(st2.pairs) == _pairs_set(want.pairs)
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_random_rounds_property(spark, docs):
     """Property: through R random CDC rounds (random deletes, updates,
     clone-inserts drawn per round from the LIVE corpus), chained
@@ -483,6 +585,7 @@ def _cpairs_set(df):
     }
 
 
+@pytest.mark.slow
 def test_incremental_containment_equals_full_recompute(spark, docs):
     """apply_containment_changes == build_containment_state on the
     post-change corpus through inserts / updates / deletes, at the
@@ -519,6 +622,7 @@ def test_incremental_containment_equals_full_recompute(spark, docs):
     }
 
 
+@pytest.mark.slow
 def test_incremental_containment_rarity_flip_exact(spark):
     """The global-rarity edge the LSH path doesn't have: a batch pushing
     a shingle's document frequency across df_cap must retire pairs of
@@ -549,6 +653,7 @@ def test_incremental_containment_rarity_flip_exact(spark):
     assert {(a, b) for a, b, *_ in _cpairs_set(got.pairs)} == {(3, 4)}
 
 
+@pytest.mark.slow
 def test_incremental_containment_entering_pair_via_size_shrink(spark):
     """A pair can ENTER the result without its intersection changing:
     an endpoint's rare set shrinks (one of its shingles flips hot), the
@@ -584,6 +689,7 @@ def test_incremental_containment_entering_pair_via_size_shrink(spark):
     assert {(a, b) for a, b, *_ in _cpairs_set(got.pairs)} == {(1, 2)}
 
 
+@pytest.mark.slow
 def test_incremental_containment_chained_batches(spark, docs):
     """Two consecutive batches end at the same state as one full
     recompute of the final corpus — the state tables are valid inputs
@@ -617,6 +723,7 @@ def test_incremental_containment_chained_batches(spark, docs):
     assert _cpairs_set(st2.pairs) == _cpairs_set(want.pairs)
 
 
+@pytest.mark.slow
 def test_containment_sweep_engineered_fixture(spark):
     """Known-geometry corpus: doc2 fully embedded in doc1 (containment
     100%), doc3 shares exactly one of its three shingles with doc1
@@ -797,6 +904,7 @@ def test_duplicate_spans_finds_planted_shared_passage(spark):
         assert 0 < got[d].dup_fraction < 1
 
 
+@pytest.mark.slow
 def test_knn_join_arrow_bit_equal_to_exact_jvm(spark):
     """The Arrow/BLAS election must be BIT-EQUAL to the exact-JVM
     knn_join — same L2R double summation, same HALF_UP 6-dp rounding,
@@ -1285,6 +1393,7 @@ def test_knn_join_planted_twin_and_bucket_locality(spark):
         assert buckets[vid] == buckets[nn]
 
 
+@pytest.mark.slow
 def test_grouped_pairing_equals_self_join_randomized(spark):
     """The late-r4 pairing rewrites (grouped collect_list + in-row i<j
     comprehension) must emit exactly the self-join's pair set on random

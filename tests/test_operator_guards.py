@@ -26,7 +26,7 @@ def test_salted_join_matches_unsalted_inner_and_left(spark):
         assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_registry_window_holds_all_round9_queries():
+def test_registry_window_holds_all_round10_queries():
     """Driver contract: only the first 50 registry entries are
     hash-checked per round, so every query added or changed this round
     must sit inside that window — silently rotating one out would skip
@@ -36,71 +36,71 @@ def test_registry_window_holds_all_round9_queries():
     from sql_cdc_spark.queries import _registry
 
     window = list(_registry())[:50]
-    published_round9 = [
-        # changed this round: containment in-row sizes (VERDICT r8 #1),
-        # dup_clusters large-star/small-star contraction (VERDICT r8 #5)
-        "dd_containment_pairs",
-        "dd_containment_sweep",
-        "dd_incremental_containment",
-        "dd_dup_clusters",
-        "dd_cluster_canonical",
-        "crp_manifest",
-        # ADVICE r8 catch-up: changed in r8 outside the r8 window
-        "scl_range_partition_plan",
-        # rotation debt: the 11 r4 tpch strays (staleness 4)
-        "tpch_q10_returned_items",
-        "tpch_q11_important_stock",
-        "tpch_q12_priority_by_status",
-        "tpch_q13_customer_distribution",
-        "tpch_q15_top_supplier",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_orders",
-        "tpch_q20_excess_suppliers",
-        "tpch_q21_waiting_suppliers",
-        "tpch_q22_global_sales_opportunity",
-        # rotation debt: the r5 cohort (staleness 3), alphabetical
-        "cdc_bounded_batch",
-        "cdc_flagship_changed_invoices",
-        "cdc_keyset_resume",
-        "cdc_latest_event_per_user",
-        "cdc_union_distinct_keys",
-        "cdc_version_watermark",
-        "crp_dsir_select",
-        "crp_filter_funnel",
-        "crp_fuzzy_contamination",
-        "dd_embedding_dup_pairs",
+    published_round10 = [
+        # changed this round (r10 optimization): ann-recall probe
+        # kernel; family shingle-frame shares; winnow base share; dsir
+        # census fusion (see queries/__init__.py rotation note)
+        "sim_ann_recall_eval",
         "dd_jaccard_pairs",
-        "dd_simhash",
-        "dd_simhash_pairs",
         "dd_source_overlap",
-        "evt_collapse_runs",
-        "evt_props_topk",
-        "evt_rolling_actives",
-        "fn_date_arithmetic",
-        "fn_hash_bucket",
-        "fn_timestamp_format",
-        "mm_media_catalog",
-        "rel_cross_join_small",
-        "rel_cube_status_flag",
-        "rel_derived_columns",
-        "rel_distinct_flags",
-        "rel_except_lost_customers",
-        "rel_filter_composite",
-        "rel_intersect_buyers",
-        "rel_multi_hop_dims",
-        "rel_pivot_status",
-        "rel_rollup_lineitem",
-        "rel_sample_avg",
+        "crp_fuzzy_contamination",
+        "crp_dsir_select",
+        "txt_winnow_pairs",
+        "txt_winnow_fingerprints",
+        # rotation debt: the 13 remaining r5 greens (staleness 4)
+        "rel_semi_join_big_spenders",
+        "rel_top_revenue_orders",
+        "rel_topn_other_rollup",
+        "rel_union_all_segments",
+        "scl_salted_pricing",
+        "sim_bucketed_topk",
+        "sim_lsh_buckets",
+        "txt_quality_gate",
+        "txt_token_stats",
+        "win_lag_delta",
+        "win_latest_n_per_user",
+        "win_moving_avg",
+        "win_running_total",
+        # rotation debt: the r6 cohort (staleness 3), alphabetical
+        "cdc_changes_scan",
+        "cdc_flagship_documents",
+        "cdc_net_changes_enriched",
+        "cdc_replica_sync",
+        "crp_domain_reweight",
+        "crp_ngram_lm_score",
+        "dd_dedup_impact",
+        "dd_exact",
+        "dd_minhash_signatures",
+        "evt_late_data_filter",
+        "evt_session_windows",
+        "evt_sliding_windows",
+        "evt_top_users_per_day",
+        "evt_value_percentiles",
+        "mm_decode_features",
+        "mm_frame_sample",
+        "mm_resize_digest",
+        "rel_fuzzy_match_block",
+        "rel_grouping_sets",
+        "scl_compaction_plan",
+        "scl_group_zscore",
+        "scl_salted_join_segments",
+        "scl_skew_census",
+        "sim_centroid_assign",
+        "sim_embedding_quantize",
+        "sim_hybrid_search",
+        "sim_ivf_topk",
+        "sim_multiprobe_topk",
+        "sim_power_iteration",
+        "sim_topk_cosine",
     ]
-    assert len(published_round9) == 50
+    assert len(published_round10) == 50
     mismatches = [
         (i, got, want)
-        for i, (got, want) in enumerate(zip(window, published_round9))
+        for i, (got, want) in enumerate(zip(window, published_round10))
         if got != want
     ]
     assert not mismatches, (
-        "driver window deviates from the published round-9 list "
+        "driver window deviates from the published round-10 list "
         f"(slot, got, expected): {mismatches[:5]}"
     )
 

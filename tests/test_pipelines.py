@@ -55,6 +55,7 @@ def test_manifest_is_deterministic(spark, manifest):
     assert sorted(map(tuple, again)) == sorted(map(tuple, manifest))
 
 
+@pytest.mark.slow
 def test_prepare_corpus_releases_caches(spark):
     """VERDICT r3 #6: repeated manifest runs in a long-lived session must
     not accumulate cached partitions. The shingle/signature persists are
@@ -238,6 +239,7 @@ def _manifest_rows(df):
     return {tuple(r) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_manifest_maintenance_equals_full_rebuild(spark):
     """apply_manifest_changes == build_manifest_state over the post-change
     corpus, manifest AND near-dup pair set, through the non-local
@@ -333,6 +335,7 @@ def test_manifest_maintenance_equals_full_rebuild(spark):
     assert _manifest_rows(MM.manifest_from_state(again)) == got_manifest
 
 
+@pytest.mark.slow
 def test_tokenizer_in_pipeline_end_to_end(spark):
     """Capstone composition for the tokenizer path: prepare the corpus
     (gates → dedup → split), train BPE on the TRAIN split only (the

@@ -114,6 +114,50 @@ def test_shingle_base_is_shared_and_repersists(spark):
     assert _is_persisted(sg3), "frame must be re-marked for persistence"
 
 
+def test_family_shingle_share_covers_r10_consumers(spark):
+    """r10 optimization: dd_jaccard_pairs, dd_source_overlap and
+    crp_fuzzy_contamination must build on the session-cached family
+    shingle frame (one shingle explode + signature aggregate per
+    session across the whole dedup family) — not private doc_shingles
+    scans. Structural: building each query's frame must register the
+    shared cache keys."""
+    import __spark_entry__ as entry
+
+    app = spark.sparkContext.applicationId
+    qs = entry.queries()
+    for name in (
+        "dd_jaccard_pairs",
+        "dd_source_overlap",
+        "crp_fuzzy_contamination",
+    ):
+        for k in [k for k in _cache._FRAMES if k[0] == app]:
+            _cache._FRAMES.pop(k).unpersist()
+        qs[name](spark, SF_DIR)
+        keys = {k[1] for k in _cache._FRAMES if k[0] == app}
+        assert {"shingle_base", "shingle_sigs"} <= keys, (name, keys)
+
+
+def test_winnow_base_is_shared(spark):
+    """r10 optimization: both winnow registry queries must read the
+    per-doc fingerprint table from ONE session-cached frame (the scan
+    feeds four subtrees per session: the census query plus the pair
+    report's df/postings/size branches)."""
+    import __spark_entry__ as entry
+
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _cache._FRAMES if k[0] == app]:
+        _cache._FRAMES.pop(k).unpersist()
+    qs = entry.queries()
+    qs["txt_winnow_fingerprints"](spark, SF_DIR)
+    keys = {k[1] for k in _cache._FRAMES if k[0] == app}
+    assert "winnow_base" in keys, keys
+    frame = _cache._FRAMES[(app, "winnow_base", SF_DIR)]
+    qs["txt_winnow_pairs"](spark, SF_DIR)
+    assert _cache._FRAMES[(app, "winnow_base", SF_DIR)] is frame, (
+        "pair report must reuse the census's cached fingerprint frame"
+    )
+
+
 def test_no_bare_persist_in_query_modules():
     """Every persisted intermediate in the query layer must go through
     the _cache.session_cached lifecycle — a bare .persist() is invisible

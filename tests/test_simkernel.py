@@ -152,6 +152,7 @@ def test_zero_norm_vector_pins_cosine_sentinel_zero(spark):
     assert dropped == {9: (7, 1.0)}
 
 
+@pytest.mark.slow
 def test_mega_bucket_runs_tiled_and_tile_invariant():
     """A hot bucket far wider than the tile must complete with peak
     kernel memory bounded by the TILE (the r7 kernel slabbed
@@ -180,3 +181,56 @@ def test_mega_bucket_runs_tiled_and_tile_invariant():
     assert sorted(map(tuple, a.itertuples(index=False))) == sorted(
         map(tuple, b.itertuples(index=False))
     )
+
+
+def test_exact_probe_topk_kernel_matches_jvm_reference(spark):
+    """r10 (VERDICT r9 #2 ruling): the recall-eval exact side now runs
+    through exact_probe_topk_kernel — one scan for the whole probe
+    panel. Its top-k MEMBERSHIP must equal the old JVM reference (one
+    topk_cosine heap scan per probe) on the driver corpus: same
+    per-dimension double accumulation, same HALF_UP micro rounding,
+    same (cos desc, vec_id asc) tie order. Also pins the distributive
+    per-task fold: the global window over per-task winners must not
+    admit a row a single-pass top-k would not."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sql_cdc_spark import tables
+    from sql_cdc_spark.functions import similarity as SIM
+    from tests.conftest import SF_DIR
+
+    k = 10
+    n_probes = 6
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    probes = [
+        (int(r.vec_id), [float(x) for x in r.e])
+        for r in emb.filter(F.col("vec_id") < n_probes)
+        .select("vec_id", SIM.as_double_array(F.col("embedding")).alias("e"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    assert len(probes) == n_probes
+    part = emb.select(
+        "vec_id", SIM.as_double_array(F.col("embedding")).alias("embedding")
+    ).mapInArrow(
+        K.exact_probe_topk_kernel(probes, k),
+        "probe_id long, vec_id long, micro long",
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("micro").desc(), F.col("vec_id").asc()
+    )
+    got = {
+        (r.probe_id, r.vec_id)
+        for r in part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    want = set()
+    for p in range(n_probes):
+        q = emb.filter(F.col("vec_id") == p).select("embedding")
+        for r in SIM.topk_cosine(
+            emb.filter(F.col("vec_id") != p), q, k=k
+        ).collect():
+            want.add((p, r.vec_id))
+    assert got == want
+    assert len(want) == n_probes * k

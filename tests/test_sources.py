@@ -251,6 +251,7 @@ def test_register_star_schema_enables_spark_sql(spark):
     assert spark.sql("SELECT COUNT(*) FROM vw_invoice_header_line").first()[0] > 0
 
 
+@pytest.mark.slow
 def test_bi_endpoint_serves_views_over_jdbc(spark):
     """BI serving endpoint e2e (VERDICT r3 missing #2): start the
     HiveServer2-protocol Thrift endpoint on the live session, register
